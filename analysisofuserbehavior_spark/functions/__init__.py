@@ -1,0 +1,17 @@
+from .core import (
+    between_count,
+    csv_set_agg,
+    day_col,
+    hour_col,
+    json_long,
+    ratio,
+)
+
+__all__ = [
+    "between_count",
+    "csv_set_agg",
+    "day_col",
+    "hour_col",
+    "json_long",
+    "ratio",
+]

@@ -1,0 +1,74 @@
+"""Column-expression helpers shared across operators.
+
+These replace the reference's scalar-function layer (SURVEY.md §2.8):
+
+* `StringUtils.getFieldFromConcatString` / `setFieldInConcatString`
+  (util/StringUtils.java:62-107) — obsolete: intermediate records are
+  real columns, never `k=v|k=v` strings.
+* `GroupConcatDistinctUDAF` (spark/product/GroupConcatDistinctUDAF.java:17-113)
+  → `csv_set_agg`: built-in `collect_set` + `array_sort` + `array_join`.
+  The reference's UDAF dedupes with `String.contains` (a substring
+  test — "12" matches inside "112"); we use true set semantics and
+  document the divergence.
+* `GetJsonObjectUDF` (spark/product/GetJsonObjectUDF.java:12-27)
+  → built-in `get_json_object` via `json_long`.
+* `NumberUtils.formatDouble` HALF_UP 2-decimal rounding
+  (util/NumberUtils.java:16-21) → `F.round(col, 2)` (HALF_UP on
+  doubles) via `ratio`.
+* the 16-bucket histogram conditions
+  (UserVisitSessionAnalyzeSpark.java:896-952) → `between_count`.
+* `DateUtils.getDateHour` yyyy-MM-dd_HH keys (util/DateUtils.java:88-93)
+  → real (`day`, `hour`) columns via `day_col` / `hour_col`.
+
+All helpers emit pure built-in expressions (JVM-side, codegen'd) —
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def csv_set_agg(col: Column | str, cond: Column | None = None) -> Column:
+    """Sorted-distinct CSV aggregation (`collect_set` → sort → join).
+
+    Matches DuckDB `coalesce(string_agg(DISTINCT x, ',' ORDER BY x)
+    FILTER (...), '')`: nulls dropped, deterministic order, empty
+    group → ''.
+    """
+    c = _c(col)
+    if cond is not None:
+        c = F.when(cond, c)
+    return F.array_join(F.array_sort(F.collect_set(c)), ",")
+
+
+def between_count(cond: Column) -> Column:
+    """`sum(case when cond then 1 else 0 end)` — one histogram bucket.
+
+    The reference increments a custom string Accumulator inside a
+    `filter` (SessionAggrStatAccumulator.java:20-93, a side-effecting
+    transform); the rebuild is a plain conditional aggregation, which
+    is deterministic and partial-aggregatable map-side.
+    """
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+
+def ratio(numer: Column, denom: Column, scale: int = 2) -> Column:
+    """HALF_UP rounded ratio — NumberUtils.formatDouble parity."""
+    return F.round(numer.cast("double") / denom.cast("double"), scale)
+
+
+def day_col(ts: Column | str) -> Column:
+    return F.date_format(_c(ts), "yyyy-MM-dd")
+
+
+def hour_col(ts: Column | str) -> Column:
+    return F.hour(_c(ts)).cast("bigint")
+
+
+def json_long(col: Column | str, path: str) -> Column:
+    return F.get_json_object(_c(col), path).cast("bigint")

@@ -1,0 +1,40 @@
+"""Gap-based sessionization of the event stream.
+
+The reference's clickstream arrives pre-sessionized (`session_id` is
+a mock-generated UUID, util/MockData.java:43); the driver testdata's
+`events` table has no session column, so the engine derives sessions
+the standard way: a new session starts when a user's inter-event gap
+exceeds `gap_seconds` (default 30 min — the mock generator's "one
+session spans ≤ 1 hour" invariant, MockData.java:44,50, motivates the
+scale).
+
+Plan shape: ONE shuffle (hash partition by `user_id`), then two
+window passes over the same sort order — Catalyst reuses the single
+sort for both `lag` and the running `sum`.  At 100 TB this is the
+minimal shuffle for any per-user ordering; if the input is already
+bucketed/partitioned by `user_id` the exchange is elided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> DataFrame:
+    """Add `session_id` (= "<user>_<seq>") and `session_seq` columns."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return events.withColumn("session_seq", seq).withColumn(
+        "session_id", F.concat_ws("_", F.col(user_col), F.col("session_seq"))
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hand-tunes Spark 1.5 knobs (kryo, memoryFraction,
+shuffle buffers — UserVisitSessionAnalyzeSpark.java:66-77).  All of
+that is obsolete under Tungsten/AQE; the knobs that still matter are
+set here once:
+
+* AQE on (runtime coalescing + skew-join handling replaces the
+  reference's hand-rolled salting/skew rewrites,
+  UserVisitSessionAnalyzeSpark.java:564-803).
+* shuffle.partitions sized to cores for local mode; on a real
+  cluster AQE coalesces from an intentionally-high initial number.
+* session timezone pinned UTC so results hash-match a UTC-naive
+  DuckDB oracle.
+* Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "analysisofuserbehavior_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata parquet carries TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long nanos and convert in
+        # the loader (sources/loaders.py) — DuckDB truncates the same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -57,6 +57,7 @@ def user_info(customer: DataFrame, nation: DataFrame, region: DataFrame) -> Data
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
             F.col("n_nationkey").alias("nationkey"),
+            F.col("n_nationkey").alias("city_id"),
             F.col("n_name").alias("city"),
             F.col("r_name").alias("area"),
         )
@@ -67,6 +68,7 @@ def user_info(customer: DataFrame, nation: DataFrame, region: DataFrame) -> Data
             F.col("c_custkey").alias("user_id"),
             (F.col("c_custkey") % 60).alias("age"),
             F.col("c_mktsegment").alias("professional"),
+            F.col("city_id"),
             F.col("city"),
             F.col("area"),
             F.when(F.col("c_custkey") % 2 == 0, "male").otherwise("female").alias("sex"),

@@ -68,6 +68,7 @@ users AS (
   SELECT c_custkey AS user_id,
          c_custkey % 60 AS age,
          c_mktsegment AS professional,
+         n_nationkey AS city_id,
          n_name AS city,
          r_name AS area,
          CASE WHEN c_custkey % 2 = 0 THEN 'male' ELSE 'female' END AS sex
@@ -238,4 +239,154 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2005-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["page_convert_rate"] = f"""
+WITH {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, event_type,
+         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_et
+  FROM actions
+),
+pair_counts AS (
+  SELECT prev_et || '_' || event_type AS split, count(*) AS pv
+  FROM splits
+  WHERE prev_et IS NOT NULL
+    AND prev_et || '_' || event_type IN ('view_click', 'click_purchase', 'purchase_signup')
+  GROUP BY 1
+),
+target(step, split) AS (VALUES (1, 'view_click'), (2, 'click_purchase'), (3, 'purchase_signup')),
+start_cnt AS (SELECT count(*) AS start_pv FROM actions WHERE event_type = 'view'),
+filled AS (
+  SELECT step, split, coalesce(pv, 0) AS pv FROM target LEFT JOIN pair_counts USING (split)
+)
+SELECT step, split, CAST(pv AS BIGINT) AS pv,
+       round(CAST(pv AS DOUBLE)
+             / CAST(nullif(coalesce(lag(pv) OVER (ORDER BY step),
+                                    (SELECT start_pv FROM start_cnt)), 0) AS DOUBLE),
+             2) AS convert_rate
+FROM filled
+"""
+
+ORACLE["area_top3_products"] = f"""
+WITH {SESSIONIZE_CTES}, {USERS_CTE},
+clicks AS (
+  SELECT a.product_id, u.city_id, u.city, u.area
+  FROM actions a JOIN users u USING (user_id)
+  WHERE a.event_type = 'click'
+),
+counted AS (
+  SELECT area, product_id, count(*) AS click_count,
+         coalesce(string_agg(DISTINCT city_id || ':' || city, ','
+                             ORDER BY city_id || ':' || city), '') AS city_infos
+  FROM clicks GROUP BY area, product_id
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY area
+                               ORDER BY click_count DESC, product_id ASC) AS rn
+  FROM counted
+),
+prod AS (
+  SELECT p_partkey AS product_id, p_name AS product_name,
+         CASE WHEN CAST(json_extract_string('{{"product_status": ' || (p_size % 2) || '}}',
+                                            '$.product_status') AS BIGINT) = 0
+              THEN 'self' ELSE 'third_party' END AS product_status
+  FROM part
+)
+SELECT area,
+       CASE area WHEN 'AFRICA' THEN 'A' WHEN 'AMERICA' THEN 'B' WHEN 'ASIA' THEN 'C'
+                 WHEN 'EUROPE' THEN 'D' WHEN 'MIDDLE EAST' THEN 'E'
+                 ELSE 'other' END AS area_level,
+       product_id, click_count, city_infos,
+       coalesce(product_name, 'unknown') AS product_name,
+       coalesce(product_status, 'unknown') AS product_status,
+       CAST(rn AS BIGINT) AS "rank"
+FROM top LEFT JOIN prod USING (product_id)
+WHERE rn <= 3
+"""
+
+ORACLE["ad_user_click_count"] = f"""
+WITH {SESSIONIZE_CTES}
+SELECT day, user_id, ad_id, count(*) AS click_count
+FROM actions WHERE event_type = 'click'
+GROUP BY day, user_id, ad_id
+"""
+
+ORACLE["ad_blacklist"] = f"""
+WITH {SESSIONIZE_CTES}
+SELECT DISTINCT user_id FROM (
+  SELECT day, user_id, ad_id, count(*) AS click_count
+  FROM actions WHERE event_type = 'click'
+  GROUP BY day, user_id, ad_id
+) WHERE click_count >= 2
+"""
+
+ORACLE["ad_stat"] = f"""
+WITH {SESSIONIZE_CTES}, {USERS_CTE},
+daily AS (
+  SELECT a.day, u.area, u.city, a.ad_id, count(*) AS daily_count
+  FROM actions a JOIN users u USING (user_id)
+  WHERE a.event_type = 'click'
+  GROUP BY a.day, u.area, u.city, a.ad_id
+)
+SELECT day, area AS province, city, ad_id,
+       sum(daily_count) OVER (PARTITION BY area, city, ad_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS click_count
+FROM daily
+"""
+
+ORACLE["ad_province_top3"] = f"""
+WITH {SESSIONIZE_CTES}, {USERS_CTE},
+daily AS (
+  SELECT a.day, u.area AS province, a.ad_id, count(*) AS click_count
+  FROM actions a JOIN users u USING (user_id)
+  WHERE a.event_type = 'click'
+  GROUP BY a.day, u.area, a.ad_id
+)
+SELECT day, province, ad_id, click_count
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY day, province
+                               ORDER BY click_count DESC, ad_id ASC) AS rn
+  FROM daily
+)
+WHERE rn <= 3
+"""
+
+ORACLE["ad_click_trend"] = f"""
+WITH {SESSIONIZE_CTES}
+SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ad_id, count(*) AS click_count
+FROM actions WHERE event_type = 'click'
+GROUP BY 1, 2
+"""
+
+ORACLE["tpch_q3"] = """
+SELECT l_orderkey,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["tpch_q5"] = """
+SELECT n_name,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
 """

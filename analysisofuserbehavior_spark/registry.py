@@ -145,3 +145,126 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm.product_info(load_table(spark, sf_dir, "part"))
+
+
+TARGET_FLOW = ("view", "click", "purchase", "signup")
+
+
+@query("page_convert_rate")
+def q_page_convert_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.page_flow import page_convert_rate
+
+    return page_convert_rate(spark, _actions(spark, sf_dir), TARGET_FLOW)
+
+
+@query("area_top3_products")
+def q_area_top3_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.area_products import area_top3_products
+
+    return area_top3_products(
+        _actions(spark, sf_dir), _users(spark, sf_dir), _products(spark, sf_dir)
+    )
+
+
+@query("ad_user_click_count")
+def q_ad_user_click_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ad_stats import ad_user_click_count
+
+    return ad_user_click_count(_actions(spark, sf_dir))
+
+
+@query("ad_blacklist")
+def q_ad_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ad_stats import ad_blacklist
+
+    return ad_blacklist(_actions(spark, sf_dir))
+
+
+@query("ad_stat")
+def q_ad_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ad_stats import ad_stat
+
+    return ad_stat(_actions(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("ad_province_top3")
+def q_ad_province_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ad_stats import ad_province_top3
+
+    return ad_province_top3(_actions(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("ad_click_trend")
+def q_ad_click_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ad_stats import ad_click_trend
+
+    return ad_click_trend(_actions(spark, sf_dir))
+
+
+@query("tpch_q3")
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority join: the 3-table fact⋈fact⋈dim benchmark.
+
+    customer filter broadcasts into the orders⋈lineitem join;
+    revenue quantized as in tpch_q1."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev_q4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("tpch_q5")
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue: the 6-table join benchmark (Catalyst
+    join reordering + broadcast of every dimension)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev_q4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -28,7 +28,13 @@ HEADLINE = [
     "session_random_extract",
     "top10_categories",
     "top10_category_sessions",
+    "page_convert_rate",
+    "area_top3_products",
+    "ad_stat",
+    "ad_province_top3",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 

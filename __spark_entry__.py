@@ -44,6 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # UTC-naive DuckDB oracle regardless of host tz.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # a vanilla session defaults to 200 shuffle partitions —
+            # over-parallelized for local mode at these SFs
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
             return fn(spark, sf_dir)
 
         return run

@@ -1,5 +1,6 @@
 from .core import (
     between_count,
+    qround,
     csv_set_agg,
     day_col,
     hour_col,
@@ -9,6 +10,7 @@ from .core import (
 
 __all__ = [
     "between_count",
+    "qround",
     "csv_set_agg",
     "day_col",
     "hour_col",

@@ -57,9 +57,22 @@ def between_count(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
 
+def qround(col: Column, scale: int = 2) -> Column:
+    """HALF_UP rounding as floor(x*10^s + 0.5)/10^s.
+
+    Built-in `round()` disagrees across engines at exact half
+    boundaries (Spark rounds the shortest decimal string of the
+    double — 4.725 → 4.73; DuckDB scales the binary value —
+    4.7249999… → 4.72).  This formulation is two IEEE double ops,
+    bit-identical everywhere, and the oracle SQL mirrors it verbatim.
+    """
+    f = F.lit(float(10**scale))
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
 def ratio(numer: Column, denom: Column, scale: int = 2) -> Column:
     """HALF_UP rounded ratio — NumberUtils.formatDouble parity."""
-    return F.round(numer.cast("double") / denom.cast("double"), scale)
+    return qround(numer.cast("double") / denom.cast("double"), scale)
 
 
 def day_col(ts: Column | str) -> Column:

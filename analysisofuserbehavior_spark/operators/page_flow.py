@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions import qround
+
 
 def page_splits(actions: DataFrame, flow_col: str = "event_type") -> DataFrame:
     """Adjacent-pair "split" per session: prev_page + '_' + page."""
@@ -67,7 +69,7 @@ def page_convert_rate(
             "step",
             "split",
             F.col("pv").cast("bigint").alias("pv"),
-            F.round(
+            qround(
                 F.col("pv").cast("double") / F.nullif(F.col("prev_pv"), F.lit(0)).cast("double"),
                 2,
             ).alias("convert_rate"),

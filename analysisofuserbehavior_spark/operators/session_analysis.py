@@ -76,7 +76,12 @@ def session_stats(actions: DataFrame) -> DataFrame:
         csv_set_agg("category_id", F.col("event_type") == "click").alias(
             "click_category_ids"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # per-row quantization to cents, exact integer sum — double
+        # summation order differs across engines/partitionings
+        (
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            / F.lit(100.0)
+        ).alias("total_value"),
         F.min("day").alias("day"),
         F.min(F.hour("ts").cast("bigint")).alias("start_hour"),
     )

@@ -38,3 +38,33 @@ def sessionize(
     return events.withColumn("session_seq", seq).withColumn(
         "session_id", F.concat_ws("_", F.col(user_col), F.col("session_seq"))
     )
+
+
+def session_window_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session rollup via the built-in `session_window` — the same
+    gap semantics as `sessionize` expressed as a grouping key, which
+    is what Structured Streaming needs for incremental sessionization
+    (state-store backed; `sessionize`'s global window can't stream).
+
+    Boundary note: session_window closes at `last + gap` EXCLUSIVE
+    (an event exactly `gap` later starts a new session), whereas the
+    lag-based `sessionize` keeps it (`> gap` splits).  The oracle for
+    this operator mirrors the session_window convention.
+    """
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not present in the reference (its only "similarity" is equality
+joins); added for the training-data-pipeline surface:
+
+* `ann_bruteforce_topk` — exact top-k cosine neighbors for a small
+  query set: broadcast the queries, one pass over the corpus, per-
+  query row_number window.  The baseline and the oracle target.
+* `ann_ivf_topk` — IVF-flat scale path: partition the corpus into
+  `n_clusters` Voronoi cells around deterministic centroids, probe
+  only the `n_probe` cells nearest each query.  At 100 TB the corpus
+  pass becomes a partition-pruned scan (cluster id is a partition
+  key) instead of a full crossJoin; recall is approximate, so this
+  variant carries a rows-only check rather than a hash oracle.
+
+Dot products use built-in higher-order functions (zip_with +
+aggregate) over doubles — JVM-side, codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import qround
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k for query vectors (vec_id < n_queries)."""
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_vec")
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            qround(F.col("sim"), 3).alias("sim"),
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Centroids are the first `n_clusters` vectors (deterministic; a
+    production build would k-means them — the plan shape is
+    identical).  Corpus→cell assignment is one broadcast pass;
+    queries probe their `n_probe` nearest cells, so the candidate
+    join touches ~n_probe/n_clusters of the corpus.
+    """
+    cents = embeddings.where(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_vec")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_vec")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("n_vec"), F.col("c_vec")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "n_vec", "cluster_id")
+    )
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "cluster_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            qround(F.col("sim"), 3).alias("sim"),
+        )
+    )
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All corpus pairs with cosine >= threshold (brute force; the
+    LSH-bucketed scale path is ann_ivf's cell assignment reused as a
+    blocking key).  Rows-only check: O(n²) oracle SQL at sf0.1 would
+    dominate the gate."""
+    a = embeddings.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", qround(F.col("sim"), 3).alias("sim"))
+    )

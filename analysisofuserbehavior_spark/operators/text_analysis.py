@@ -1,0 +1,68 @@
+"""Text-analysis column operators for document pipelines.
+
+Pure built-in expressions over the `documents` table — token
+counting, quality scoring, language-ID heuristic, bag fingerprinting.
+Everything is a per-row projection (no shuffle at all): at 100 TB
+these run as a single map stage fused into the parquet scan by
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import qround
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char counts, stopword ratio, quality score.
+
+    quality = 0.6 * min(n_tokens/100, 1) + 0.4 * min(stop_ratio/0.1, 1)
+    — a length/stopword heuristic in the spirit of C4-style quality
+    filters, expressed as deterministic double arithmetic."""
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    n_alpha = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        qround(n_alpha.cast("double") / n_tokens.cast("double"), 2).alias("avg_token_len"),
+        qround(stop_ratio, 2).alias("stopword_ratio"),
+        qround(quality, 2).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:
+    """Stopword-density language ID (n-gram-free heuristic): docs
+    whose English-stopword token share clears `min_ratio` → 'en'."""
+    toks = _tokens()
+    ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        qround(ratio, 3).alias("en_ratio"),
+        F.when(ratio >= min_ratio, "en").otherwise("unk").alias("lang_guess"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive bag fingerprint: md5 of the sorted distinct
+    token set.  Two docs with identical vocabulary collide — a cheap
+    pre-filter ahead of jaccard verification."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
+    return docs.select("doc_id", fp.alias("fingerprint"))

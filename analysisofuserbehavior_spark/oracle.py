@@ -55,7 +55,7 @@ session_stats AS (
          coalesce(string_agg(DISTINCT event_type, ',' ORDER BY event_type), '') AS event_types,
          coalesce(string_agg(DISTINCT category_id, ',' ORDER BY category_id)
                   FILTER (WHERE event_type = 'click'), '') AS click_category_ids,
-         round(sum(value), 2) AS total_value,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_value,
          min(strftime(ts, '%Y-%m-%d')) AS day,
          min(CAST(hour(ts) AS BIGINT)) AS start_hour
   FROM actions
@@ -101,8 +101,8 @@ _STEP_CONDS = [
 
 def _aggr_stat_select(source: str) -> str:
     buckets = ",\n         ".join(
-        f"round(CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
-        f" / CAST(count(*) AS DOUBLE), 2) AS {name}_ratio"
+        f"floor(CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS {name}_ratio"
         for name, cond in _VISIT_CONDS + _STEP_CONDS
     )
     return f"SELECT count(*) AS session_count,\n         {buckets}\n  FROM {source}"
@@ -227,13 +227,13 @@ WHERE rn <= 10
 # engines, and integer sums are exact / order-independent.
 ORACLE["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_qty,
-       round(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_charge,
-       round(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 2) AS avg_qty,
-       round(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 2) AS avg_price,
-       round(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 2) AS avg_disc,
+       floor(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_base_price,
+       floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_qty,
+       floor(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_price,
+       floor(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) * 100.0 + 0.5) / 100.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2005-09-02 00:00:00'
@@ -261,10 +261,10 @@ filled AS (
   SELECT step, split, coalesce(pv, 0) AS pv FROM target LEFT JOIN pair_counts USING (split)
 )
 SELECT step, split, CAST(pv AS BIGINT) AS pv,
-       round(CAST(pv AS DOUBLE)
+       floor(CAST(pv AS DOUBLE)
              / CAST(nullif(coalesce(lag(pv) OVER (ORDER BY step),
-                                    (SELECT start_pv FROM start_cnt)), 0) AS DOUBLE),
-             2) AS convert_rate
+                                    (SELECT start_pv FROM start_cnt)), 0) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS convert_rate
 FROM filled
 """
 
@@ -361,7 +361,7 @@ GROUP BY 1, 2
 
 ORACLE["tpch_q3"] = """
 SELECT l_orderkey,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        o_orderpriority
 FROM customer
@@ -377,7 +377,7 @@ LIMIT 10
 
 ORACLE["tpch_q5"] = """
 SELECT n_name,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+       floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -389,4 +389,139 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
+"""
+
+# ---- LLM-data-pipeline operators ------------------------------------------
+
+SHINGLES_CTE = """
+_docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM _docs WHERE len(toks) >= 3
+)
+"""
+
+_JACCARD_BODY = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(CAST(inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+"""
+
+ORACLE["dedup_exact"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLE["dedup_ngram_jaccard"] = _JACCARD_BODY
+
+# minhash+LSH verifies candidates exactly; at >=0.8 threshold its
+# recall on this corpus is 1 - (1 - s^4)^8 with s >= 0.96 → misses
+# with p < 3e-7, so the exact-jaccard oracle is the correct target.
+ORACLE["dedup_minhash_lsh"] = _JACCARD_BODY
+
+ORACLE["ann_cosine_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rn
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
+FROM sims WHERE rn <= 5
+"""
+
+_STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
+
+ORACLE["text_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       floor(CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 100.0 + 0.5) / 100.0 AS avg_token_len,
+       floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 100.0 + 0.5) / 100.0 AS stopword_ratio,
+       floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.6
+             + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 0.1, 1.0) * 0.4)
+             * 100.0 + 0.5) / 100.0 AS quality_score
+FROM m
+"""
+
+ORACLE["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS ratio
+  FROM t
+)
+SELECT doc_id, floor(ratio * 1000.0 + 0.5) / 1000.0 AS en_ratio,
+       CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM m
+"""
+
+ORACLE["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+# session_window semantics: a gap of EXACTLY 30 min starts a new
+# session (exclusive window end) — hence >= on an exact INTERVAL
+# comparison, unlike the lag-based sessionize's floor-epoch `>`.
+ORACLE["session_window_rollup"] = """
+WITH _pre AS (
+  SELECT e.*, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events e
+),
+_sess AS (
+  SELECT *,
+         sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM _pre
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM _sess
+GROUP BY user_id, session_seq
+"""
+
+ORACLE["streaming_hourly_clicks"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id,
+       count(*) AS click_count
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1, 2
 """

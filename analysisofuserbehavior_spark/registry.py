@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import behavior_model as bm
 from .operators import session_analysis as sa
+from .functions import qround
 from .params import TaskParams
 from .sources import load_table
 
@@ -125,10 +126,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
 
     def money_sum(col: F.Column, alias: str) -> F.Column:
-        return F.round(F.sum(q4(col)) / F.lit(10000.0), 2).alias(alias)
+        return qround(F.sum(q4(col)) / F.lit(10000.0), 2).alias(alias)
 
     def money_avg(col: F.Column, alias: str) -> F.Column:
-        return F.round(F.sum(q4(col)) / F.lit(10000.0) / n, 2).alias(alias)
+        return qround(F.sum(q4(col)) / F.lit(10000.0) / n, 2).alias(alias)
 
     return (
         li.where(F.col("l_shipdate") <= F.lit("2005-09-02 00:00:00").cast("timestamp"))
@@ -227,7 +228,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
+        .agg(qround(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -265,6 +266,115 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
+        .agg(qround(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query("dedup_exact")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+@query("dedup_ngram_jaccard")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+@query("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs — rows-only check (per-token
+    xxhash64 bit votes aren't reproducible in ANSI SQL)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir))
+
+
+@query("ann_cosine_topk")
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_bruteforce_topk
+
+    return ann_bruteforce_topk(_embeddings(spark, sf_dir))
+
+
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k — rows-only check (recall is
+    intentionally approximate; accuracy vs brute force is asserted in
+    tests/test_similarity.py)."""
+    from .operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_embeddings(spark, sf_dir))
+
+
+@query("embedding_neardup")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — rows-only check (O(n²)
+    oracle SQL would dominate the correctness gate)."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embeddings(spark, sf_dir))
+
+
+@query("text_stats")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import text_stats
+
+    return text_stats(_documents(spark, sf_dir))
+
+
+@query("lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+@query("doc_fingerprint")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_documents(spark, sf_dir))
+
+
+@query("session_window_rollup")
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import session_window_rollup
+
+    return session_window_rollup(load_table(spark, sf_dir, "events"))
+
+
+@query("streaming_hourly_clicks")
+def q_streaming_hourly_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs a REAL Structured Streaming query (file source →
+    watermarked tumbling-window agg → memory sink, availableNow) and
+    returns the final result; the oracle is the batch equivalent —
+    complete-mode over bounded input must agree exactly."""
+    from .streaming.ad_stream import (
+        hourly_click_counts,
+        read_event_stream,
+        run_to_completion,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = "hourly_clicks_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(hourly_click_counts(stream), name)

@@ -1,0 +1,179 @@
+"""Module 4 rebuild on Structured Streaming.
+
+Reference: spark/ad/AdClickRealTimeStatSpark.java:100-992 — DStream
+micro-batches (5 s), updateStateByKey running totals, a MySQL-backed
+dynamic blacklist loop, per-batch SQL window top-3, and
+reduceByKeyAndWindow sliding counts.  The rebuild maps each to the
+Structured Streaming equivalent:
+
+| reference                             | rebuild                          |
+|---------------------------------------|----------------------------------|
+| KafkaUtils.createDirectStream (:127)  | readStream (kafka in prod; file  |
+|                                       | source with maxFilesPerTrigger   |
+|                                       | for deterministic tests)         |
+| 5 s batches (:116)                    | trigger(processingTime/available |
+|                                       | Now)                             |
+| HDFS checkpoint + HA factory          | option(checkpointLocation) —     |
+| (:119-227)                            | built-in recovery                |
+| updateStateByKey totals (:620-676)    | streaming groupBy().count() in   |
+|                                       | complete/update mode (StateStore)|
+| blacklist loop: agg → MySQL → reload  | foreachBatch: anti-join a parquet|
+| + leftOuterJoin filter (:234-588)     | blacklist dir, append counts,    |
+|                                       | rewrite blacklist (:508 threshold|
+|                                       | ≥100 → parameter)                |
+| reduceByKeyAndWindow 60min/10s        | window(ts, ...) sliding agg with |
+| (:898-935)                            | watermark                        |
+| no watermark (processing-time only)   | explicit withWatermark — NEW     |
+|                                       | decision; ref never drops late   |
+|                                       | data, we default 1 hour          |
+
+The reference parses `timestamp province city userid adid` strings
+per record (:322-341); here the stream carries the events schema and
+derives the same keys once, with the shared behavior-model columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions import day_col, json_long
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/loaders)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (kafka `readStream.format('kafka')`
+    in production — same downstream plan)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet"):
+        # file source needs a directory; select the one file by glob
+        base, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", day_col("ts"))
+        .withColumn("ad_id", json_long("props", "$.k") % 10)
+    )
+
+
+def hourly_click_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour click counts per ad — the batch-equivalent of
+    the per-minute trend at streaming granularity."""
+    return (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("ad_id"))
+        .agg(F.count(F.lit(1)).alias("click_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "ad_id",
+            "click_count",
+        )
+    )
+
+
+def sliding_click_trend(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The reference's reduceByKeyAndWindow (60 min window / 10 s
+    slide keyed by minute, :898-935) as a sliding window agg.  Slide
+    widened to 10 min: a 10 s slide over event-time replays 360
+    overlapping windows per event — correct but pathological; the
+    divergence is intentional and documented."""
+    return (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes", "10 minutes").alias("w"), F.col("ad_id"))
+        .agg(F.count(F.lit(1)).alias("click_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "ad_id",
+            "click_count",
+        )
+    )
+
+
+def run_to_completion(agg: DataFrame, query_name: str, mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion (availableNow) into a
+    memory sink and return the final result as a batch DataFrame."""
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(query_name)
+
+
+class BlacklistLoop:
+    """The dynamic-blacklist feedback loop (ref :234-588) on
+    foreachBatch: batch N's aggregated counts update a parquet state
+    dir; users crossing `threshold` total clicks/ad/day join the
+    blacklist; batch N+1 is anti-joined against the blacklist BEFORE
+    counting.  Exactly the reference's MySQL round-trip, minus the
+    per-record SELECTs (dao/impl/AdUserClickCountImpl.java:49-78
+    queries MySQL once per record inside foreachPartition)."""
+
+    def __init__(self, state_dir: str, threshold: int = 2):
+        self.counts_dir = os.path.join(state_dir, "counts")
+        self.blacklist_dir = os.path.join(state_dir, "blacklist")
+        self.threshold = threshold
+
+    def current_blacklist(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.blacklist_dir)
+        except Exception:  # noqa: BLE001 - first batch: no state yet
+            return spark.createDataFrame([], "user_id long")
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        clean = batch.where(F.col("event_type") == "click").join(
+            F.broadcast(self.current_blacklist(spark)), "user_id", "left_anti"
+        )
+        daily = clean.groupBy("day", "user_id", "ad_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
+        daily.write.mode("append").parquet(self.counts_dir)
+        totals = (
+            spark.read.parquet(self.counts_dir)
+            .groupBy("day", "user_id", "ad_id")
+            .agg(F.sum("click_count").alias("click_count"))
+        )
+        new_blacklist = (
+            totals.where(F.col("click_count") >= self.threshold)
+            .select("user_id")
+            .distinct()
+        )
+        # overwrite via temp-then-move is unnecessary for the local
+        # test; a production sink would MERGE into Delta/Iceberg
+        new_blacklist.write.mode("overwrite").parquet(self.blacklist_dir + "_next")
+        spark.read.parquet(self.blacklist_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(self.blacklist_dir)
+
+    def run(self, stream: DataFrame, checkpoint_dir: str) -> None:
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.operators import dedup
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_are_overlapping_trigrams(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b")])  # doc 2 too short
+    out = sorted(r["shingle"] for r in dedup.shingles(docs).collect())
+    assert out == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_finds_near_dups_only(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and often"
+    docs = _docs(spark, [(1, near_a), (2, near_b), (3, "completely different words here not matching")])
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    assert 0.5 <= out[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_matches_exact_on_sf0001(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert lsh == exact  # exact precision, ~1 recall at 0.96+ sim
+
+
+def test_max_df_prunes_hot_shingles_but_keeps_near_dups(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and often"
+    docs = _docs(spark, [(1, near_a), (2, near_b)])
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    assert len(out) == 1
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again more words to pad this document out"
+    near_b = "the quick brown fox jumps over the lazy dog again and again more words to pad this document away"
+    docs = _docs(spark, [(1, near_a), (2, near_b), (3, "totally unrelated text with nothing shared at all whatsoever")])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    pairs = dedup.simhash_pairs(docs, max_hamming=6).collect()
+    assert (1, 2) in [(r["doc_a"], r["doc_b"]) for r in pairs]

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.operators import similarity
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r["c"] for r in df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1]) < 1e-12
+
+
+def test_bruteforce_topk_shape_and_order(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ann_bruteforce_topk(emb, n_queries=3, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == [1, 2, 3, 4]
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with n_probe=2/8 must recover a decent share of true
+    neighbors (approximate by design, not garbage)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce_topk(emb, n_queries=5, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, n_queries=5, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_neardup_pairs_symmetric_free(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.embedding_neardup_pairs(emb, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]

@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.streaming.ad_stream import (
+    BlacklistLoop,
+    hourly_click_counts,
+    read_event_stream,
+    run_to_completion,
+    sliding_click_trend,
+)
+
+SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _nanos(dt: datetime) -> int:
+    return int(dt.timestamp() * 1_000_000) * 1000
+
+
+def _write_batches(spark, tmpdir: str, batches):
+    d = os.path.join(tmpdir, "in")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d
+
+
+def test_hourly_counts_streaming_equals_batch(spark, tmp_path):
+    rows = [
+        (1, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 3}'),
+        (2, _nanos(datetime(2024, 1, 1, 10, 55)), 2, "click", 0.0, '{"k": 3}'),
+        (3, _nanos(datetime(2024, 1, 1, 11, 5)), 1, "click", 0.0, '{"k": 3}'),
+        (4, _nanos(datetime(2024, 1, 1, 11, 6)), 1, "view", 0.0, '{"k": 3}'),
+    ]
+    d = _write_batches(spark, str(tmp_path), [rows])
+    out = run_to_completion(
+        hourly_click_counts(read_event_stream(spark, d)), "t_hourly"
+    ).collect()
+    got = {(r["hour_start"], r["ad_id"]): r["click_count"] for r in out}
+    assert got == {
+        ("2024-01-01 10:00:00", 3): 2,
+        ("2024-01-01 11:00:00", 3): 1,
+    }
+
+
+def test_sliding_window_counts_overlap(spark, tmp_path):
+    rows = [
+        (1, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 1}'),
+    ]
+    d = _write_batches(spark, str(tmp_path), [rows])
+    out = run_to_completion(
+        sliding_click_trend(read_event_stream(spark, d)), "t_sliding"
+    ).collect()
+    # a single event at 10:05 falls into 6 sliding 60-min windows
+    # (10-min slide): starts 09:10..10:00
+    assert len(out) == 6
+    assert all(r["click_count"] == 1 for r in out)
+
+
+def test_blacklist_feedback_loop_across_batches(spark, tmp_path):
+    """Batch 1 pushes user 1 over the threshold; batch 2's clicks
+    from user 1 must be anti-joined away BEFORE counting (the
+    reference's batch-N+1 filter, AdClickRealTimeStatSpark.java:248-313)."""
+    b1 = [
+        (1, _nanos(datetime(2024, 1, 1, 10, 0)), 1, "click", 0.0, '{"k": 1}'),
+        (2, _nanos(datetime(2024, 1, 1, 10, 1)), 1, "click", 0.0, '{"k": 1}'),
+        (3, _nanos(datetime(2024, 1, 1, 10, 2)), 2, "click", 0.0, '{"k": 1}'),
+    ]
+    b2 = [
+        (4, _nanos(datetime(2024, 1, 1, 10, 9)), 1, "click", 0.0, '{"k": 1}'),
+        (5, _nanos(datetime(2024, 1, 1, 10, 10)), 2, "click", 0.0, '{"k": 1}'),
+    ]
+    in_dir = _write_batches(spark, str(tmp_path), [b1, b2])
+    loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
+    stream = read_event_stream(spark, in_dir, max_files_per_trigger=1)
+    loop.run(stream, os.path.join(str(tmp_path), "ckpt"))
+
+    blacklist = {r["user_id"] for r in loop.current_blacklist(spark).collect()}
+    assert blacklist == {1, 2}  # user 2 reaches 2 clicks via batch 2
+    counts = (
+        spark.read.parquet(loop.counts_dir)
+        .groupBy("user_id")
+        .agg(F.sum("click_count").alias("c"))
+        .collect()
+    )
+    got = {r["user_id"]: r["c"] for r in counts}
+    # user 1 blacklisted after batch 1 → batch 2 click dropped
+    assert got[1] == 2
+    assert got[2] == 2

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+from analysisofuserbehavior_spark.operators import text_analysis as ta
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_stats_counts(spark):
+    out = ta.text_stats(_docs(spark, [(1, "the cat sat on the mat")])).collect()[0]
+    assert out["n_tokens"] == 6
+    assert out["n_chars"] == 22
+    assert out["stopword_ratio"] == 0.5  # the, on, the
+    assert out["avg_token_len"] == 2.83  # 17 alpha chars / 6 tokens
+
+
+def test_lang_id_heuristic(spark):
+    rows = [(1, "the quick fox and the dog"), (2, "zork blat quux flarn")]
+    out = {r["doc_id"]: r["lang_guess"] for r in ta.lang_id(_docs(spark, rows)).collect()}
+    assert out == {1: "en", 2: "unk"}
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    rows = [(1, "b a c"), (2, "c b a"), (3, "a b d")]
+    out = {r["doc_id"]: r["fingerprint"] for r in ta.doc_fingerprint(_docs(spark, rows)).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import qround
 
@@ -49,8 +49,13 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 
 
 def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) — k-word shingles, 1-based like the oracle."""
-    toks = F.split(F.col("text"), " ")
+    """(doc_id, shingle) — k-word shingles, 1-based like the oracle.
+
+    The token array is materialized as a projected column BEFORE the
+    transform lambda references it: an inlined `split(text)` would be
+    re-evaluated per array element (k·n splits per row — measured 2.5×
+    slower on the whole operator at sf0.1)."""
+    toks = F.col("toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     sh = F.transform(
@@ -59,7 +64,16 @@ def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    out = docs.where(n >= k).select(F.col("doc_id"), F.explode(sh).alias("shingle"))
+    # a small parquet lands in ONE input split; the ~k·n_tokens
+    # fan-out below would then run single-threaded — spread the rows
+    # across the cluster before exploding (cheap: pre-explode rows)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    out = (
+        docs.repartition(par)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .where(n >= k)
+        .select(F.col("doc_id"), F.explode(sh).alias("shingle"))
+    )
     return out.distinct() if distinct else out
 
 
@@ -72,48 +86,52 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(dsh: DataFrame, pairs_inter: DataFrame) -> DataFrame:
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+def _with_sizes(dsh: DataFrame) -> DataFrame:
+    """Attach per-doc shingle count as a window agg — one shuffle on
+    doc_id, no separate sizes table to re-join after the pair agg."""
+    w = Window.partitionBy("doc_id")
+    return dsh.withColumn("n_sh", F.count(F.lit(1)).over(w))
+
+
+def _jaccard_from_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+    jaccard = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
     return (
-        pairs_inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_sh", "n_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-        )
+        pairs.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", qround(F.col("jaccard"), 3).alias("jaccard"))
     )
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = None
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs over k-word shingles."""
-    dsh = shingles(docs, k)
-    joinable = dsh
+    """Exact Jaccard near-dup pairs over k-word shingles.
+
+    Plan: sizes ride along each shingle row into the self-join, so
+    the per-pair aggregation computes intersection AND picks up both
+    set sizes in one pass — no join after the shuffle-heavy pair agg.
+    """
+    dsh = _with_sizes(shingles(docs, k))
     if max_df is not None:
-        rare = (
-            dsh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("shingle")
+        w_df = Window.partitionBy("shingle")
+        dsh = dsh.withColumn("df", F.count(F.lit(1)).over(w_df)).where(
+            F.col("df") <= max_df
         )
-        joinable = dsh.join(rare, "shingle", "left_semi")
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    a = dsh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = dsh.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b"))
+    pairs = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    return (
-        _pair_jaccard(dsh, inter)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", qround(F.col("jaccard"), 3).alias("jaccard"))
-    )
+    return _jaccard_from_pairs(pairs, threshold)
 
 
 def minhash_signatures(dsh: DataFrame, num_perm: int = 32) -> DataFrame:
@@ -145,6 +163,11 @@ def minhash_lsh_pairs(
     exact (candidates re-checked), recall governed by (bands, rows).
     """
     rows_per_band = num_perm // bands
+    # the shingle table feeds three consumers (signatures + both
+    # verification legs); measured locally, recomputing the (cheap,
+    # codegen'd) explode beats .persist()'s materialization cost — a
+    # cluster-scale run over a large corpus would checkpoint the
+    # shingle table to parquet once instead
     dsh = shingles(docs, k)
     sig = minhash_signatures(dsh, num_perm)
     band_structs = F.array(
@@ -176,20 +199,26 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification restricted to candidate pairs
-    a_sh = dsh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    b_sh = dsh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
+    # exact verification restricted to candidate pairs; sizes ride
+    # along both join legs so the pair agg is self-contained
+    sized = _with_sizes(dsh)
+    a_sh = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle"), F.col("n_sh").alias("n_a")
+    )
+    b_sh = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle"), F.col("n_sh").alias("n_b")
+    )
+    pairs = (
         cand.join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    return (
-        _pair_jaccard(dsh, inter)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", qround(F.col("jaccard"), 3).alias("jaccard"))
-    )
+    return _jaccard_from_pairs(pairs, threshold)
 
 
 SIMHASH_BITS = 32

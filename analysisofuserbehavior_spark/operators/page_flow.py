@@ -24,12 +24,27 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import qround
 
 
-def page_splits(actions: DataFrame, flow_col: str = "event_type") -> DataFrame:
-    """Adjacent-pair "split" per session: prev_page + '_' + page."""
-    w = Window.partitionBy("session_id").orderBy("ts", "event_id")
+def page_splits(
+    actions: DataFrame, flow_col: str = "event_type", gap_seconds: int = 1800
+) -> DataFrame:
+    """Adjacent-pair "split" per session: prev_page + '_' + page.
+
+    Computed over the USER window with a gap guard rather than the
+    session window: sessions are contiguous slices of a user's
+    timeline, so "adjacent within session" ≡ "adjacent within user
+    AND gap ≤ threshold".  Same result, but the plan needs ONE
+    shuffle+sort (user) instead of two (user for sessionize, then
+    session for the lag) — and Catalyst prunes the unused
+    sessionization windows entirely."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(flow_col).over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
     return actions.withColumn(
-        "split", F.when(prev.isNotNull(), F.concat_ws("_", prev, F.col(flow_col)))
+        "split",
+        F.when(
+            prev.isNotNull() & (gap <= gap_seconds),
+            F.concat_ws("_", prev, F.col(flow_col)),
+        ),
     )
 
 

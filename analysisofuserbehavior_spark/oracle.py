@@ -525,3 +525,6 @@ FROM events
 WHERE event_type = 'click'
 GROUP BY 1, 2
 """
+
+# SQL-surface variant computes the identical result
+ORACLE["area_top3_products_sql"] = ORACLE["area_top3_products"]

@@ -1,0 +1,17 @@
+from .audit import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+    has_sort_merge_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = [
+    "count_exchanges",
+    "executed_plan",
+    "has_broadcast_join",
+    "has_sort_merge_join",
+    "pushed_filters",
+    "read_schema_columns",
+]

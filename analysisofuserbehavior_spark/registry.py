@@ -378,3 +378,78 @@ def q_streaming_hourly_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     name = "hourly_clicks_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
     return run_to_completion(hourly_click_counts(stream), name)
+
+
+SPARK_SQL_SESSIONIZE = """
+WITH _pre AS (
+  SELECT e.*, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events e
+),
+_sess AS (
+  SELECT *,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR unix_timestamp(ts) - unix_timestamp(prev_ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM _pre
+),
+actions AS (
+  SELECT *, concat_ws('_', user_id, session_seq) AS session_id,
+         CAST(get_json_object(props, '$.k') AS BIGINT) AS product_id
+  FROM _sess
+),
+users AS (
+  SELECT c_custkey AS user_id, n_nationkey AS city_id, n_name AS city, r_name AS area
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+)
+"""
+
+
+@query("area_top3_products_sql")
+def q_area_top3_products_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 3 through the SQL surface — the reference drives this
+    module as registerTempTable + SQL text chains
+    (AreaTop3ProductSpark.java:139-472); same Catalyst plan as the
+    DataFrame variant, same oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        SPARK_SQL_SESSIONIZE
+        + """
+, clicks AS (
+  SELECT a.product_id, u.city_id, u.city, u.area
+  FROM actions a JOIN users u USING (user_id)
+  WHERE a.event_type = 'click'
+),
+counted AS (
+  SELECT area, product_id, count(*) AS click_count,
+         array_join(array_sort(collect_set(concat_ws(':', city_id, city))), ',') AS city_infos
+  FROM clicks GROUP BY area, product_id
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY area
+                               ORDER BY click_count DESC, product_id ASC) AS rn
+  FROM counted
+),
+prod AS (
+  SELECT p_partkey AS product_id, p_name AS product_name,
+         CASE WHEN CAST(get_json_object(concat('{"product_status": ', CAST(p_size % 2 AS STRING), '}'),
+                                        '$.product_status') AS BIGINT) = 0
+              THEN 'self' ELSE 'third_party' END AS product_status
+  FROM part
+)
+SELECT area,
+       CASE area WHEN 'AFRICA' THEN 'A' WHEN 'AMERICA' THEN 'B' WHEN 'ASIA' THEN 'C'
+                 WHEN 'EUROPE' THEN 'D' WHEN 'MIDDLE EAST' THEN 'E'
+                 ELSE 'other' END AS area_level,
+       product_id, click_count, city_infos,
+       coalesce(product_name, 'unknown') AS product_name,
+       coalesce(product_status, 'unknown') AS product_status,
+       CAST(rn AS BIGINT) AS rank
+FROM top LEFT JOIN prod USING (product_id)
+WHERE rn <= 3
+"""
+    )

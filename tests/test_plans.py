@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: correctness tests prove WHAT is
+computed; these prove HOW — pushdown reached the scan, dimensions
+broadcast, no operator shuffles more than its algebra requires.
+A silent plan regression is a 100 TB incident that a row-count test
+would never catch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark import plans
+from analysisofuserbehavior_spark.registry import QUERIES
+from analysisofuserbehavior_spark.sources import load_table
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = QUERIES["tpch_q1"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_scan_prunes_unused_columns(spark, sf_dir):
+    df = QUERIES["tpch_q1"](spark, sf_dir)
+    (cols,) = plans.read_schema_columns(df)
+    assert "l_orderkey" not in cols  # 11-col table, 7 used
+    assert "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount"} <= cols
+
+
+def test_dimension_joins_broadcast_not_sort_merge(spark, sf_dir):
+    for name in ["area_top3_products", "session_filtered_aggr_stat", "tpch_q5"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.has_broadcast_join(df), name
+        assert not plans.has_sort_merge_join(df), name
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    df = QUERIES["sessionize"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_page_splits_single_shuffle(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators import behavior_model as bm
+    from analysisofuserbehavior_spark.operators.page_flow import page_splits
+
+    df = page_splits(bm.actions(load_table(spark, sf_dir, "events")))
+    # sessionize's window must be pruned: one exchange for the lag
+    assert plans.count_exchanges(df) == 1
+
+
+def test_top10_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = QUERIES["top10_categories"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_session_rollup_has_partial_aggregation(spark, sf_dir):
+    """count/min/max aggregate map-side before the session shuffle."""
+    df = QUERIES["session_aggr_stat"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_event_type_filter_pushdown_in_funnel(spark, sf_dir):
+    df = QUERIES["ad_user_click_count"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("event_type" in p for p in pushed), pushed

@@ -1,5 +1,6 @@
 from .core import (
     between_count,
+    cents_sum,
     qround,
     csv_set_agg,
     day_col,
@@ -10,6 +11,7 @@ from .core import (
 
 __all__ = [
     "between_count",
+    "cents_sum",
     "qround",
     "csv_set_agg",
     "day_col",

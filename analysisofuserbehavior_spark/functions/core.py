@@ -70,6 +70,22 @@ def qround(col: Column, scale: int = 2) -> Column:
     return F.floor(col * f + F.lit(0.5)) / f
 
 
+def cents_sum(col: Column | str, cond: Column | None = None, sign: Column | None = None) -> Column:
+    """Money sum as integer cents: floor(x*100+0.5) per row, summed
+    as bigint, /100.0 at the end.  Distributed double summation is
+    order-dependent in the last bits; integer cents make the sum
+    bit-identical across engines and partitionings (mirrors the
+    oracle's `sum(CAST(floor(value*100+0.5) AS BIGINT))/100.0`).
+    Optional `cond` gates rows; optional `sign` (±1) makes signed
+    (period-delta) sums."""
+    c = F.floor(_c(col) * 100.0 + F.lit(0.5)).cast("bigint")
+    if sign is not None:
+        c = c * sign
+    if cond is not None:
+        c = F.when(cond, c).otherwise(F.lit(0))
+    return F.sum(c) / F.lit(100.0)
+
+
 def ratio(numer: Column, denom: Column, scale: int = 2) -> Column:
     """HALF_UP rounded ratio — NumberUtils.formatDouble parity."""
     return qround(numer.cast("double") / denom.cast("double"), scale)

@@ -210,10 +210,13 @@ def session_random_extract(sessions: DataFrame, total: int = 1000) -> DataFrame:
     aggregates, no driver-side index maps (ref broadcasts a
     fastutil IntList, :1123-1150).
     """
+    # the distinct-day count is a scalar: a global Window would drag
+    # every session row through ONE partition (WindowExec warns); a
+    # 1-row aggregate broadcast-cross-joined in keeps the plan fully
+    # distributed at any scale
+    n_days_df = sessions.select(F.countDistinct("day").alias("n_days"))
     w_day = Window.partitionBy("day")
-    w_all = Window.partitionBy()
-    n_days = F.size(F.collect_set("day").over(w_all))
-    per_day = F.floor(F.lit(total) / n_days)
+    per_day = F.floor(F.lit(total) / F.col("n_days"))
     day_cnt = F.count(F.lit(1)).over(w_day)
     hour_cnt = F.count(F.lit(1)).over(Window.partitionBy("day", "start_hour"))
     quota = F.least(
@@ -223,7 +226,8 @@ def session_random_extract(sessions: DataFrame, total: int = 1000) -> DataFrame:
         Window.partitionBy("day", "start_hour").orderBy(F.md5(F.col("session_id")))
     )
     return (
-        sessions.withColumn("quota", quota)
+        sessions.crossJoin(F.broadcast(n_days_df))
+        .withColumn("quota", quota)
         .withColumn("rn", rn)
         .where(F.col("rn") <= F.col("quota"))
         .select("session_id", "start_time", "event_types", "click_category_ids")

@@ -60,6 +60,36 @@ def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs (with optional apostrophe
+# suffix), digit runs, or single non-space symbols — the word-piece
+# boundary regex BPE vocabularies are trained over.  Same dialect in
+# Java regex (Spark) and RE2 (DuckDB), asserted by the oracle.
+BPE_PATTERN = r"[A-Za-z]+'[A-Za-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts and punctuation ratio.
+
+    A pure projection (no shuffle): the LLM-pipeline "how many
+    tokens is this document" pre-pass, kept JVM-side via the
+    built-in regexp engine — no Python tokenizer in the scan path."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(ws)
+        .cast("bigint")
+        .alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        qround(n_punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"), 3).alias(
+            "punct_ratio"
+        ),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-insensitive bag fingerprint: md5 of the sorted distinct
     token set.  Two docs with identical vocabulary collide — a cheap

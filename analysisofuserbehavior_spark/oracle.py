@@ -528,3 +528,103 @@ GROUP BY 1, 2
 
 # SQL-surface variant computes the identical result
 ORACLE["area_top3_products_sql"] = ORACLE["area_top3_products"]
+
+
+# ---- module 5: user-active-degree (UserActiveDegreeAnalyze.scala) ---------
+
+_EV_DAY = "ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events)"
+_P1 = ("2024-01-01", "2024-01-15")
+_P2 = ("2024-01-16", "2024-01-30")
+
+_TOP10_TAIL = """
+top AS (SELECT * FROM agg ORDER BY {metric} DESC, user_id LIMIT 10)
+SELECT t.user_id, t.{metric}, u.city, u.area
+FROM top t JOIN users u USING (user_id)
+"""
+
+ORACLE["top10_active_users"] = f"""
+WITH {_EV_DAY}, {USERS_CTE},
+agg AS (
+  SELECT user_id, count(*) AS action_count FROM ev
+  WHERE event_type = 'click' AND day BETWEEN '{_P2[0]}' AND '{_P2[1]}'
+  GROUP BY user_id
+),
+{_TOP10_TAIL.format(metric="action_count")}
+"""
+
+ORACLE["top10_purchase_users"] = f"""
+WITH {_EV_DAY}, {USERS_CTE},
+agg AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS purchase_money
+  FROM ev
+  WHERE event_type = 'purchase' AND day BETWEEN '{_P2[0]}' AND '{_P2[1]}'
+  GROUP BY user_id
+),
+{_TOP10_TAIL.format(metric="purchase_money")}
+"""
+
+ORACLE["top10_visit_growth"] = f"""
+WITH {_EV_DAY}, {USERS_CTE},
+agg AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day BETWEEN '{_P2[0]}' AND '{_P2[1]}' THEN 1
+                       WHEN day BETWEEN '{_P1[0]}' AND '{_P1[1]}' THEN -1
+                       ELSE 0 END) AS BIGINT) AS action_incr
+  FROM ev WHERE event_type = 'click'
+  GROUP BY user_id
+),
+{_TOP10_TAIL.format(metric="action_incr")}
+"""
+
+ORACLE["top10_purchase_growth"] = f"""
+WITH {_EV_DAY}, {USERS_CTE},
+agg AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             * (CASE WHEN day BETWEEN '{_P2[0]}' AND '{_P2[1]}' THEN 1
+                     WHEN day BETWEEN '{_P1[0]}' AND '{_P1[1]}' THEN -1
+                     ELSE 0 END)) / 100.0 AS money_incr
+  FROM ev WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+{_TOP10_TAIL.format(metric="money_incr")}
+"""
+
+ORACLE["top10_first_week_active"] = f"""
+WITH {_EV_DAY}, {USERS_CTE},
+firsts AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+cohort AS (
+  SELECT * FROM firsts WHERE first_day BETWEEN '2024-01-01' AND '2024-01-10'
+),
+agg AS (
+  SELECT e.user_id, count(*) AS action_count
+  FROM ev e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.day <= strftime(CAST(c.first_day AS DATE) + 7, '%Y-%m-%d')
+  GROUP BY e.user_id
+),
+{_TOP10_TAIL.format(metric="action_count")}
+"""
+
+
+ORACLE["streaming_ad_running_totals"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id,
+       count(*) AS click_count
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1, 2
+"""
+
+
+ORACLE["token_counts"] = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_extract_all(trim(text), '\S+')) END AS ws_tokens,
+       len(regexp_extract_all(text,
+           '[A-Za-z]+''[A-Za-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+       floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             / nullif(length(text), 0) * 1000.0 + 0.5) / 1000.0 AS punct_ratio
+FROM documents
+"""

@@ -157,9 +157,13 @@ TARGET_FLOW = ("view", "click", "purchase", "signup")
 
 @query("page_convert_rate")
 def q_page_convert_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events, not _actions(): page_splits' gap guard reproduces
+    within-session adjacency directly, so the sessionize window and
+    its derived columns would be dead weight — and the start-pv leg
+    re-scans the input, which must stay a bare pushed-down count."""
     from .operators.page_flow import page_convert_rate
 
-    return page_convert_rate(spark, _actions(spark, sf_dir), TARGET_FLOW)
+    return page_convert_rate(spark, load_table(spark, sf_dir, "events"), TARGET_FLOW)
 
 
 @query("area_top3_products")
@@ -453,3 +457,76 @@ FROM top LEFT JOIN prod USING (product_id)
 WHERE rn <= 3
 """
     )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query("top10_active_users")
+def q_top10_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 5 — top-10 users by click count in the current period
+    (UserActiveDegreeAnalyze.scala:53-67)."""
+    from .operators import user_active as ua
+
+    return ua.top10_active_users(_events(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("top10_purchase_users")
+def q_top10_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 5 — top-10 users by purchase money (ref :72-79)."""
+    from .operators import user_active as ua
+
+    return ua.top10_purchase_users(_events(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("top10_visit_growth")
+def q_top10_visit_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 5 — top-10 period-over-period click growth (ref :92-108)."""
+    from .operators import user_active as ua
+
+    return ua.top10_visit_growth(_events(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("top10_purchase_growth")
+def q_top10_purchase_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 5 — top-10 period-over-period purchase-money growth
+    (ref :114-130)."""
+    from .operators import user_active as ua
+
+    return ua.top10_purchase_growth(_events(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("top10_first_week_active")
+def q_top10_first_week_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 5 — top-10 first-seen-cohort users by first-week clicks
+    (ref :135-146; signup := first-seen day)."""
+    from .operators import user_active as ua
+
+    return ua.top10_first_week_active(_events(spark, sf_dir), _users(spark, sf_dir))
+
+
+@query("streaming_ad_running_totals")
+def q_streaming_ad_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateStateByKey-equivalent running totals through the
+    applyInPandasWithState operator (streaming/stateful.py), driven
+    to completion over the bounded event stream; the final per-key
+    value must equal the batch groupBy count exactly."""
+    from .streaming.ad_stream import read_event_stream, run_to_completion
+    from .streaming.stateful import final_totals, running_click_totals
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = "ad_running_totals_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    updates = run_to_completion(
+        running_click_totals(stream), name, mode="update"
+    )
+    return final_totals(updates)
+
+
+@query("token_counts")
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting and punctuation ratio
+    over documents — pure-projection text pre-pass."""
+    from .operators.text_analysis import token_counts
+
+    return token_counts(_documents(spark, sf_dir))

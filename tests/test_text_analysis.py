@@ -26,3 +26,23 @@ def test_fingerprint_is_order_insensitive(spark):
     out = {r["doc_id"]: r["fingerprint"] for r in ta.doc_fingerprint(_docs(spark, rows)).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_token_counts_edges(spark):
+    from analysisofuserbehavior_spark.operators.text_analysis import token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "it's a test, really!"),
+            (2, ""),
+            (3, "   "),
+            (4, "a2b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"], r["punct_ratio"]) for r in token_counts(docs).collect()}
+    # "it's" = one BPE token (apostrophe rule); ",", "!" are symbol tokens
+    assert got[1] == (4, 6, 0.15)
+    assert got[2] == (0, 0, None)
+    assert got[3][0] == 0 and got[3][1] == 0
+    assert got[4] == (1, 3, 0.0)

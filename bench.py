@@ -40,7 +40,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "token_counts",
     "session_window_rollup",
+    "top10_active_users",
+    "top10_purchase_growth",
+    "top10_first_week_active",
 ]
 
 

@@ -64,3 +64,22 @@ def test_event_type_filter_pushdown_in_funnel(spark, sf_dir):
     df = QUERIES["ad_user_click_count"](spark, sf_dir)
     pushed = plans.pushed_filters(df)
     assert any("event_type" in p for p in pushed), pushed
+
+
+def test_user_active_top10_enriches_after_limit(spark, sf_dir):
+    """Module-5 joins the user dim onto the 10 winners, not the fact
+    table: plan must show TakeOrderedAndProject BELOW a broadcast
+    join (ref joins first — UserActiveDegreeAnalyze.scala:57)."""
+    df = QUERIES["top10_active_users"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_ngram_jaccard_no_rejoin_after_pair_agg(spark, sf_dir):
+    """Set sizes ride through the pair aggregation; only the shingle
+    self-join remains (sizes re-join would add 2 more joins)."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan

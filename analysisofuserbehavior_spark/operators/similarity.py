@@ -14,7 +14,12 @@ joins); added for the training-data-pipeline surface:
   variant carries a rows-only check rather than a hash oracle.
 
 Dot products use built-in higher-order functions (zip_with +
-aggregate) over doubles — JVM-side, codegen'd, no Python.
+aggregate) over doubles — JVM-side, codegen'd, no Python.  Norms are
+hoisted into per-ROW projections before any pair join: computing
+|v| inside the pair expression re-evaluates it once per pair
+(n·m times); hoisted, it's once per vector, and the final
+`dot/(na·nb)` expression is bit-identical to the naive form so the
+oracle hash is unaffected.
 """
 
 from __future__ import annotations
@@ -43,20 +48,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_vec(df: DataFrame, id_alias: str, vec: str, n: str) -> DataFrame:
+    """Project (id, vec_as_double, norm) once per row."""
+    v = _to_double(F.col("embedding"))
+    return df.select(
+        F.col("vec_id").alias(id_alias), v.alias(vec), norm(v).alias(n)
+    )
+
+
+def _paired_sim(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> Column:
+    return dot(F.col(a_vec), F.col(b_vec)) / (F.col(a_norm) * F.col(b_norm))
+
+
 def ann_bruteforce_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k for query vectors (vec_id < n_queries)."""
-    queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    queries = _with_vec(
+        embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
     )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_vec")
-    )
-    sims = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
-    )
+    corpus = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
+    sims = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -85,38 +99,36 @@ def ann_ivf_topk(
     queries probe their `n_probe` nearest cells, so the candidate
     join touches ~n_probe/n_clusters of the corpus.
     """
-    cents = embeddings.where(F.col("vec_id") < n_clusters).select(
-        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("c_vec")
+    cents = _with_vec(
+        embeddings.where(F.col("vec_id") < n_clusters), "cluster_id", "c_vec", "c_norm"
     )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_vec")
-    )
+    corpus = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("c_sim"), F.asc("cluster_id")
     )
     assigned = (
         corpus.join(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("n_vec"), F.col("c_vec")))
+        .withColumn("c_sim", _paired_sim("n_vec", "n_norm", "c_vec", "c_norm"))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("neighbor_id", "n_vec", "cluster_id")
+        .select("neighbor_id", "n_vec", "n_norm", "cluster_id")
     )
-    queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    queries = _with_vec(
+        embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
     probes = (
         queries.join(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("c_sim", _paired_sim("q_vec", "q_norm", "c_vec", "c_norm"))
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cluster_id")
+        .select("query_id", "q_vec", "q_norm", "cluster_id")
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         assigned.join(F.broadcast(probes), "cluster_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
         .withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
         .select(
@@ -133,11 +145,11 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> Da
     LSH-bucketed scale path is ann_ivf's cell assignment reused as a
     blocking key).  Rows-only check: O(n²) oracle SQL at sf0.1 would
     dominate the gate."""
-    a = embeddings.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = embeddings.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    a = _with_vec(embeddings, "doc_a", "va", "na")
+    b = _with_vec(embeddings, "doc_b", "vb", "nb")
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", _paired_sim("va", "na", "vb", "nb"))
         .where(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", qround(F.col("sim"), 3).alias("sim"))
     )

@@ -41,6 +41,26 @@ def _with_day(events: DataFrame) -> DataFrame:
     return events.withColumn("day", day_col("ts"))
 
 
+def _day_range(start: str, end: str) -> Column:
+    """`day BETWEEN start AND end`, plus — when the raw nanos column
+    is present — the equivalent range on `ts_ns`, which is the only
+    form that reaches the parquet scan (`day` is a computed
+    date_format, invisible to row-group pruning)."""
+    import datetime as dt
+
+    from ..sources import ns
+
+    cond = F.col("day").between(start, end)
+    end_next = (dt.date.fromisoformat(end) + dt.timedelta(days=1)).isoformat()
+    return cond & F.col("ts_ns").between(ns(start), ns(end_next) - 1)
+
+
+def _maybe_day_range(events: DataFrame, start: str, end: str) -> Column:
+    if "ts_ns" in events.columns:
+        return _day_range(start, end)
+    return F.col("day").between(start, end)
+
+
 def _top10(df: DataFrame, metric: str, users: DataFrame) -> DataFrame:
     """Global top-10 by `metric` (user_id tie-break), enriched with
     the user dimension AFTER the limit — ten broadcast lookups, not a
@@ -56,9 +76,9 @@ def top10_active_users(
     end: str = PERIOD2[1],
 ) -> DataFrame:
     """Top-10 users by click count in a date range (ref :53-67)."""
+    ev = _with_day(events)
     counts = (
-        _with_day(events)
-        .where((F.col("event_type") == "click") & F.col("day").between(start, end))
+        ev.where((F.col("event_type") == "click") & _maybe_day_range(ev, start, end))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("action_count"))
     )
@@ -72,9 +92,9 @@ def top10_purchase_users(
     end: str = PERIOD2[1],
 ) -> DataFrame:
     """Top-10 users by purchase money in a date range (ref :72-79)."""
+    ev = _with_day(events)
     money = (
-        _with_day(events)
-        .where((F.col("event_type") == "purchase") & F.col("day").between(start, end))
+        ev.where((F.col("event_type") == "purchase") & _maybe_day_range(ev, start, end))
         .groupBy("user_id")
         .agg(cents_sum("value").alias("purchase_money"))
     )

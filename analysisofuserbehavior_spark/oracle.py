@@ -628,3 +628,14 @@ SELECT doc_id,
              / nullif(length(text), 0) * 1000.0 + 0.5) / 1000.0 AS punct_ratio
 FROM documents
 """
+
+
+ORACLE["tpch_q6"] = """
+SELECT floor(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))
+             / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""

@@ -1,6 +1,7 @@
 from .audit import (
     count_exchanges,
     executed_plan,
+    formatted_plan,
     has_broadcast_join,
     has_sort_merge_join,
     pushed_filters,
@@ -10,6 +11,7 @@ from .audit import (
 __all__ = [
     "count_exchanges",
     "executed_plan",
+    "formatted_plan",
     "has_broadcast_join",
     "has_sort_merge_join",
     "pushed_filters",

@@ -43,9 +43,14 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across the plan's parquet scans."""
-    plan = executed_plan(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    """All PushedFilters entries across the plan's parquet scans.
+
+    Parsed from the FORMATTED explain: the simple plan string
+    truncates long FileScan lines, silently dropping the filter list
+    (which made this check pass vacuously for single-filter scans and
+    fail for multi-filter ones)."""
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
 
 
 def read_schema_columns(df: DataFrame) -> list[set[str]]:

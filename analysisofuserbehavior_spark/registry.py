@@ -16,7 +16,7 @@ from .operators import behavior_model as bm
 from .operators import session_analysis as sa
 from .functions import qround
 from .params import TaskParams
-from .sources import load_table
+from .sources import load_table, ns
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -132,7 +132,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         return qround(F.sum(q4(col)) / F.lit(10000.0) / n, 2).alias(alias)
 
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2005-09-02 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("2005-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(F.col("l_quantity"), "sum_qty"),
@@ -220,10 +220,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     rev_q4 = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
@@ -250,8 +250,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     join reordering + broadcast of every dimension)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -530,3 +530,24 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import token_counts
 
     return token_counts(_documents(spark, sf_dir))
+
+
+@query("tpch_q6")
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: the pure
+    filter-pushdown + single-agg headline — every predicate must
+    reach the parquet scan (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(revenue_cents) / F.lit(10000.0)).alias("revenue"))
+        .select(qround(F.col("revenue"), 2).alias("revenue"))
+    )

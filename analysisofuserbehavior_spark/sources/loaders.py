@@ -41,11 +41,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # they surface as long nanos and are converted here.  Integer division
 # by 1000 truncates toward zero — identical to DuckDB's ns→us read of
 # the same column, so oracle comparisons stay exact.
+# only `events.ts` is TIMESTAMP(NANOS); lineitem/orders carry native
+# TIMESTAMP(MICROS) (timestamp_ntz to Spark) and push down directly —
+# but ONLY against timestamp_ntz literals: a tz-aware
+# cast('...' as timestamp) literal forces a cast onto the column and
+# kills the scan filter.
 _NANO_TS_COLUMNS = {
     "events": ("ts",),
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
 }
+
+
+def ns(iso: str) -> int:
+    """Epoch-nanos literal for an ISO date/datetime string (UTC) —
+    for predicates against the raw `<col>_ns` columns."""
+    import datetime as dt
+
+    s = iso if " " in iso or "T" in iso else iso + " 00:00:00"
+    d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,7 +67,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # `div` = integer division: float `/` would round (nanos
             # exceed double's 2^53 mantissa) and drift ±1 µs vs DuckDB.
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            # The raw nanos column stays exposed as `<col>_ns`: the
+            # converted column is a COMPUTED expression, so filters on
+            # it can never reach the parquet scan — date-range
+            # predicates must compare `<col>_ns` against `ns(...)`
+            # literals to push down (bigint row-group stats prune
+            # exactly like timestamps; asserted in tests/test_plans.py).
+            df = df.withColumn(f"{col}_ns", F.col(col)).withColumn(
+                col, F.expr(f"timestamp_micros({col} div 1000)")
+            )
     return df
 
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

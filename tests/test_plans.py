@@ -83,3 +83,21 @@ def test_ngram_jaccard_no_rejoin_after_pair_agg(spark, sf_dir):
     df = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = QUERIES["tpch_q6"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    (cols,) = plans.read_schema_columns(df)
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_module5_day_filter_reaches_events_scan(spark, sf_dir):
+    """`day` is computed from ts; the operator adds the equivalent
+    ts_ns range so the date window prunes parquet row groups."""
+    df = QUERIES["top10_active_users"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    # the ts_ns alias resolves back to the source column `ts`
+    assert "GreaterThanOrEqual(ts," in pushed, pushed

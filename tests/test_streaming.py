@@ -95,3 +95,40 @@ def test_blacklist_feedback_loop_across_batches(spark, tmp_path):
     # user 1 blacklisted after batch 1 → batch 2 click dropped
     assert got[1] == 2
     assert got[2] == 2
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """Replayed event_ids inside the watermark horizon are dropped;
+    counts downstream see each event once."""
+    import datetime as dt
+    import os
+    from pyspark.sql import functions as F
+    from analysisofuserbehavior_spark.streaming.ad_stream import (
+        EVENTS_SCHEMA,
+        streaming_dedup,
+    )
+
+    base = str(tmp_path / "dup")
+    rows = [(1, 1, "click"), (2, 1, "click"), (1, 1, "click"), (3, 2, "view")]
+    for i, (eid, u, et) in enumerate(rows):
+        spark.createDataFrame(
+            [(eid, int(dt.datetime(2024, 1, 1, 0, i).timestamp() * 1e9), u, et, 1.0, "{}")],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"f{i}"))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/f*")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        streaming_dedup(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("dedup_stream_test").collect())
+    assert got == [1, 2, 3]

@@ -96,3 +96,24 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     pre-filter ahead of jaccard verification."""
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ROLLING_BASE = 1_000_003  # prime base
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*base + h < 2^62 (ANSI-safe)
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """ORDER-SENSITIVE polynomial rolling hash over the token stream:
+    acc = (acc * B + xxhash64(tok) mod M) mod M — Rabin-Karp style.
+    Distinguishes reordered documents that the bag fingerprint
+    collides; rows-only check (DuckDB has no xxhash64, so no
+    cross-engine oracle — determinism is unit-tested instead)."""
+    fp = F.aggregate(
+        _tokens(),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(ROLLING_BASE) + F.pmod(F.xxhash64(t), F.lit(ROLLING_MOD)),
+            F.lit(ROLLING_MOD),
+        ),
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp"))

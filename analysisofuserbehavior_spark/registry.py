@@ -551,3 +551,12 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(revenue_cents) / F.lit(10000.0)).alias("revenue"))
         .select(qround(F.col("revenue"), 2).alias("revenue"))
     )
+
+
+@query("doc_rolling_fingerprint")
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp document fingerprint — rows-only
+    check (xxhash64 has no DuckDB twin; determinism unit-tested)."""
+    from .operators.text_analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_documents(spark, sf_dir))

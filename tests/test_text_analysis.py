@@ -46,3 +46,17 @@ def test_token_counts_edges(spark):
     assert got[2] == (0, 0, None)
     assert got[3][0] == 0 and got[3][1] == 0
     assert got[4] == (1, 3, 0.0)
+
+
+def test_rolling_fingerprint_is_order_sensitive_and_deterministic(spark):
+    from analysisofuserbehavior_spark.operators.text_analysis import rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(docs).collect()}
+    assert got[1] == got[3]          # identical docs agree
+    assert got[1] != got[2]          # reordering changes the hash
+    again = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(docs).collect()}
+    assert got == again

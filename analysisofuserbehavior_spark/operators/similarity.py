@@ -140,6 +140,73 @@ def ann_ivf_topk(
     )
 
 
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    band_bits: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs — the scale path for
+    `embedding_neardup_pairs` (which is O(n²)).
+
+    Sign-bit sketch: bit_j = [v · p_j >= 0] for seeded ±1 hyperplanes
+    p_j; band collision probability for a pair at angle θ is
+    (1 - θ/π)^band_bits per band.  Candidates = pairs sharing any
+    band bucket; each candidate is verified EXACTLY (cosine), so
+    precision is exact and only recall is approximate.  band_bits
+    trades pruning for recall: 2 bits keeps ≥98% recall at sim 0.45
+    (the synthetic corpus' top pairs); a real near-dup corpus
+    (sim ≥ 0.9) would use 4-8 bit bands for much stronger pruning.
+    Vectors ride through the band join (dim × 8 B per band row),
+    mirroring the minhash carried-set design — one full-table
+    shuffle, verification row-local."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
+    n_bands = n_bits // band_bits
+    v = _with_vec(embeddings, "doc_id", "v", "nv")
+    bits = [
+        (dot(F.col("v"), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
+        for p in planes
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = v.select(
+        "doc_id", "v", "nv", F.explode(buckets).alias("bb")
+    ).select("doc_id", "v", "nv", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.v").alias("va"),
+            F.col("x.nv").alias("na"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.v").alias("vb"),
+            F.col("y.nv").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("sim", _paired_sim("va", "na", "vb", "nb"))
+        .where(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", qround(F.col("sim"), 3).alias("sim"))
+    )
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """All corpus pairs with cosine >= threshold (brute force; the
     LSH-bucketed scale path is ann_ivf's cell assignment reused as a

@@ -560,3 +560,13 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import rolling_fingerprint
 
     return rolling_fingerprint(_documents(spark, sf_dir))
+
+
+@query("embedding_neardup_lsh")
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup scale path — rows-only check (recall
+    intentionally approximate; recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    from .operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_embeddings(spark, sf_dir))

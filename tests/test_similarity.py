@@ -53,3 +53,20 @@ def test_neardup_pairs_symmetric_free(spark):
     )
     out = similarity.embedding_neardup_pairs(emb, threshold=0.9).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+
+
+def test_lsh_neardup_recall_vs_bruteforce(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+    from analysisofuserbehavior_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["doc_a"], r["doc_b"]) for r in embedding_neardup_pairs(emb).collect()}
+    lsh_rows = embedding_neardup_lsh(emb).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in lsh_rows}
+    assert got <= exact  # exact verification: no false positives
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))

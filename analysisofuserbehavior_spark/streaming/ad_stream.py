@@ -165,6 +165,44 @@ def run_to_completion(agg: DataFrame, query_name: str, mode: str = "complete") -
     return agg.sparkSession.table(query_name)
 
 
+def province_top3_per_batch(
+    stream: DataFrame, users: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Per-micro-batch SQL window top-3 — the reference's
+    transform+SQL-inside-stream pattern (AdClickRealTimeStatSpark.
+    java:739-845: per-batch RDD→DF→registerTempTable→window SQL;
+    its `WHERE rank>=3` bug (:840) fixed to `<=3`).  foreachBatch
+    receives a BATCH DataFrame, so the full SQL surface (window
+    functions included) applies; results land partitioned by epoch
+    for idempotent replay."""
+    udim = users.select("user_id", F.col("area").alias("province"))
+
+    def run_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.join(F.broadcast(udim), "user_id").createOrReplaceTempView("_batch_clicks")
+        top3 = spark.sql(
+            """
+            SELECT day, province, ad_id, click_count FROM (
+              SELECT day, province, ad_id, count(*) AS click_count,
+                     row_number() OVER (PARTITION BY day, province
+                                        ORDER BY count(*) DESC, ad_id) AS rn
+              FROM _batch_clicks
+              WHERE event_type = 'click'
+              GROUP BY day, province, ad_id
+            ) WHERE rn <= 3
+            """
+        )
+        top3.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 class BlacklistLoop:
     """The dynamic-blacklist feedback loop (ref :234-588) on
     foreachBatch: batch N's aggregated counts update a parquet state

@@ -132,3 +132,27 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.table("dedup_stream_test").collect())
     assert got == [1, 2, 3]
+
+
+def test_province_top3_per_batch_sql(spark, sf_dir, tmp_path):
+    """foreachBatch + SQL window top-3 (the transform+SQL pattern);
+    per-province ranks capped at 3 with the rank>=3 ref bug fixed."""
+    from analysisofuserbehavior_spark.operators import behavior_model as bm
+    from analysisofuserbehavior_spark.sources import load_table
+    from analysisofuserbehavior_spark.streaming.ad_stream import (
+        province_top3_per_batch,
+        read_event_stream,
+    )
+
+    users = bm.user_info(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    out = str(tmp_path / "top3_out")
+    ckpt = str(tmp_path / "top3_ckpt")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    province_top3_per_batch(stream, users, out, ckpt)
+    got = spark.read.parquet(out)
+    per_key = got.groupBy("day", "province", "epoch").count().collect()
+    assert per_key and all(r["count"] <= 3 for r in per_key)

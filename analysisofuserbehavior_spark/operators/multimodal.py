@@ -79,6 +79,61 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, METADATA_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plan: same binary-in/binary-out contract a PIL/ffmpeg
+    implementation would have.  The fake path rewrites the header to
+    the target dims and scales the payload length proportionally
+    (deterministic, so tests can assert exact output); the real
+    decoder drops into the same iterator."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes | None) -> bytes | None:
+                if b is None or len(b) < 8:
+                    return None
+                w0, h0 = struct.unpack("<II", b[:8])
+                body = b[8:]
+                if w0 and h0:
+                    scale = (width * height) / float(w0 * h0)
+                    body = body[: max(0, int(len(body) * min(scale, 1.0)))]
+                return struct.pack("<II", width, height) + body
+
+            out = pdf.copy()
+            out["media"] = pdf["media"].map(one)
+            yield out
+
+    return media.mapInPandas(resize, MEDIA_SCHEMA)
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stub: deterministic pseudo-embedding
+    (seeded from a payload digest) with the exact schema a vision
+    encoder would emit (`array<float>`), feeding straight into the
+    similarity operators.  A production build replaces the hash loop
+    with a batched model forward pass inside the same iterator —
+    partitioning, Arrow batch shape, and output schema unchanged."""
+    import hashlib
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes | None) -> list[float]:
+                if b is None:
+                    return [0.0] * dim
+                d = hashlib.sha256(b).digest()
+                # widen the 32-byte digest to `dim` floats in [-1, 1)
+                vals = []
+                for i in range(dim):
+                    chunk = d[(2 * i) % 32] * 256 + d[(2 * i + 1) % 32]
+                    vals.append(chunk / 32768.0 - 1.0)
+                return vals
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "embedding": pdf["media"].map(one)}
+            )
+
+    return media.mapInPandas(embed, "doc_id long, embedding array<float>")
+
+
 def frame_offsets(media: DataFrame, every_n: int = 10, fps: int = 30) -> DataFrame:
     """Video frame-sampling plan: emit the byte-free frame index list
     a downstream decoder would extract (width encodes frame count in

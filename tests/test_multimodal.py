@@ -39,3 +39,38 @@ def test_real_decode_is_gated(spark):
         pytest.skip("PIL present; stub gate not applicable")
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"\x00" * 16)
+
+
+def test_resize_media_rewrites_header_and_scales_payload(spark):
+    import struct
+    from analysisofuserbehavior_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, "image", struct.pack("<II", 100, 100) + b"x" * 1000),
+        (2, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, media binary")
+    got = {r["doc_id"]: r["media"] for r in resize_media(df, 10, 10).collect()}
+    w, h = struct.unpack("<II", got[1][:8])
+    assert (w, h) == (10, 10)
+    assert len(got[1]) - 8 == 10  # payload scaled by (10*10)/(100*100)
+    assert got[2] is None
+
+
+def test_embed_media_deterministic_and_ann_compatible(spark):
+    import struct
+    from analysisofuserbehavior_spark.operators.multimodal import embed_media
+    from analysisofuserbehavior_spark.operators.similarity import ann_bruteforce_topk
+
+    rows = [
+        (i, "image", struct.pack("<II", i, i) + bytes([i] * 32)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, media binary")
+    a = embed_media(df).collect()
+    b = embed_media(df).collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["embedding"])) for r in a))) == \
+           sorted(map(tuple, ((r["doc_id"], tuple(r["embedding"])) for r in b)))
+    # output schema feeds the similarity operators directly
+    emb = embed_media(df, dim=16).withColumnRenamed("doc_id", "vec_id")
+    topk = ann_bruteforce_topk(emb, n_queries=2, k=2)
+    assert topk.count() == 4

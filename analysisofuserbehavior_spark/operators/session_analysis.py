@@ -65,10 +65,28 @@ def session_stats(actions: DataFrame) -> DataFrame:
     matching the ref's (max−min)/1000 integer millis division (:428).
     The keyword/category concat uses TRUE set semantics (sorted CSV);
     the ref dedupes via String.contains (:392,397) — documented fix.
+
+    Shuffle elision: when the input carries sessionize's raw
+    (user_id, session_seq) key, we group on THAT instead of the
+    derived session_id string — the sessionize window already hash-
+    partitioned by user_id, and a partitioning on a subset of the
+    grouping keys satisfies the aggregation's clustering requirement,
+    so the rollup runs with NO second shuffle (asserted in
+    tests/test_plans.py).  Grouping by session_id (a computed concat)
+    would force a full re-shuffle of every event row.
     """
     ts_sec = F.unix_timestamp(F.col("ts"))
-    return actions.groupBy("session_id").agg(
-        F.min("user_id").alias("user_id"),  # constant per session; min is deterministic
+    if "session_seq" in actions.columns and "user_id" in actions.columns:
+        grouped = actions.groupBy("user_id", "session_seq")
+        id_cols = [
+            F.concat_ws("_", F.col("user_id"), F.col("session_seq")).alias("session_id"),
+            F.col("user_id"),
+        ]
+    else:
+        grouped = actions.groupBy("session_id")
+        id_cols = [F.col("session_id"), F.col("user_id")]
+    aggd = grouped.agg(
+        *([] if "session_seq" in actions.columns else [F.min("user_id").alias("user_id")]),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_time"),
         (F.max(ts_sec) - F.min(ts_sec)).alias("visit_length"),
         F.count(F.lit(1)).alias("step_length"),
@@ -84,6 +102,17 @@ def session_stats(actions: DataFrame) -> DataFrame:
         ).alias("total_value"),
         F.min("day").alias("day"),
         F.min(F.hour("ts").cast("bigint")).alias("start_hour"),
+    )
+    return aggd.select(
+        *id_cols,
+        "start_time",
+        "visit_length",
+        "step_length",
+        "event_types",
+        "click_category_ids",
+        "total_value",
+        "day",
+        "start_hour",
     )
 
 

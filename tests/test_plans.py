@@ -101,3 +101,11 @@ def test_module5_day_filter_reaches_events_scan(spark, sf_dir):
     pushed = " ".join(plans.pushed_filters(df))
     # the ts_ns alias resolves back to the source column `ts`
     assert "GreaterThanOrEqual(ts," in pushed, pushed
+
+
+def test_session_rollup_reuses_sessionize_partitioning(spark, sf_dir):
+    """Grouping on (user_id, session_seq) — a superset of the window's
+    hash key — must not add a second exchange; grouping on the derived
+    session_id string would."""
+    df = QUERIES["session_stats"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1

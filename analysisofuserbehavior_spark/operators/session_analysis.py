@@ -304,12 +304,28 @@ def top10_category_sessions(actions: DataFrame, top_categories: DataFrame, n: in
     groups, :1892,1910,1925-1927); rebuilt as pre-aggregation + a
     row_number window with session_id tie-break, N=10 per the stated
     "top10" intent."""
-    clicks = (
-        actions.where(F.col("event_type") == "click")
-        .join(F.broadcast(top_categories.select("category_id")), "category_id")
-        .groupBy("category_id", "session_id")
-        .agg(F.count(F.lit(1)).alias("click_count"))
+    filtered = actions.where(F.col("event_type") == "click").join(
+        F.broadcast(top_categories.select("category_id")), "category_id"
     )
+    # same elision as session_stats: grouping on the raw sessionize
+    # key (user_id ⊆ grouping keys) reuses the window's partitioning —
+    # the only remaining shuffle is the tiny post-agg category window
+    if "session_seq" in actions.columns:
+        clicks = (
+            filtered.groupBy("category_id", "user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("click_count"))
+            .select(
+                "category_id",
+                F.concat_ws("_", F.col("user_id"), F.col("session_seq")).alias(
+                    "session_id"
+                ),
+                "click_count",
+            )
+        )
+    else:
+        clicks = filtered.groupBy("category_id", "session_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
     w = Window.partitionBy("category_id").orderBy(
         F.desc("click_count"), F.asc("session_id")
     )

@@ -145,7 +145,11 @@ def ngram_jaccard_pairs(
             F.col("df") <= max_df
         )
     a = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # pin the self-join to sort-merge: both legs are the full shingle
+    # table (equal, potentially huge — SMJ sorts spill, hash builds
+    # don't), and leaving the choice to AQE's size estimates made
+    # identical bench runs swing 4-10 s when it flipped strategies
+    b = dsh.select(F.col("doc_id").alias("doc_b"), "sh").hint("merge")
     pairs = (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -570,3 +570,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_neardup_lsh
 
     return embedding_neardup_lsh(_embeddings(spark, sf_dir))
+
+
+@query("ann_cosine_topk_np")
+def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow + numpy matmul) brute-force ANN — rows-only
+    check (numpy summation order ≠ JVM aggregate order in the last
+    bits; id-identity vs the JVM twin asserted in tests)."""
+    from .operators.similarity import ann_bruteforce_topk_np
+
+    return ann_bruteforce_topk_np(_embeddings(spark, sf_dir))

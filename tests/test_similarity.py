@@ -70,3 +70,16 @@ def test_lsh_neardup_recall_vs_bruteforce(spark, sf_dir):
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, (recall, len(exact))
+
+
+def test_np_topk_matches_jvm_topk_ids(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_np,
+    )
+    from analysisofuserbehavior_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb).collect()}
+    npv = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ann_bruteforce_topk_np(emb).collect()}
+    assert jvm == npv

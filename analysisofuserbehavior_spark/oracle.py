@@ -639,3 +639,17 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24
 """
+
+
+# Spark's window(ts, '60 minutes', '10 minutes') assigns each event to
+# the 6 epoch-aligned slide starts in (ts-60min, ts]; expand with a
+# 6-row range join and count.
+ORACLE["streaming_sliding_trend"] = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600 - k.k * 600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id,
+       count(*) AS click_count
+FROM events, range(6) k(k)
+WHERE event_type = 'click'
+GROUP BY 1, 2
+"""

@@ -580,3 +580,21 @@ def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_bruteforce_topk_np
 
     return ann_bruteforce_topk_np(_embeddings(spark, sf_dir))
+
+
+@query("streaming_sliding_trend")
+def q_streaming_sliding_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reduceByKeyAndWindow sliding trend
+    (AdClickRealTimeStatSpark.java:898-935) as a real Structured
+    Streaming sliding-window aggregation driven to completion;
+    oracle expands each click into its 6 epoch-aligned windows with
+    a range join and must hash-match exactly."""
+    from .streaming.ad_stream import (
+        read_event_stream,
+        run_to_completion,
+        sliding_click_trend,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = "sliding_trend_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(sliding_click_trend(stream), name)

@@ -653,3 +653,16 @@ FROM events, range(6) k(k)
 WHERE event_type = 'click'
 GROUP BY 1, 2
 """
+
+
+ORACLE["session_filtered_aggr_stat2"] = f"""
+WITH {SESSIONIZE_CTES}, {SESSION_STATS_CTE}, {USERS_CTE},
+filtered AS (
+  SELECT s.* FROM session_stats s JOIN users u USING (user_id)
+  WHERE u.city IN ('CHINA','JAPAN','INDIA','FRANCE','GERMANY')
+    AND s.day >= '2024-01-05' AND s.day <= '2024-01-25'
+    AND len(list_intersect(string_split(s.click_category_ids, ','),
+            [CAST(x AS VARCHAR) FOR x IN range(0, 50)])) > 0
+)
+{_aggr_stat_select("filtered")}
+"""

@@ -598,3 +598,22 @@ def q_streaming_sliding_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     name = "sliding_trend_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
     return run_to_completion(sliding_click_trend(stream), name)
+
+
+# second demo param set: exercises the city/category-overlap/date
+# predicate paths that DEMO_PARAMS doesn't touch
+DEMO_PARAMS2 = TaskParams(
+    start_date="2024-01-05",
+    end_date="2024-01-25",
+    cities=("CHINA", "JAPAN", "INDIA", "FRANCE", "GERMANY"),
+    category_ids=tuple(range(0, 50)),
+)
+
+
+@query("session_filtered_aggr_stat2")
+def q_session_filtered_aggr_stat2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate engine, second parameter shape: date window + city
+    set + click-category CSV overlap (ValidUtils `in` semantics)."""
+    sessions = sa.session_stats(_actions(spark, sf_dir))
+    filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), DEMO_PARAMS2)
+    return sa.session_aggr_stat(filtered)

@@ -1,0 +1,119 @@
+"""Module runners — the reference's job lifecycle as pure functions.
+
+Reference lifecycle (SURVEY.md §3): a MySQL `task` row's `task_param`
+JSON drives spark-submit main()s that write MySQL tables.  Here each
+module is `(spark, sf_dir, params) -> dict[str, DataFrame]` keyed by
+the reference's output table names (§1.3); `run_task` parses the
+reference's exact task_param wire format (ParamUtils.java:44-50 via
+params.TaskParams.from_task_json) and runs the requested modules.
+Sinks are the returned DataFrames — the caller writes them wherever
+(parquet, JDBC via sources/jdbc.py); no DAO layer, no per-row writes.
+
+A reference user migrates by submitting the SAME task_param JSON:
+
+    out = run_task(spark, task_json, sf_dir)
+    out["session_aggr_stat"].write.parquet(...)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import behavior_model as bm
+from .operators import session_analysis as sa
+from .operators.area_products import area_top3_products
+from .operators.page_flow import page_convert_rate
+from .params import TaskParams
+from .sources import load_table, ns
+
+
+def _actions_in_range(spark: SparkSession, sf_dir: str, params: TaskParams) -> DataFrame:
+    """The shared scan: sessionized actions restricted to the task's
+    date range — the reference's interpolated-SQL scan
+    (util/SparkUtils.java:64-90) as pushed-down predicates (the
+    ts_ns range reaches the parquet row-group stats; the derived
+    `day` column can't)."""
+    events = load_table(spark, sf_dir, "events")
+    if params.start_date is not None:
+        events = events.where(F.col("ts_ns") >= ns(params.start_date))
+    if params.end_date is not None:
+        import datetime as dt
+
+        end_next = (
+            dt.date.fromisoformat(params.end_date) + dt.timedelta(days=1)
+        ).isoformat()
+        events = events.where(F.col("ts_ns") < ns(end_next))
+    return bm.actions(events)
+
+
+def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm.user_info(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def run_session_module(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> dict[str, DataFrame]:
+    """Module 1 (UserVisitSessionAnalyzeSpark.main:57-238) — all five
+    output tables from one shared filtered-session frame."""
+    actions = _actions_in_range(spark, sf_dir, params)
+    sessions = sa.session_stats(actions)
+    filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), params)
+    chosen = sa.session_random_extract(filtered, total=params.extract_count)
+    top_cats = sa.top10_categories(actions)
+    return {
+        "session_aggr_stat": sa.session_aggr_stat(filtered),
+        "session_random_extract": chosen,
+        "session_detail": sa.session_detail(actions, chosen),
+        "top10_category": top_cats,
+        "top10_session": sa.top10_category_sessions(actions, top_cats),
+    }
+
+
+def run_page_module(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> dict[str, DataFrame]:
+    """Module 2 (PageOneStepConvertRateSpark.main:47-115)."""
+    flow = params.target_page_flow or ("view", "click", "purchase", "signup")
+    events = load_table(spark, sf_dir, "events")
+    return {
+        "page_split_convert_rate": page_convert_rate(spark, events, tuple(flow))
+    }
+
+
+def run_area_module(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> dict[str, DataFrame]:
+    """Module 3 (AreaTop3ProductSpark.main:63-130)."""
+    actions = _actions_in_range(spark, sf_dir, params)
+    products = bm.product_info(load_table(spark, sf_dir, "part"))
+    return {
+        "area_top3_product": area_top3_products(
+            actions, _users(spark, sf_dir), products
+        )
+    }
+
+
+MODULES = {
+    "session": run_session_module,
+    "page": run_page_module,
+    "area": run_area_module,
+}
+
+
+def run_task(
+    spark: SparkSession,
+    task_json: str,
+    sf_dir: str,
+    modules: tuple[str, ...] = ("session", "page", "area"),
+) -> dict[str, DataFrame]:
+    """The spark-submit entry: reference-format task_param JSON in,
+    every requested module's output tables out."""
+    params = TaskParams.from_task_json(task_json)
+    out: dict[str, DataFrame] = {}
+    for name in modules:
+        out.update(MODULES[name](spark, sf_dir, params))
+    return out

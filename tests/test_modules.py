@@ -1,0 +1,54 @@
+"""End-to-end module runners driven by the reference's task_param
+wire format (modules.run_task) — the migration path for a reference
+user: same JSON in, same output tables out."""
+
+from __future__ import annotations
+
+import json
+
+from analysisofuserbehavior_spark.modules import run_task
+
+TASK_JSON = json.dumps(
+    {
+        "startDate": ["2024-01-03"],
+        "endDate": ["2024-01-28"],
+        "startAge": ["10"],
+        "endAge": ["55"],
+        "sex": ["male"],
+        "keywords": ["click,view"],
+        "targetPageFlow": ["view,click,purchase"],
+    }
+)
+
+
+def test_run_task_produces_reference_output_tables(spark, sf_dir):
+    out = run_task(spark, TASK_JSON, sf_dir)
+    assert set(out) == {
+        "session_aggr_stat",
+        "session_random_extract",
+        "session_detail",
+        "top10_category",
+        "top10_session",
+        "page_split_convert_rate",
+        "area_top3_product",
+    }
+    stat = out["session_aggr_stat"].collect()[0]
+    assert stat["session_count"] > 0
+    # all sessions fall inside the task's date range
+    days = [r["day"] for r in out["session_detail"].select("day").distinct().collect()]
+    assert all("2024-01-03" <= d <= "2024-01-28" for d in days)
+    # funnel follows targetPageFlow (2 splits for a 3-page flow)
+    steps = out["page_split_convert_rate"].collect()
+    assert [r["split"] for r in sorted(steps, key=lambda r: r["step"])] == [
+        "view_click",
+        "click_purchase",
+    ]
+    assert out["area_top3_product"].count() > 0
+
+
+def test_run_task_date_filter_pushes_to_scan(spark, sf_dir):
+    from analysisofuserbehavior_spark import plans
+
+    out = run_task(spark, TASK_JSON, sf_dir, modules=("session",))
+    pushed = " ".join(plans.pushed_filters(out["session_aggr_stat"]))
+    assert "GreaterThanOrEqual(ts," in pushed, pushed

@@ -156,3 +156,63 @@ def test_province_top3_per_batch_sql(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     per_key = got.groupBy("day", "province", "epoch").count().collect()
     assert per_key and all(r["count"] <= 3 for r in per_key)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving in a later batch with event-time older than
+    the watermark horizon must NOT update its (closed) window in
+    append mode — the watermark semantics the reference lacks
+    entirely (processing-time DStreams)."""
+    import datetime as dt
+    import os
+    from pyspark.sql import functions as F
+    from analysisofuserbehavior_spark.streaming.ad_stream import EVENTS_SCHEMA
+
+    base = str(tmp_path / "late")
+
+    def write(fname, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, fname))
+
+    def ev(eid, hour, minute):
+        t = int(dt.datetime(2024, 1, 1, hour, minute).timestamp() * 1e9)
+        return (eid, t, 1, "click", 1.0, '{"k": 1}')
+
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(base + "/f*")
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events up to 12:00 → checkpointed watermark = 11:50
+    write("f0", [ev(1, 9, 0), ev(2, 12, 0)])
+    run_once()
+    # run 2 (same checkpoint): 09:30 arrives — older than the
+    # persisted watermark — plus a fresh 12:30 event
+    write("f1", [ev(3, 9, 30), ev(4, 12, 30)])
+    run_once()
+    got = {r["h"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+    # append mode emits only windows the watermark has CLOSED: the
+    # 09:00 window closed with 1 event — the late 09:30 arrival was
+    # dropped, not merged (it would read 2 otherwise)
+    assert got.get("09:00") == 1, got

@@ -617,3 +617,32 @@ def q_session_filtered_aggr_stat2(spark: SparkSession, sf_dir: str) -> DataFrame
     sessions = sa.session_stats(_actions(spark, sf_dir))
     filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), DEMO_PARAMS2)
     return sa.session_aggr_stat(filtered)
+
+
+@query("tpch_q10")
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: 4-table join, quarter
+    window, revenue top-20.  The two dims broadcast; the fact⋈fact
+    join shuffles once on orderkey; revenue in integer 1e-4 units."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    # nation broadcasts always; customer is a LARGE dim at TPC-H
+    # scale — leave its join strategy to Catalyst/AQE (broadcast at
+    # bench SFs, sort-merge on a real cluster)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(qround(F.sum(rev) / F.lit(10000.0), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

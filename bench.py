@@ -36,6 +36,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

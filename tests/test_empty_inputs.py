@@ -1,0 +1,71 @@
+"""Empty-input robustness: every core operator must return an empty
+(or well-defined) result on empty frames — at 100 TB empty partitions
+and empty post-filter frames are routine, and a crash there kills the
+whole job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.operators import session_analysis as sa
+from analysisofuserbehavior_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from analysisofuserbehavior_spark.operators.page_flow import page_convert_rate
+from analysisofuserbehavior_spark.operators.sessionize import sessionize
+from analysisofuserbehavior_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    embedding_neardup_pairs,
+)
+
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_sessionize_and_rollup_empty(spark):
+    ev = sessionize(_empty(spark, EVENTS))
+    assert ev.count() == 0
+    stats = sa.session_stats(ev.withColumn("day", F.lit("x")).withColumn("category_id", F.lit(1)))
+    assert stats.count() == 0
+    # the 16-bucket ratio row over zero sessions: one row, null ratios
+    row = sa.session_aggr_stat(stats).collect()[0]
+    assert row["session_count"] == 0
+
+
+def test_funnel_empty(spark):
+    out = page_convert_rate(spark, _empty(spark, EVENTS), ("a", "b", "c")).collect()
+    assert [r["pv"] for r in out] == [0, 0]
+    assert all(r["convert_rate"] is None for r in out)  # 0/0 guarded to NULL
+
+
+def test_dedup_empty(spark):
+    docs = _empty(spark, "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_pairs(docs).count() == 0
+
+
+def test_similarity_empty(spark):
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert ann_bruteforce_topk(emb).count() == 0
+    assert embedding_neardup_pairs(emb).count() == 0
+
+
+def test_random_extract_empty(spark):
+    stats = _empty(
+        spark,
+        "session_id string, user_id long, start_time string, visit_length long, "
+        "step_length long, event_types string, click_category_ids string, "
+        "total_value double, day string, start_hour long",
+    )
+    assert sa.session_random_extract(stats).count() == 0

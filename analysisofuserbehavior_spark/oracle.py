@@ -683,3 +683,7 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
+
+
+# streaming twin computes the identical rollup
+ORACLE["streaming_session_rollup"] = ORACLE["session_window_rollup"]

@@ -646,3 +646,22 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query("streaming_session_rollup")
+def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sessionization: the same session_window rollup as
+    the batch twin, but as a real Structured Streaming stateful agg
+    (state-store backed session merging) driven to completion — and
+    hash-matched against the same batch-sessionization oracle.  This
+    is what the lag-based sessionize can't do (a global window can't
+    stream); session_window + watermark is the streaming-native
+    formulation."""
+    from .operators.sessionize import session_window_rollup
+    from .streaming.ad_stream import read_event_stream, run_to_completion
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").withWatermark(
+        "ts", "1 hour"
+    )
+    name = "sess_rollup_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(session_window_rollup(stream), name)

@@ -69,6 +69,10 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop any lingering per-query JVM state (broadcast refs,
+        # memory-sink tables) so later queries aren't measured under
+        # earlier queries' heap pressure
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,66 @@
+"""End-to-end training-corpus cleaning pipeline.
+
+The composition a 100 TB pretraining-data job actually runs, as one
+declarative plan over the `documents` table:
+
+    quality gate  →  exact dedup  →  near-dup removal  →  stats out
+
+Each stage is an existing operator (text_analysis.text_stats,
+dedup.exact_dedup semantics, dedup.ngram_jaccard_pairs); this module
+wires them with deterministic keep-rules so the whole pipeline is
+oracle-checkable:
+
+* quality gate: keep docs with quality_score >= min_quality AND
+  n_tokens >= min_tokens (both computed on the ROUNDED score, so the
+  cross-engine comparison is exact).
+* exact dedup: keep the MIN doc_id of each identical-text group.
+* near-dup removal: over the survivors, compute jaccard pairs
+  (doc_a < doc_b) and greedily drop every doc_b — the lower id of a
+  dup pair always survives.  (Greedy-by-id is deterministic and
+  SQL-expressible; true transitive clustering would need iterative
+  connected components — out of scope for the oracle gate and rarely
+  material at high thresholds.)
+
+Scale shape: two broadcast-light semi/anti joins around the
+shuffle-heavy pair generation; everything else is projections and
+one hash agg per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import ngram_jaccard_pairs
+from .text_analysis import text_stats
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Survivor docs with their stats: (doc_id, n_tokens, quality_score)."""
+    stats = text_stats(docs)
+    quality_ids = stats.where(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    ).select("doc_id")
+    survivors = docs.join(quality_ids, "doc_id", "left_semi")
+
+    exact_keep = (
+        survivors.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = survivors.join(exact_keep, "doc_id", "left_semi")
+
+    near_drop = (
+        ngram_jaccard_pairs(survivors, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = survivors.join(near_drop, "doc_id", "left_anti")
+
+    return survivors.select("doc_id").join(stats, "doc_id").select(
+        "doc_id", "n_tokens", "quality_score"
+    )

@@ -687,3 +687,56 @@ LIMIT 20
 
 # streaming twin computes the identical rollup
 ORACLE["streaming_session_rollup"] = ORACLE["session_window_rollup"]
+
+
+ORACLE["clean_corpus"] = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop
+  FROM t
+),
+stats AS (
+  SELECT doc_id, text, n_tokens,
+         floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score
+  FROM m
+),
+quality AS (
+  SELECT * FROM stats WHERE quality_score >= 0.5 AND n_tokens >= 10
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+surv AS (
+  SELECT q.* FROM quality q JOIN exact_keep USING (doc_id)
+),
+_sdocs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM surv
+),
+sdsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM _sdocs WHERE len(toks) >= 3
+),
+ssizes AS (SELECT doc_id, count(*) AS n_sh FROM sdsh GROUP BY doc_id),
+sinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sdsh a JOIN sdsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM sinter
+  JOIN ssizes sa ON doc_a = sa.doc_id
+  JOIN ssizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+)
+SELECT doc_id, n_tokens, quality_score
+FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""

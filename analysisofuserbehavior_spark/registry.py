@@ -665,3 +665,12 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "sess_rollup_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
     return run_to_completion(session_window_rollup(stream), name)
+
+
+@query("clean_corpus")
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning pipeline: quality gate → exact
+    dedup (keep min id) → greedy near-dup removal → survivor stats."""
+    from .operators.corpus_pipeline import clean_corpus
+
+    return clean_corpus(_documents(spark, sf_dir))

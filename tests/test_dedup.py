@@ -62,3 +62,22 @@ def test_simhash_near_dups_have_small_hamming(spark):
     assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
     pairs = dedup.simhash_pairs(docs, max_hamming=6).collect()
     assert (1, 2) in [(r["doc_a"], r["doc_b"]) for r in pairs]
+
+
+def test_clean_corpus_stage_semantics(spark):
+    """Quality gate, min-id exact keep, greedy near-dup drop."""
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import clean_corpus
+
+    long_text = " ".join(f"tok{i} the of and to in is on for with a" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, long_text),                       # survives
+            (2, long_text),                       # exact dup of 1 → dropped
+            (3, long_text + " extra"),            # near-dup of 1 → dropped (doc_b)
+            (4, "short"),                         # fails quality gate
+            (5, " ".join(f"unique{i} the of and in on" for i in range(20))),  # survives
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in clean_corpus(docs).collect())
+    assert kept == [1, 5]

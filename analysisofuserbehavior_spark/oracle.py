@@ -740,3 +740,29 @@ SELECT doc_id, n_tokens, quality_score
 FROM surv
 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
 """
+
+
+ORACLE["session_paths"] = f"""
+WITH {SESSIONIZE_CTES},
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM actions GROUP BY session_id
+),
+counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions FROM counted
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+ORACLE["cohort_retention"] = """
+WITH ev AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day,
+       CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+FROM ev JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""

@@ -674,3 +674,51 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus_pipeline import clean_corpus
 
     return clean_corpus(_documents(spark, sf_dir))
+
+
+@query("session_paths")
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type paths: the ordered action sequence of each
+    session, counted across sessions — the n-step generalization of
+    module 2's single-hop splits.  collect_list over the sessionize
+    window order is deterministic (ts, event_id tie-break)."""
+    actions = _actions(spark, sf_dir)
+    paths = (
+        actions.groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return paths.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+
+
+@query("cohort_retention")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-day cohort retention: for each (cohort day, days
+    since first seen) cell, how many distinct users were active.
+    Both aggregations key on user_id first, so the first-seen frame
+    joins without an extra shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.col("day").cast("date"), F.col("cohort_day").cast("date")
+            ).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

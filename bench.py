@@ -47,6 +47,9 @@ HEADLINE = [
     "top10_active_users",
     "top10_purchase_growth",
     "top10_first_week_active",
+    "clean_corpus",
+    "session_paths",
+    "cohort_retention",
 ]
 
 

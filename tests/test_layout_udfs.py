@@ -88,3 +88,29 @@ def test_observe_metrics_match_aggregation(spark, sf_dir):
     got = obs.get
     want = sessions.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
     assert got["session_count"] == want
+
+
+def test_operators_run_against_catalog_tables(spark, sf_dir):
+    """Production mode in the reference reads Hive tables through
+    HiveContext (util/SparkUtils.java:38-44); here: events written as
+    a day-partitioned managed table, the session pipeline run against
+    spark.table(), result identical to the parquet-path run."""
+    from analysisofuserbehavior_spark.operators import behavior_model as bm
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").saveAsTable("events_tbl")
+    try:
+        via_table = sa.session_stats(
+            bm.actions(spark.table("events_tbl").drop("day"))
+        )
+        via_path = sa.session_stats(bm.actions(ev.drop("ts_ns")))
+        t = {tuple(r) for r in via_table.collect()}
+        p = {tuple(r) for r in via_path.collect()}
+        assert t == p
+        # day partition pruning works through the catalog
+        pruned = spark.table("events_tbl").where(F.col("day") == "2024-01-02")
+        assert "PartitionFilters" in plans.executed_plan(pruned)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_tbl")

@@ -4,6 +4,7 @@ from .core import (
     qround,
     csv_set_agg,
     day_col,
+    explode_csv_ids,
     hour_col,
     json_long,
     ratio,
@@ -15,6 +16,7 @@ __all__ = [
     "qround",
     "csv_set_agg",
     "day_col",
+    "explode_csv_ids",
     "hour_col",
     "json_long",
     "ratio",

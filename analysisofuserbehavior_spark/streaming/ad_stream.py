@@ -257,3 +257,58 @@ class BlacklistLoop:
             .start()
         )
         q.awaitTermination()
+
+
+def run_ad_module(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    blacklist_threshold: int = 2,
+) -> dict[str, DataFrame]:
+    """Module 4 end-to-end over the bounded event stream — the
+    streaming counterpart of modules.run_task: the dynamic-blacklist
+    feedback loop, the updateStateByKey-style running totals
+    (applyInPandasWithState), the per-batch SQL province top-3, and
+    the sliding trend, each driven to completion.  Returns the final
+    result tables keyed like the reference's MySQL sinks (§1.3)."""
+    import os as _os
+
+    from ..operators import behavior_model as bm
+    from ..sources import load_table
+    from .stateful import final_totals, running_click_totals
+
+    users = bm.user_info(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    path = f"{sf_dir}/events.parquet"
+    tag = sf_dir.strip("/").split("/")[-1].replace(".", "_")
+
+    loop = BlacklistLoop(_os.path.join(work_dir, "bl_state"), blacklist_threshold)
+    loop.run(read_event_stream(spark, path), _os.path.join(work_dir, "bl_ckpt"))
+
+    totals = final_totals(
+        run_to_completion(
+            running_click_totals(read_event_stream(spark, path)),
+            f"admod_totals_{tag}",
+            mode="update",
+        )
+    )
+    top3_dir = _os.path.join(work_dir, "top3")
+    province_top3_per_batch(
+        read_event_stream(spark, path),
+        users,
+        top3_dir,
+        _os.path.join(work_dir, "top3_ckpt"),
+    )
+    trend = run_to_completion(
+        sliding_click_trend(read_event_stream(spark, path)),
+        f"admod_trend_{tag}",
+    )
+    return {
+        "ad_blacklist": loop.current_blacklist(spark),
+        "ad_stat": totals,
+        "ad_province_top3": spark.read.parquet(top3_dir),
+        "ad_click_trend": trend,
+    }

@@ -216,3 +216,29 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 09:00 window closed with 1 event — the late 09:30 arrival was
     # dropped, not merged (it would read 2 otherwise)
     assert got.get("09:00") == 1, got
+
+
+def test_run_ad_module_end_to_end(spark, sf_dir, tmp_path):
+    """Module-4 runner: all four ad tables materialize over the
+    bounded stream, and the stateful running totals agree exactly
+    with the batch groupBy count."""
+    from pyspark.sql import functions as F
+    from analysisofuserbehavior_spark.sources import load_table
+    from analysisofuserbehavior_spark.streaming.ad_stream import run_ad_module
+
+    out = run_ad_module(spark, sf_dir, str(tmp_path / "admod"))
+    assert set(out) == {"ad_blacklist", "ad_stat", "ad_province_top3", "ad_click_trend"}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("ad_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("click_count"))
+    )
+    want = {(r["day"], r["ad_id"]): r["click_count"] for r in batch.collect()}
+    got = {(r["day"], r["ad_id"]): r["click_count"] for r in out["ad_stat"].collect()}
+    assert got == want
+    assert out["ad_click_trend"].count() > 0
+    assert out["ad_province_top3"].count() > 0

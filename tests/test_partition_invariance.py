@@ -1,0 +1,35 @@
+"""Partitioning invariance: a query's RESULT must not depend on
+spark.sql.shuffle.partitions — the property that makes local-mode
+correctness transfer to a 1000-executor cluster.  Catches hidden
+order-dependence (unquantized double sums, first() without ordering,
+rand without seed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from analysisofuserbehavior_spark.registry import QUERIES
+
+CHECKED = [
+    "session_stats",
+    "session_aggr_stat",
+    "session_random_extract",
+    "top10_categories",
+    "tpch_q1",
+    "dedup_minhash_lsh",
+    "session_paths",
+    "clean_corpus",
+]
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_result_identical_across_partition_counts(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

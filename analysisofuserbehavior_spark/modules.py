@@ -117,3 +117,27 @@ def run_task(
     for name in modules:
         out.update(MODULES[name](spark, sf_dir, params))
     return out
+
+
+def run_active_module(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> dict[str, DataFrame]:
+    """Module 5 (UserActiveDegreeAnalyze.scala) — the five
+    active-degree top-10s; period = the task's date range when given."""
+    from .operators import user_active as ua
+
+    events = load_table(spark, sf_dir, "events")
+    users = _users(spark, sf_dir)
+    kw: dict = {}
+    if params.start_date and params.end_date:
+        kw = {"start": params.start_date, "end": params.end_date}
+    return {
+        "top10_active_users": ua.top10_active_users(events, users, **kw),
+        "top10_purchase_users": ua.top10_purchase_users(events, users, **kw),
+        "top10_visit_growth": ua.top10_visit_growth(events, users),
+        "top10_purchase_growth": ua.top10_purchase_growth(events, users),
+        "top10_first_week_active": ua.top10_first_week_active(events, users),
+    }
+
+
+MODULES["active"] = run_active_module

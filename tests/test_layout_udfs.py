@@ -114,3 +114,30 @@ def test_operators_run_against_catalog_tables(spark, sf_dir):
         assert "PartitionFilters" in plans.executed_plan(pruned)
     finally:
         spark.sql("DROP TABLE IF EXISTS events_tbl")
+
+
+def test_bucketed_events_elide_sessionize_shuffle(spark, sf_dir, tmp_path):
+    """The sessionize docstring's scale claim, proven: with events
+    bucketed+sorted by user_id, the user window (and therefore the
+    whole session rollup) needs NO exchange at all."""
+    from analysisofuserbehavior_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    (
+        ev.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id", "ts")
+        .option("path", os.path.join(str(tmp_path), "ev_bkt"))
+        .saveAsTable("events_bucketed")
+    )
+    try:
+        sessed = sessionize(spark.table("events_bucketed"))
+        assert plans.count_exchanges(sessed) == 0
+        plain = sessionize(ev)
+        a = {tuple(r) for r in sessed.collect()}
+        b = {tuple(r) for r in plain.collect()}
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_bucketed")

@@ -52,3 +52,12 @@ def test_run_task_date_filter_pushes_to_scan(spark, sf_dir):
     out = run_task(spark, TASK_JSON, sf_dir, modules=("session",))
     pushed = " ".join(plans.pushed_filters(out["session_aggr_stat"]))
     assert "GreaterThanOrEqual(ts," in pushed, pushed
+
+
+def test_run_active_module(spark, sf_dir):
+    from analysisofuserbehavior_spark.modules import run_task
+
+    out = run_task(spark, TASK_JSON, sf_dir, modules=("active",))
+    assert len(out) == 5
+    for name, df in out.items():
+        assert df.count() <= 10 * 2, name  # ≤10 winners (joined dims 1:1)

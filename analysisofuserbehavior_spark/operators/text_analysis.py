@@ -117,3 +117,18 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
         ),
     )
     return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization ahead of dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace.  Pure projection; the
+    md5 of the normalized form is the exact-dedup key that catches
+    case/punctuation variants the raw-text hash misses."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash"))

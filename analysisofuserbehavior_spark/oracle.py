@@ -766,3 +766,33 @@ SELECT cohort_day,
 FROM ev JOIN firsts USING (user_id)
 GROUP BY 1, 2
 """
+
+
+ORACLE["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 30000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       floor(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+ORACLE["normalize_text"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n
+"""

@@ -722,3 +722,43 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query("tpch_q18")
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the HAVING-subquery → semi
+    join pattern (aggregate once, filter, semi-join the fact — never
+    a correlated per-row subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("qty_c"))
+        .where(F.col("qty_c") > 300 * 100)
+        .select("l_orderkey")
+    )
+    qty = F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")) / F.lit(100.0)
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(qround(qty, 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query("normalize_text")
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization projection (lowercase / strip punct /
+    collapse spaces) with the normalized-form dedup key."""
+    from .operators.text_analysis import normalize_text
+
+    return normalize_text(_documents(spark, sf_dir))

@@ -323,3 +323,62 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    with cluster_id = the MIN doc_id reachable through any chain of
+    pairs.  Upgrades greedy pair-dropping to true transitive dup
+    clusters (a~b, b~c ⇒ {a,b,c} even when a,c never pair directly).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow — a
+    handful of rounds in practice; `max_iterations` bounds the worst
+    case).  Each round is two shuffles (join + agg) on the label
+    frame, whose size is |nodes|, NOT |pairs| — at 100 TB the label
+    frame stays small relative to the corpus and the loop runs on
+    the driver only as orchestration (one count() per round for the
+    convergence check; no data ever collects)."""
+    edges = pairs.select("doc_a", "doc_b")
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    # lineage MUST be truncated every round: without a checkpoint the
+    # plan nests one level per iteration and analysis time explodes
+    # exponentially (a 12-round run never finished planning)
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("n_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -762,3 +762,15 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import normalize_text
 
     return normalize_text(_documents(spark, sf_dir))
+
+
+@query("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters (connected components by
+    iterative min-label propagation over minhash pairs) — the
+    iterative-algorithm path; rows-only check (per the driver
+    contract, iterative fixpoints are non-SQL-expressible), cluster
+    semantics unit-tested on chain graphs."""
+    from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    return dedup_clusters(minhash_lsh_pairs(_documents(spark, sf_dir)))

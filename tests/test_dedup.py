@@ -81,3 +81,26 @@ def test_clean_corpus_stage_semantics(spark):
     )
     kept = sorted(r["doc_id"] for r in clean_corpus(docs).collect())
     assert kept == [1, 5]
+
+
+def test_dedup_clusters_transitive_chains(spark):
+    """a~b, b~c, (d~e) → clusters {a,b,c} and {d,e} — the transitive
+    closure greedy pair-dropping can't see."""
+    from analysisofuserbehavior_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from analysisofuserbehavior_spark.operators.dedup import dedup_clusters
+
+    # a 12-node path: worst case for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iterations=20).collect()}
+    assert set(got.values()) == {0}

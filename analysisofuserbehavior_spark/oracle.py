@@ -796,3 +796,36 @@ WITH n AS (
 )
 SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n
 """
+
+
+ORACLE["session_length_percentiles"] = f"""
+WITH {SESSIONIZE_CTES}, {SESSION_STATS_CTE}
+SELECT floor(quantile_cont(visit_length, 0.5) * 100.0 + 0.5) / 100.0 AS visit_p50,
+       floor(quantile_cont(visit_length, 0.9) * 100.0 + 0.5) / 100.0 AS visit_p90,
+       floor(quantile_cont(visit_length, 0.99) * 100.0 + 0.5) / 100.0 AS visit_p99,
+       floor(quantile_cont(step_length, 0.5) * 100.0 + 0.5) / 100.0 AS step_p50,
+       floor(quantile_cont(step_length, 0.9) * 100.0 + 0.5) / 100.0 AS step_p90,
+       floor(quantile_cont(step_length, 0.99) * 100.0 + 0.5) / 100.0 AS step_p99
+FROM session_stats
+"""
+
+ORACLE["daily_event_type_pivot"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+ORACLE["events_profile"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+"""

@@ -774,3 +774,60 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_clusters, minhash_lsh_pairs
 
     return dedup_clusters(minhash_lsh_pairs(_documents(spark, sf_dir)))
+
+
+@query("session_length_percentiles")
+def q_session_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of session visit/step length — Spark
+    `percentile` (exact, interpolated) mirrors DuckDB quantile_cont;
+    at 100 TB swap for percentile_approx and drop the oracle."""
+    sessions = sa.session_stats(_actions(spark, sf_dir))
+
+    def pct(col: str, p: float, alias: str) -> F.Column:
+        return qround(
+            F.expr(f"percentile({col}, {p})").cast("double"), 2
+        ).alias(alias)
+
+    return sessions.agg(
+        pct("visit_length", 0.5, "visit_p50"),
+        pct("visit_length", 0.9, "visit_p90"),
+        pct("visit_length", 0.99, "visit_p99"),
+        pct("step_length", 0.5, "step_p50"),
+        pct("step_length", 0.9, "step_p90"),
+        pct("step_length", 0.99, "step_p99"),
+    )
+
+
+@query("daily_event_type_pivot")
+def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day × event-type count matrix via groupBy().pivot() with an
+    EXPLICIT value list — an implicit pivot triggers an extra
+    distinct-values job and nondeterministic column order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query("events_profile")
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table in one pass: row
+    count, null counts, min/max ts, distinct users/types — the
+    profiling pre-flight every ingestion pipeline runs.  Exact
+    countDistinct for the oracle; a 100 TB run swaps in
+    approx_count_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("int")).cast("bigint").alias("null_users"),
+        F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias("null_props"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )

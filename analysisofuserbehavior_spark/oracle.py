@@ -829,3 +829,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
 FROM events
 """
+
+
+ORACLE["daily_type_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY ROLLUP (1, event_type)
+"""
+
+ORACLE["daily_cumulative_clicks"] = """
+WITH daily AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id,
+         strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS clicks
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+)
+SELECT ad_id, day, clicks,
+       sum(clicks) OVER (PARTITION BY ad_id ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS cumulative_clicks
+FROM daily
+"""

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators import behavior_model as bm
 from .operators import session_analysis as sa
@@ -830,4 +830,41 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+@query("daily_type_rollup")
+def q_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set totals via rollup(day, event_type): per-cell,
+    per-day, and grand-total counts in ONE pass (the reference
+    re-aggregates city keys into province keys as a second job —
+    AdClickRealTimeStatSpark.java:753-783; rollup is the one-pass
+    form)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return ev.rollup("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("daily_cumulative_clicks")
+def q_daily_cumulative_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running click total per ad over days — the analytic-frame
+    (rowsBetween unbounded preceding) surface; partitioned by ad so
+    the window never concentrates data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("ad_id"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    w = (
+        Window.partitionBy("ad_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "ad_id", "day", "clicks", F.sum("clicks").over(w).alias("cumulative_clicks")
     )

@@ -1,0 +1,32 @@
+"""bench.py is a driver contract: ONE JSON line with metric/value/
+unit/queries/sf.  Run it at sf0.001 in a subprocess and validate the
+shape — bench rot would otherwise surface only in the driver's
+per-round record."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_valid_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout[-2000:]
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.001
+    assert isinstance(rec["value"], (int, float))
+    assert len(rec["queries"]) >= 25
+    assert all(isinstance(v, (int, float)) for v in rec["queries"].values())

@@ -104,3 +104,40 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iterations=20).collect()}
     assert set(got.values()) == {0}
+
+
+def test_standalone_signatures_match_inline_path(spark):
+    """minhash_signatures (the persist-and-reuse API) must agree with
+    the signature expression minhash_lsh_pairs computes inline."""
+    from pyspark.sql import functions as F
+    from analysisofuserbehavior_spark.operators.dedup import (
+        MERSENNE_P,
+        MINHASH_COEFFS,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "c d e f g h i")], "doc_id long, text string"
+    )
+    standalone = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(shingles(docs), num_perm=8).collect()
+    }
+    inline = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in (
+            shingles(docs)
+            .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("hp"))
+            .groupBy("doc_id")
+            .agg(
+                F.array(
+                    *[
+                        F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), F.lit(MERSENNE_P)))
+                        for a, b in MINHASH_COEFFS[:8]
+                    ]
+                ).alias("sig")
+            )
+        ).collect()
+    }
+    assert standalone == inline

@@ -20,3 +20,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences: the query registry, the module
+    runner, and the session factory — imported on first use so that
+    `import analysisofuserbehavior_spark` stays cheap."""
+    if name == "QUERIES":
+        from .registry import QUERIES
+
+        return QUERIES
+    if name == "run_task":
+        from .modules import run_task
+
+        return run_task
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

@@ -868,3 +868,18 @@ def q_daily_cumulative_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "ad_id", "day", "clicks", F.sum("clicks").over(w).alias("cumulative_clicks")
     )
+
+
+@query("events_profile_approx")
+def q_events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of events_profile: HyperLogLog++ distinct
+    counts and approximate percentiles — constant memory per
+    partition instead of exact distinct shuffles.  Rows-only check;
+    the ε-bound vs the exact profile is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.approx_count_distinct("event_type", 0.02).alias("n_event_types_approx"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 1000)").alias("value_p50_p99"),
+    )

@@ -109,3 +109,18 @@ def test_session_rollup_reuses_sessionize_partitioning(spark, sf_dir):
     session_id string would."""
     df = QUERIES["session_stats"](spark, sf_dir)
     assert plans.count_exchanges(df) == 1
+
+
+def test_approx_profile_within_epsilon(spark, sf_dir):
+    """HLL++ distinct estimates must land within the configured 2%
+    relative error (generous 3x slack for tiny inputs)."""
+    exact = QUERIES["events_profile"](spark, sf_dir).collect()[0]
+    approx = QUERIES["events_profile_approx"](spark, sf_dir).collect()[0]
+    assert approx["n_rows"] == exact["n_rows"]
+    for a, e in [
+        (approx["n_users_approx"], exact["n_users"]),
+        (approx["n_event_types_approx"], exact["n_event_types"]),
+    ]:
+        assert abs(a - e) <= max(1, 0.06 * e), (a, e)
+    p50, p99 = approx["value_p50_p99"]
+    assert 0 < p50 < p99

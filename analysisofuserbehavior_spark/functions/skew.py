@@ -17,7 +17,7 @@ aggregate to be decomposable (count/sum/min/max/collect_set-union).
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 

@@ -16,7 +16,7 @@ from .operators import behavior_model as bm
 from .operators import session_analysis as sa
 from .functions import qround
 from .params import TaskParams
-from .sources import load_table, ns
+from .sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -850,3 +850,55 @@ SELECT ad_id, day, clicks,
                          ROWS UNBOUNDED PRECEDING) AS cumulative_clicks
 FROM daily
 """
+
+
+# IVF-flat mirror: centroids = first 8 vectors; every corpus vector
+# assigned to its nearest centroid (rn=1); queries probe their 2
+# nearest cells; exact cosine within probed cells only.
+ORACLE["ann_ivf_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS n_vec, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC,
+                                       c.cluster_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS q_vec, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC,
+                                       c.cluster_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_cosine_similarity(p.q_vec, a.n_vec) AS sim
+  FROM probes p JOIN assigned a USING (cluster_id)
+  WHERE a.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM cand
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
+FROM ranked WHERE rn <= 5
+"""
+
+
+ORACLE["embedding_neardup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       floor(list_cosine_similarity(a.v, b.v) * 1000.0 + 0.5) / 1000.0 AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""

@@ -322,9 +322,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k — rows-only check (recall is
-    intentionally approximate; accuracy vs brute force is asserted in
-    tests/test_similarity.py)."""
+    """IVF-flat approximate top-k — the oracle replays the exact
+    same IVF construction (first-8 centroids, 2-cell probes) in SQL
+    and hash-matches; accuracy vs brute force additionally asserted
+    in tests/test_similarity.py."""
     from .operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(_embeddings(spark, sf_dir))
@@ -332,8 +333,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_neardup")
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — rows-only check (O(n²)
-    oracle SQL would dominate the correctness gate)."""
+    """Embedding-cosine near-dup pairs, hash-matched against the
+    O(n²) DuckDB oracle (tractable at gate scale; the LSH variant is
+    the 100 TB path)."""
     from .operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_embeddings(spark, sf_dir))

@@ -21,16 +21,25 @@ oracle-checkable:
   connected components — out of scope for the oracle gate and rarely
   material at high thresholds.)
 
+The near-dup stage defaults to `minhash_lsh_pairs` — the 100 TB
+path: candidates only meet inside LSH band buckets, then get
+exact-verified, so precision is exact and recall at the 0.8
+threshold is ≈1 (see dedup.py).  Per-doc MinHash signatures are
+corpus-independent, so running it over the quality/exact survivors
+finds exactly the surviving subset of the full corpus's pairs — the
+oracle stays the exact-jaccard SQL.  `method="exact"` swaps in the
+O(shared-shingle pairs) inverted-index join for small corpora.
+
 Scale shape: two broadcast-light semi/anti joins around the
-shuffle-heavy pair generation; everything else is projections and
-one hash agg per stage.
+pair generation; everything else is projections and one hash agg
+per stage.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import ngram_jaccard_pairs
+from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 from .text_analysis import text_stats
 
 
@@ -39,6 +48,7 @@ def clean_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 10,
     jaccard_threshold: float = 0.8,
+    method: str = "minhash",
 ) -> DataFrame:
     """Survivor docs with their stats: (doc_id, n_tokens, quality_score)."""
     stats = text_stats(docs)
@@ -54,8 +64,9 @@ def clean_corpus(
     )
     survivors = survivors.join(exact_keep, "doc_id", "left_semi")
 
+    pair_fn = minhash_lsh_pairs if method == "minhash" else ngram_jaccard_pairs
     near_drop = (
-        ngram_jaccard_pairs(survivors, threshold=jaccard_threshold)
+        pair_fn(survivors, threshold=jaccard_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -137,7 +137,9 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
 def frame_offsets(media: DataFrame, every_n: int = 10, fps: int = 30) -> DataFrame:
     """Video frame-sampling plan: emit the byte-free frame index list
     a downstream decoder would extract (width encodes frame count in
-    the fake format)."""
+    the fake format).  `timestamp_sec` is floored to the millisecond
+    via integer math (idx*1000//fps / 1000) so the value is
+    bit-identical across engines — float rounding is not."""
 
     def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +151,7 @@ def frame_offsets(media: DataFrame, every_n: int = 10, fps: int = 30) -> DataFra
                         {
                             "doc_id": r["doc_id"],
                             "frame_index": idx,
-                            "timestamp_sec": round(idx / fps, 3),
+                            "timestamp_sec": (idx * 1000 // fps) / 1000.0,
                         }
                     )
             yield pd.DataFrame(
@@ -159,3 +161,37 @@ def frame_offsets(media: DataFrame, every_n: int = 10, fps: int = 30) -> DataFra
     return media.where(media.media_type == "video").mapInPandas(
         plan, "doc_id long, frame_index int, timestamp_sec double"
     )
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus —
+    the ingest boundary for the multimodal oracle gate.
+
+    Every doc becomes one media row in the fake wire format (module
+    docstring): videos for doc_id % 5 == 0 (width encodes the frame
+    count, 30 + doc_id % 240), images otherwise (width
+    64 + doc_id % 1024); height 64 + (doc_id*7) % 768; payload =
+    header + utf-8 text bytes.  All formulas are closed-form over
+    (doc_id, text), so a SQL oracle can predict every metadata field
+    the decode path recovers — an end-to-end check of the binary
+    Arrow round trip, not of the generator."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                video = did % 5 == 0
+                width = 30 + did % 240 if video else 64 + did % 1024
+                height = 64 + (did * 7) % 768
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "media_type": "video" if video else "image",
+                        "media": struct.pack("<II", width, height)
+                        + text.encode("utf-8"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)

@@ -902,3 +902,40 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
+
+
+# --- multimodal plumbing (synthetic wire format; see operators/multimodal.py) ---
+# width/height/type are closed-form over doc_id; payload = 8-byte
+# header + utf-8 text, so n_bytes = 8 + strlen(text).
+_MEDIA_W = "CASE WHEN doc_id % 5 = 0 THEN 30 + doc_id % 240 ELSE 64 + doc_id % 1024 END"
+_MEDIA_H = "64 + (doc_id * 7) % 768"
+
+ORACLE["media_metadata"] = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'image' END AS media_type,
+       CAST({_MEDIA_W} AS INT) AS width,
+       CAST({_MEDIA_H} AS INT) AS height,
+       CAST(8 + strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+ORACLE["media_frame_offsets"] = """
+SELECT d.doc_id,
+       CAST(t.f AS INT) AS frame_index,
+       (t.f * 1000 // 30) / 1000.0 AS timestamp_sec
+FROM documents d, UNNEST(range(0, 30 + (d.doc_id % 240), 10)) AS t(f)
+WHERE d.doc_id % 5 = 0
+"""
+
+# resize(256x256) truncates the payload by the area ratio:
+# n_bytes' = 8 + floor(strlen(text) * least(65536/(w*h), 1.0))
+ORACLE["media_resize_audit"] = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'image' END AS media_type,
+       CAST(256 AS INT) AS width,
+       CAST(256 AS INT) AS height,
+       CAST(8 + floor(strlen(text) *
+                      least(65536.0 / (({_MEDIA_W}) * ({_MEDIA_H})), 1.0))
+            AS BIGINT) AS n_bytes
+FROM documents
+"""

@@ -885,3 +885,42 @@ def q_events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_type", 0.02).alias("n_event_types_approx"),
         F.expr("approx_percentile(value, array(0.5, 0.99), 1000)").alias("value_p50_p99"),
     )
+
+
+@query("media_metadata")
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, end to end: documents → synthetic
+    binary media (fake wire format) → Arrow-batched mapInPandas
+    metadata extraction.  Every recovered field is a closed-form
+    function of (doc_id, text), so the DuckDB oracle checks the full
+    binary round trip analytically."""
+    from .operators.multimodal import media_metadata, synthesize_media
+
+    return media_metadata(synthesize_media(_documents(spark, sf_dir)))
+
+
+@query("media_frame_offsets")
+def q_media_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over the synthetic media table:
+    every 10th frame of each video (width header = frame count),
+    timestamps floored to the millisecond (integer math — exact in
+    both engines)."""
+    from .operators.multimodal import frame_offsets, synthesize_media
+
+    return frame_offsets(
+        synthesize_media(_documents(spark, sf_dir)), every_n=10, fps=30
+    )
+
+
+@query("media_resize_audit")
+def q_media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition check: synthesize → resize(256×256) → metadata.
+    The resize stub rewrites the header and truncates the payload by
+    the area ratio (IEEE double ops, so floor() in SQL predicts the
+    byte count exactly); proves binary-in/binary-out stages chain
+    through mapInPandas without schema drift."""
+    from .operators.multimodal import media_metadata, resize_media, synthesize_media
+
+    return media_metadata(
+        resize_media(synthesize_media(_documents(spark, sf_dir)), 256, 256)
+    )

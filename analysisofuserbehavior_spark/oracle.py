@@ -184,9 +184,9 @@ FROM actions a SEMI JOIN chosen c ON a.session_id = c.session_id
 ORACLE["top10_categories"] = f"""
 WITH {SESSIONIZE_CTES}
 SELECT category_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS order_count,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS pay_count
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_count,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS pay_count
 FROM actions
 WHERE category_id IS NOT NULL
 GROUP BY category_id
@@ -330,8 +330,8 @@ daily AS (
   GROUP BY a.day, u.area, u.city, a.ad_id
 )
 SELECT day, area AS province, city, ad_id,
-       sum(daily_count) OVER (PARTITION BY area, city, ad_id ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS click_count
+       CAST(sum(daily_count) OVER (PARTITION BY area, city, ad_id ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS click_count
 FROM daily
 """
 
@@ -846,8 +846,8 @@ WITH daily AS (
   GROUP BY 1, 2
 )
 SELECT ad_id, day, clicks,
-       sum(clicks) OVER (PARTITION BY ad_id ORDER BY day
-                         ROWS UNBOUNDED PRECEDING) AS cumulative_clicks
+       CAST(sum(clicks) OVER (PARTITION BY ad_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_clicks
 FROM daily
 """
 

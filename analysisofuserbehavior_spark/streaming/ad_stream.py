@@ -205,49 +205,87 @@ def province_top3_per_batch(
 
 class BlacklistLoop:
     """The dynamic-blacklist feedback loop (ref :234-588) on
-    foreachBatch: batch N's aggregated counts update a parquet state
-    dir; users crossing `threshold` total clicks/ad/day join the
-    blacklist; batch N+1 is anti-joined against the blacklist BEFORE
-    counting.  Exactly the reference's MySQL round-trip, minus the
-    per-record SELECTs (dao/impl/AdUserClickCountImpl.java:49-78
-    queries MySQL once per record inside foreachPartition)."""
+    foreachBatch: batch N's aggregated counts fold into a COMPACTED
+    keyed state table (one row per (day, user_id, ad_id)); users
+    crossing `threshold` total clicks/ad/day join the blacklist;
+    batch N+1 is anti-joined against the blacklist BEFORE counting.
+    Exactly the reference's MySQL round-trip, minus the per-record
+    SELECTs (dao/impl/AdUserClickCountImpl.java:49-78 queries MySQL
+    once per record inside foreachPartition).
+
+    Scale + delivery semantics:
+
+    - Per-batch work is O(distinct keys + batch), NOT O(stream
+      history): the state dir always holds the compacted totals, so
+      each batch reads |keys| rows, unions the batch delta, and
+      re-aggregates once.  (The previous design appended raw
+      per-batch counts and re-aggregated the whole append-only dir
+      every batch — O(history) on a long-lived stream.)
+    - foreachBatch is at-least-once; replays must not double-count.
+      Every state row carries `applied_epoch` = the last epoch folded
+      in, written atomically WITH the totals; a replayed epoch
+      (epoch_id <= applied_epoch) is skipped.  The blacklist is
+      DERIVED from the totals on read, so there is no second state
+      dir that could diverge from the counts under a mid-commit crash.
+    - The two-step overwrite (_next, then swap) stands in for a
+      transactional MERGE; a production sink would MERGE into
+      Delta/Iceberg, touching only files for the batch's days.
+    """
+
+    _STATE_SCHEMA = (
+        "day string, user_id long, ad_id long, "
+        "click_count long, applied_epoch long"
+    )
 
     def __init__(self, state_dir: str, threshold: int = 2):
-        self.counts_dir = os.path.join(state_dir, "counts")
-        self.blacklist_dir = os.path.join(state_dir, "blacklist")
+        self.totals_dir = os.path.join(state_dir, "totals")
         self.threshold = threshold
 
-    def current_blacklist(self, spark: SparkSession) -> DataFrame:
+    def _state(self, spark: SparkSession) -> DataFrame:
         try:
-            return spark.read.parquet(self.blacklist_dir)
+            return spark.read.schema(self._STATE_SCHEMA).parquet(self.totals_dir)
         except Exception:  # noqa: BLE001 - first batch: no state yet
-            return spark.createDataFrame([], "user_id long")
+            return spark.createDataFrame([], self._STATE_SCHEMA)
 
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        clean = batch.where(F.col("event_type") == "click").join(
-            F.broadcast(self.current_blacklist(spark)), "user_id", "left_anti"
-        )
-        daily = clean.groupBy("day", "user_id", "ad_id").agg(
-            F.count(F.lit(1)).alias("click_count")
-        )
-        daily.write.mode("append").parquet(self.counts_dir)
-        totals = (
-            spark.read.parquet(self.counts_dir)
-            .groupBy("day", "user_id", "ad_id")
-            .agg(F.sum("click_count").alias("click_count"))
-        )
-        new_blacklist = (
-            totals.where(F.col("click_count") >= self.threshold)
+    def current_totals(self, spark: SparkSession) -> DataFrame:
+        return self._state(spark).select("day", "user_id", "ad_id", "click_count")
+
+    def current_blacklist(self, spark: SparkSession) -> DataFrame:
+        return (
+            self._state(spark)
+            .where(F.col("click_count") >= self.threshold)
             .select("user_id")
             .distinct()
         )
-        # overwrite via temp-then-move is unnecessary for the local
-        # test; a production sink would MERGE into Delta/Iceberg
-        new_blacklist.write.mode("overwrite").parquet(self.blacklist_dir + "_next")
-        spark.read.parquet(self.blacklist_dir + "_next").write.mode(
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        state = self._state(spark)
+        applied = state.agg(F.max("applied_epoch")).first()[0]
+        if applied is not None and epoch_id <= applied:
+            return  # at-least-once replay of an already-folded epoch
+        blacklist = (
+            state.where(F.col("click_count") >= self.threshold)
+            .select("user_id")
+            .distinct()
+        )
+        clean = batch.where(F.col("event_type") == "click").join(
+            F.broadcast(blacklist), "user_id", "left_anti"
+        )
+        delta = clean.groupBy("day", "user_id", "ad_id").agg(
+            F.count(F.lit(1)).alias("click_count")
+        )
+        totals_next = (
+            state.select("day", "user_id", "ad_id", "click_count")
+            .unionByName(delta)
+            .groupBy("day", "user_id", "ad_id")
+            .agg(F.sum("click_count").alias("click_count"))
+            .withColumn("applied_epoch", F.lit(epoch_id).cast("long"))
+        )
+        totals_next.write.mode("overwrite").parquet(self.totals_dir + "_next")
+        spark.read.parquet(self.totals_dir + "_next").write.mode(
             "overwrite"
-        ).parquet(self.blacklist_dir)
+        ).parquet(self.totals_dir)
 
     def run(self, stream: DataFrame, checkpoint_dir: str) -> None:
         q = (

@@ -86,7 +86,7 @@ def test_blacklist_feedback_loop_across_batches(spark, tmp_path):
     blacklist = {r["user_id"] for r in loop.current_blacklist(spark).collect()}
     assert blacklist == {1, 2}  # user 2 reaches 2 clicks via batch 2
     counts = (
-        spark.read.parquet(loop.counts_dir)
+        loop.current_totals(spark)
         .groupBy("user_id")
         .agg(F.sum("click_count").alias("c"))
         .collect()
@@ -95,6 +95,34 @@ def test_blacklist_feedback_loop_across_batches(spark, tmp_path):
     # user 1 blacklisted after batch 1 → batch 2 click dropped
     assert got[1] == 2
     assert got[2] == 2
+    # compacted state: one row per (day, user_id, ad_id), regardless
+    # of how many batches contributed — per-batch work is O(keys),
+    # not O(stream history)
+    state = spark.read.parquet(loop.totals_dir)
+    assert state.count() == state.select("day", "user_id", "ad_id").distinct().count()
+
+
+def test_blacklist_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same epoch
+    must not double-count clicks toward the blacklist threshold."""
+    rows = [
+        (1, _nanos(datetime(2024, 1, 1, 10, 0)), 7, "click", 0.0, '{"k": 1}'),
+    ]
+    batch = (
+        spark.createDataFrame(rows, SCHEMA)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("ad_id", F.get_json_object("props", "$.k").cast("long") % 10)
+    )
+    loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
+    loop.process_batch(batch, epoch_id=0)
+    loop.process_batch(batch, epoch_id=0)  # replay of the same epoch
+    totals = loop.current_totals(spark).collect()
+    assert len(totals) == 1 and totals[0]["click_count"] == 1
+    assert loop.current_blacklist(spark).count() == 0  # still under threshold
+    loop.process_batch(batch, epoch_id=1)  # genuinely new epoch counts
+    assert loop.current_totals(spark).collect()[0]["click_count"] == 2
+    assert {r["user_id"] for r in loop.current_blacklist(spark).collect()} == {7}
 
 
 def test_streaming_dedup_drops_replayed_events(spark, tmp_path):

@@ -939,3 +939,6 @@ SELECT doc_id,
             AS BIGINT) AS n_bytes
 FROM documents
 """
+
+# the upsert sink accumulates exactly the batch per-key counts
+ORACLE["streaming_user_click_upsert"] = ORACLE["ad_user_click_count"]

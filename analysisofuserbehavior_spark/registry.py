@@ -924,3 +924,39 @@ def q_media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(
         resize_media(synthesize_media(_documents(spark, sf_dir)), 256, 256)
     )
+
+@query("streaming_user_click_upsert")
+def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most-used sink semantics end to end: stream →
+    per-batch aggregate → MERGE-style keyed upsert into a compacted
+    table (dao/impl/AdUserClickCountImpl.java:14-78's
+    UPDATE count = count + delta / INSERT, set-oriented).  merge="sum"
+    accumulation across micro-batches must equal the batch groupBy —
+    the ad_user_click_count oracle."""
+    import tempfile
+
+    from .sources.upsert import ParquetUpsertSink
+    from .streaming.ad_stream import read_event_stream
+
+    work = tempfile.mkdtemp(prefix="upsert_q_")
+    sink = ParquetUpsertSink(
+        f"{work}/table", ["day", "user_id", "ad_id"], ["click_count"], merge="sum"
+    )
+
+    def per_batch(batch: DataFrame, epoch_id: int) -> None:
+        sink(
+            batch.where(F.col("event_type") == "click")
+            .groupBy("day", "user_id", "ad_id")
+            .agg(F.count(F.lit(1)).alias("click_count")),
+            epoch_id,
+        )
+
+    q = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.current(spark)

@@ -74,20 +74,7 @@ def write_jdbc(
     writer.save()
 
 
-def jdbc_upsert_foreach_batch(url: str, table: str, key_cols: list[str]):
-    """foreachBatch sink reproducing the streaming upsert tables
-    (ad_stat / ad_user_click_count): stage the micro-batch, then
-    MERGE on the key columns.  Returns the (batch_df, epoch_id)
-    callable for `writeStream.foreachBatch`."""
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:  # pragma: no cover
-        staging = f"{table}_staging_{epoch_id}"
-        write_jdbc(batch_df, url, staging, mode="overwrite")
-        # the MERGE itself runs on the database; issuing it needs a
-        # JDBC connection from the driver — sketched, env has no driver:
-        # ON <key_cols> MATCHED UPDATE ... NOT MATCHED INSERT ...
-        raise NotImplementedError(
-            "MERGE execution requires a JDBC driver on the classpath"
-        )
-
-    return sink
+# The upsert (MERGE) sinks — the reference's select-then-upsert DAO
+# semantics, set-oriented — live in sources/upsert.py:
+# `ParquetUpsertSink` (testable in-env) and `jdbc_upsert_foreach_batch`
+# (stage + one MERGE statement per micro-batch).

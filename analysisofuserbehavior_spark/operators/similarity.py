@@ -60,6 +60,18 @@ def _paired_sim(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> Column:
     return dot(F.col(a_vec), F.col(b_vec)) / (F.col(a_norm) * F.col(b_norm))
 
 
+def _sim_order(sim_col: str, id_col: str) -> list[Column]:
+    """Rank ordering used by every ANN window: quantized similarity
+    (3 dp, the same qround the output carries) first, id tie-break
+    second.  Ordering by the RAW double made rank assignment depend
+    on the engine's last ULP — Spark's zip_with/aggregate fold and
+    DuckDB's list_cosine_similarity can differ there, flipping
+    near-equal candidates.  Quantized, both engines rank identical
+    values identically and the id tie-break decides inside each
+    3-dp bucket."""
+    return [F.desc(qround(F.col(sim_col), 3)), F.asc(id_col)]
+
+
 def ann_bruteforce_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -71,7 +83,7 @@ def ann_bruteforce_topk(
     sims = corpus.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
     ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -84,27 +96,88 @@ def ann_bruteforce_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops: seed with the first `k`
+    vectors, then `iters` rounds of (assign to nearest centroid by
+    cosine → new centroid = element-wise mean).  Assignment is one
+    broadcast pass per round (the centroid frame is k rows); the mean
+    is a posexplode + avg keyed by (cluster, position) — one shuffle
+    of |corpus|·dim scalars per round, which at 100 TB you would run
+    on a sample (centroid quality needs only a representative
+    fraction, not the full corpus).  localCheckpoint truncates the
+    iterative lineage each round.
+
+    Returns (cluster_id, c_vec, c_norm).  Centroids are float means,
+    so cross-engine SQL replay is NOT bit-stable (summation order);
+    IVF built on k-means therefore carries a recall-floor test
+    instead of a hash oracle — the default first-k seeding stays the
+    oracle-replayable path."""
+    v = _with_vec(embeddings, "vec_id", "v", "nv")
+    cents = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("v").alias("c_vec"),
+        F.col("nv").alias("c_norm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    for _ in range(iters):
+        assigned = (
+            v.join(F.broadcast(cents))
+            .withColumn("c_sim", _paired_sim("v", "nv", "c_vec", "c_norm"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("cluster_id", "v")
+        )
+        cents = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select(
+                "cluster_id",
+                F.transform("pv", lambda s: s["val"]).alias("c_vec"),
+            )
+            .withColumn("c_norm", norm(F.col("c_vec")))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     n_clusters: int = 8,
     n_probe: int = 2,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
-    Centroids are the first `n_clusters` vectors (deterministic; a
-    production build would k-means them — the plan shape is
-    identical).  Corpus→cell assignment is one broadcast pass;
-    queries probe their `n_probe` nearest cells, so the candidate
-    join touches ~n_probe/n_clusters of the corpus.
+    Centroids default to the first `n_clusters` vectors — fully
+    deterministic, so the DuckDB oracle replays the identical IVF
+    construction and hash-matches.  `kmeans_iters > 0` switches to
+    Lloyd-refined centroids (`kmeans_centroids`) for better cell
+    balance; that variant is covered by a recall-floor test vs brute
+    force (float means aren't bit-replayable in SQL).  Corpus→cell
+    assignment is one broadcast pass; queries probe their `n_probe`
+    nearest cells, so the candidate join touches ~n_probe/n_clusters
+    of the corpus, and at 100 TB cluster_id becomes a partition key
+    (partition-pruned scan instead of a full crossJoin).
     """
-    cents = _with_vec(
-        embeddings.where(F.col("vec_id") < n_clusters), "cluster_id", "c_vec", "c_norm"
-    )
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(embeddings, k=n_clusters, iters=kmeans_iters)
+    else:
+        cents = _with_vec(
+            embeddings.where(F.col("vec_id") < n_clusters),
+            "cluster_id",
+            "c_vec",
+            "c_norm",
+        )
     corpus = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
     w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("c_sim"), F.asc("cluster_id")
+        *_sim_order("c_sim", "cluster_id")
     )
     assigned = (
         corpus.join(F.broadcast(cents))
@@ -116,7 +189,7 @@ def ann_ivf_topk(
     queries = _with_vec(
         embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
+    w_probe = Window.partitionBy("query_id").orderBy(*_sim_order("c_sim", "cluster_id"))
     probes = (
         queries.join(F.broadcast(cents))
         .withColumn("c_sim", _paired_sim("q_vec", "q_norm", "c_vec", "c_norm"))
@@ -124,7 +197,7 @@ def ann_ivf_topk(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "q_norm", "cluster_id")
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
     return (
         assigned.join(F.broadcast(probes), "cluster_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -187,7 +260,7 @@ def ann_bruteforce_topk_np(
     cand = embeddings.select("vec_id", "embedding").mapInPandas(
         part, "query_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -208,8 +281,8 @@ def embedding_neardup_lsh(
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs — the scale path for
-    `embedding_neardup_pairs` (which is O(n²)).
+    """Random-hyperplane LSH near-dup pairs — the CANONICAL near-dup
+    operator (`embedding_neardup_pairs` is the O(n²) calibration twin).
 
     Sign-bit sketch: bit_j = [v · p_j >= 0] for seeded ±1 hyperplanes
     p_j; band collision probability for a pair at angle θ is
@@ -268,10 +341,12 @@ def embedding_neardup_lsh(
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """All corpus pairs with cosine >= threshold (brute force; the
-    LSH-bucketed scale path is ann_ivf's cell assignment reused as a
-    blocking key).  Rows-only check: O(n²) oracle SQL at sf0.1 would
-    dominate the gate."""
+    """All corpus pairs with cosine >= threshold — ORACLE-CALIBRATION
+    BASELINE ONLY.  O(n²) cartesian (BroadcastNestedLoopJoin): a
+    scale-killer by construction; the canonical near-dup operator is
+    `embedding_neardup_lsh`, which this twin exists to calibrate
+    (exact-recall reference for the LSH recall-floor test and the
+    DuckDB hash gate)."""
     a = _with_vec(embeddings, "doc_a", "va", "na")
     b = _with_vec(embeddings, "doc_b", "vb", "nb")
     return (

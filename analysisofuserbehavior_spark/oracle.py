@@ -434,13 +434,15 @@ ORACLE["dedup_ngram_jaccard"] = _JACCARD_BODY
 # with p < 3e-7, so the exact-jaccard oracle is the correct target.
 ORACLE["dedup_minhash_lsh"] = _JACCARD_BODY
 
+# ranks order by the QUANTIZED similarity (3 dp, mirroring qround in
+# the engine) so cross-engine last-ULP differences can't flip ranks
 ORACLE["ann_cosine_topk"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(q.v, c.v) AS sim,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                            ORDER BY floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5) / 1000.0 DESC,
                                      c.vec_id ASC) AS rn
   FROM e q JOIN e c ON c.vec_id != q.vec_id
   WHERE q.vec_id < 10
@@ -862,7 +864,7 @@ assigned AS (
   SELECT vec_id AS neighbor_id, v AS n_vec, cluster_id FROM (
     SELECT e.vec_id, e.v, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC,
+                              ORDER BY floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5) / 1000.0 DESC,
                                        c.cluster_id ASC) AS rn
     FROM e CROSS JOIN cents c
   ) WHERE rn = 1
@@ -871,7 +873,7 @@ probes AS (
   SELECT vec_id AS query_id, v AS q_vec, cluster_id FROM (
     SELECT e.vec_id, e.v, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC,
+                              ORDER BY floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5) / 1000.0 DESC,
                                        c.cluster_id ASC) AS rn
     FROM e CROSS JOIN cents c
     WHERE e.vec_id < 10
@@ -886,7 +888,8 @@ cand AS (
 ranked AS (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+                            ORDER BY floor(sim * 1000.0 + 0.5) / 1000.0 DESC,
+                                     neighbor_id ASC) AS rn
   FROM cand
 )
 SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
@@ -895,7 +898,10 @@ FROM ranked WHERE rn <= 5
 """
 
 
-ORACLE["embedding_neardup"] = """
+# oracle-calibration baseline only; the canonical `embedding_neardup`
+# (LSH) is rows-only by design — approximate recall can't hash-match
+# an exact-pairs oracle on every dataset
+ORACLE["embedding_neardup_exact"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        floor(list_cosine_similarity(a.v, b.v) * 1000.0 + 0.5) / 1000.0 AS sim

@@ -333,9 +333,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_neardup")
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, hash-matched against the
-    O(n²) DuckDB oracle (tractable at gate scale; the LSH variant is
-    the 100 TB path)."""
+    """Embedding-cosine near-dup pairs — the CANONICAL entry is the
+    hyperplane-LSH banded path (one full-table shuffle, exact
+    verification of candidates only): the design that survives 100 TB.
+    Recall is approximate by construction, so this carries a
+    rows-only check plus a recall-floor test vs brute force
+    (tests/test_similarity.py); the O(n²) exact twin lives on as
+    `embedding_neardup_exact` purely as the oracle-calibration
+    baseline — mirror of the clean_corpus minhash decision."""
+    from .operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_embeddings(spark, sf_dir))
+
+
+@query("embedding_neardup_exact")
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n²) brute-force near-dup — oracle-calibration helper ONLY
+    (hash-matched against the same-shape DuckDB SQL; tractable at
+    gate scale, a scale-killer by construction at 100 TB).  The
+    canonical near-dup entry is `embedding_neardup` (LSH)."""
     from .operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_embeddings(spark, sf_dir))
@@ -562,16 +578,6 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import rolling_fingerprint
 
     return rolling_fingerprint(_documents(spark, sf_dir))
-
-
-@query("embedding_neardup_lsh")
-def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH near-dup scale path — rows-only check (recall
-    intentionally approximate; recall vs brute force asserted in
-    tests/test_similarity.py)."""
-    from .operators.similarity import embedding_neardup_lsh
-
-    return embedding_neardup_lsh(_embeddings(spark, sf_dir))
 
 
 @query("ann_cosine_topk_np")

@@ -141,21 +141,34 @@ def frame_offsets(media: DataFrame, every_n: int = 10, fps: int = 30) -> DataFra
     via integer math (idx*1000//fps / 1000) so the value is
     bit-identical across engines — float rounding is not."""
 
+    import numpy as np
+
     def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n_frames, _ = _decode_fake(r["media"])
-                for idx in range(0, n_frames, every_n):
-                    rows.append(
-                        {
-                            "doc_id": r["doc_id"],
-                            "frame_index": idx,
-                            "timestamp_sec": (idx * 1000 // fps) / 1000.0,
-                        }
-                    )
+            if not len(pdf):
+                continue
+            # header decode is a byte-slice per row; the frame fan-out
+            # (the hot loop: ~n_frames/every_n rows per video) is pure
+            # numpy repeat/arange — no per-row Python iteration
+            n_frames = np.fromiter(
+                (_decode_fake(b)[0] for b in pdf["media"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            counts = -(-n_frames // every_n)  # ceil; 0 for headerless rows
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), counts)
+            ends = np.cumsum(counts)
+            # global arange minus each row's start offset → per-row
+            # 0, every_n, 2·every_n, ... sequences, all vectorized
+            idx_within = np.arange(ends[-1]) - np.repeat(ends - counts, counts)
+            frame_index = (idx_within * every_n).astype(np.int32)
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_index", "timestamp_sec"]
+                {
+                    "doc_id": doc_ids,
+                    "frame_index": frame_index,
+                    "timestamp_sec": (frame_index.astype(np.int64) * 1000 // fps)
+                    / 1000.0,
+                }
             )
 
     return media.where(media.media_type == "video").mapInPandas(

@@ -175,9 +175,22 @@ chosen AS (
   WHERE rn <= least(floor(CAST(hour_cnt AS DOUBLE) / CAST(day_cnt AS DOUBLE) * per_day),
                     hour_cnt)
 )
-SELECT a.event_id, a.session_id, a.user_id, a.event_type,
+SELECT CAST(1 AS BIGINT) AS task_id, a.user_id, a.session_id, a.page_id,
        strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS action_time,
-       a.category_id, a.page_id
+       coalesce(CASE WHEN a.event_type = 'view'
+                     THEN 'kw_' || a.category_id END, '') AS search_keyword,
+       coalesce(CASE WHEN a.event_type = 'click'
+                     THEN a.category_id END, 0) AS click_category_id,
+       coalesce(CASE WHEN a.event_type = 'click'
+                     THEN a.product_id END, 0) AS click_product_id,
+       coalesce(CASE WHEN a.event_type = 'purchase'
+                     THEN CAST(a.category_id AS VARCHAR) END, '') AS order_category_ids,
+       coalesce(CASE WHEN a.event_type = 'purchase'
+                     THEN CAST(a.product_id AS VARCHAR) END, '') AS order_product_ids,
+       coalesce(CASE WHEN a.event_type = 'signup'
+                     THEN CAST(a.category_id AS VARCHAR) END, '') AS pay_category_ids,
+       coalesce(CASE WHEN a.event_type = 'signup'
+                     THEN CAST(a.product_id AS VARCHAR) END, '') AS pay_product_ids
 FROM actions a SEMI JOIN chosen c ON a.session_id = c.session_id
 """
 

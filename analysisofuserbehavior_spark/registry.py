@@ -83,16 +83,44 @@ def q_session_random_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("session_detail")
 def q_session_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 12-column session detail, matching domain/SessionDetail.
+    java:9-20 field for field.  The testdata's event-type domain maps
+    onto the reference's action groups by the repo-wide convention
+    (click→click, purchase→order, signup→pay, view→search); unset
+    numeric action fields default to 0 like the reference's primitive
+    longs, unset CSV/string fields to '' (MySQL NULL in the
+    reference — '' here for cross-engine hash stability)."""
     actions = _actions(spark, sf_dir)
     chosen = sa.session_random_extract(sa.session_stats(actions))
+    et = F.col("event_type")
     return sa.session_detail(actions, chosen).select(
-        "event_id",
-        "session_id",
+        F.lit(1).cast("bigint").alias("task_id"),
         "user_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("action_time"),
-        "category_id",
+        "session_id",
         "page_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("action_time"),
+        F.coalesce(
+            F.when(et == "view", F.concat(F.lit("kw_"), F.col("category_id"))),
+            F.lit(""),
+        ).alias("search_keyword"),
+        F.coalesce(F.when(et == "click", F.col("category_id")), F.lit(0)).alias(
+            "click_category_id"
+        ),
+        F.coalesce(F.when(et == "click", F.col("product_id")), F.lit(0)).alias(
+            "click_product_id"
+        ),
+        F.coalesce(
+            F.when(et == "purchase", F.col("category_id").cast("string")), F.lit("")
+        ).alias("order_category_ids"),
+        F.coalesce(
+            F.when(et == "purchase", F.col("product_id").cast("string")), F.lit("")
+        ).alias("order_product_ids"),
+        F.coalesce(
+            F.when(et == "signup", F.col("category_id").cast("string")), F.lit("")
+        ).alias("pay_category_ids"),
+        F.coalesce(
+            F.when(et == "signup", F.col("product_id").cast("string")), F.lit("")
+        ).alias("pay_product_ids"),
     )
 
 

@@ -53,6 +53,39 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def parse_event_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a (binary/string) Kafka value column carrying events-
+    schema JSON — ONE from_json per record, then the shared derived
+    columns.  Works identically on a stream or a literal batch frame
+    (how the unit tests exercise it without a broker)."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+    return (
+        parsed.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", day_col("ts"))
+        .withColumn("ad_id", json_long("props", "$.k") % 10)
+    )
+
+
+def parse_ad_click_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The reference's EXACT wire format: a space-delimited string
+    `timestamp province city userid adid` with an epoch-millis
+    timestamp (AdClickRealTimeStatSpark.java:322-341 — split(" "),
+    new Date(Long.valueOf(logSplited[0])), Long userid/adid).
+    One split per record, all JVM-side; `day` mirrors the
+    reference's yyyyMMdd datekey derivation (ISO-formatted here,
+    like every other day column in the engine)."""
+    p = F.split(F.col(value_col).cast("string"), " ")
+    return raw.select(
+        F.timestamp_millis(p.getItem(0).cast("long")).alias("ts"),
+        p.getItem(1).alias("province"),
+        p.getItem(2).alias("city"),
+        p.getItem(3).cast("long").alias("user_id"),
+        p.getItem(4).cast("long").alias("ad_id"),
+    ).withColumn("day", day_col("ts"))
+
+
 def read_kafka_event_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -61,12 +94,12 @@ def read_kafka_event_stream(
 ) -> DataFrame:
     """Kafka source — the production twin of `read_event_stream`
     (ref KafkaUtils.createDirectStream, AdClickRealTimeStatSpark.java:
-    127-147).  The reference's payload is a space-delimited string
-    `timestamp province city userid adid` (:322-341); here the value
-    is JSON in the events schema, parsed ONCE with from_json.
+    127-147).  The reference's payload is the space-delimited wire
+    format (see `parse_ad_click_wire`); here the value is JSON in the
+    events schema, parsed ONCE with from_json (`parse_event_json`).
     Requires the spark-sql-kafka package on the classpath (not in
-    the test container — covered by the file-source twin, which
-    shares every downstream plan)."""
+    the test container — parsing is unit-tested on literal rows, and
+    the file-source twin shares every downstream plan)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -74,14 +107,26 @@ def read_kafka_event_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
-    ).select("e.*")
-    return (
-        parsed.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("day", day_col("ts"))
-        .withColumn("ad_id", json_long("props", "$.k") % 10)
+    return parse_event_json(raw)
+
+
+def read_kafka_ad_click_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source speaking the reference's OWN wire format —
+    byte-compatible with a producer feeding the reference system
+    (AdClickRealTimeStatSpark.java:127-147 + :322-341)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
     )
+    return parse_ad_click_wire(raw)
 
 
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -270,3 +270,53 @@ def test_run_ad_module_end_to_end(spark, sf_dir, tmp_path):
     assert got == want
     assert out["ad_click_trend"].count() > 0
     assert out["ad_province_top3"].count() > 0
+
+
+def test_ad_click_wire_format_parse(spark):
+    """The reference's space-delimited `timestamp province city
+    userid adid` records (epoch millis) parse field-for-field
+    (AdClickRealTimeStatSpark.java:322-341) — no broker needed."""
+    from analysisofuserbehavior_spark.streaming.ad_stream import parse_ad_click_wire
+
+    ms = int(datetime(2024, 1, 2, 10, 30).timestamp() * 1000)
+    raw = spark.createDataFrame(
+        [(f"{ms} Hubei Wuhan 42 7",), (f"{ms + 1000} Anhui Hefei 9 3",)],
+        "value string",
+    )
+    rows = sorted(parse_ad_click_wire(raw).collect(), key=lambda r: r["user_id"])
+    assert [(r["province"], r["city"], r["user_id"], r["ad_id"]) for r in rows] == [
+        ("Anhui", "Hefei", 9, 3),
+        ("Hubei", "Wuhan", 42, 7),
+    ]
+    assert rows[1]["ts"] == datetime(2024, 1, 2, 10, 30)
+    assert rows[1]["day"] == "2024-01-02"
+
+
+def test_event_json_value_parse(spark):
+    """from_json over literal Kafka-style values recovers the events
+    schema plus the shared derived columns — the parsing half of
+    read_kafka_event_stream, exercised without a broker."""
+    import json
+
+    from analysisofuserbehavior_spark.streaming.ad_stream import parse_event_json
+
+    ns = _nanos(datetime(2024, 3, 1, 8, 0))
+    payload = json.dumps(
+        {
+            "event_id": 5,
+            "ts": ns,
+            "user_id": 77,
+            "event_type": "click",
+            "value": 1.5,
+            "props": '{"k": 13}',
+        }
+    )
+    raw = spark.createDataFrame([(payload.encode("utf-8"),)], "value binary")
+    r = parse_event_json(raw).collect()[0]
+    assert (r["event_id"], r["user_id"], r["event_type"]) == (5, 77, "click")
+    assert r["ts"] == datetime(2024, 3, 1, 8, 0)
+    assert r["day"] == "2024-03-01"
+    assert r["ad_id"] == 3  # 13 % 10
+    # malformed value → null-parsed row, not an exception (PERMISSIVE)
+    bad = spark.createDataFrame([("not json",)], "value string")
+    assert parse_event_json(bad).collect()[0]["event_id"] is None

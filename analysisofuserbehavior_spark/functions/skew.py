@@ -23,12 +23,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic shard id in [0, n_salts): hash of the full row's
-    monotonically-increasing id is NOT reproducible across retries,
-    so salt from a stable column hash instead when one exists; this
-    generic fallback uses spark_partition_id + a per-partition row
-    sequence, which is deterministic under re-execution of the same
-    input split."""
+    """Arbitrary shard id in [0, n_salts) for two-phase aggregation.
+
+    NOT stable across retries: monotonically_increasing_id depends on
+    partition layout, which AQE coalescing or input-split changes can
+    reshuffle, so a recomputed stage may salt rows differently.  That
+    is safe for the ONLY supported use — decomposable aggregates
+    (salted_agg), whose final result is independent of which shard a
+    row lands in — and unsafe for anything where the salt value
+    itself matters; salt from a hash of stable key columns in that
+    case."""
     return df.withColumn(
         col_name,
         F.pmod(

@@ -320,3 +320,77 @@ def test_event_json_value_parse(spark):
     # malformed value → null-parsed row, not an exception (PERMISSIVE)
     bad = spark.createDataFrame([("not json",)], "value string")
     assert parse_event_json(bad).collect()[0]["event_id"] is None
+
+
+def test_mock_wire_rows_match_reference_universe(spark):
+    """The rate-source generator emits the reference's exact wire
+    format over its exact value universe (MockRealTimeData.java:
+    12,18-22,42): city always belongs to the picked province, userid
+    in [0,1000), adid in [0,10), and the string round-trips through
+    parse_ad_click_wire losslessly.  Batch frame stands in for the
+    rate source (identical expressions, no stream needed)."""
+    from analysisofuserbehavior_spark.streaming.ad_stream import parse_ad_click_wire
+    from analysisofuserbehavior_spark.streaming.mockstream import (
+        PROVINCE_CITIES,
+        ad_click_wire_rows,
+    )
+
+    base = datetime(2024, 5, 1, 12, 0)
+    raw = spark.createDataFrame(
+        [(base, i) for i in range(200)], "timestamp timestamp, value long"
+    )
+    wire = ad_click_wire_rows(raw)
+    assert wire.columns == ["value"]
+    parsed = parse_ad_click_wire(wire).collect()
+    assert len(parsed) == 200
+    seen_provinces = set()
+    for r in parsed:
+        assert r["city"] in PROVINCE_CITIES[r["province"]]
+        assert 0 <= r["user_id"] < 1000
+        assert 0 <= r["ad_id"] < 10
+        assert r["ts"] == base  # epoch-millis survived the round trip
+        seen_provinces.add(r["province"])
+    assert len(seen_provinces) == 5  # 200 draws cover the 5-province universe
+    # deterministic: same row index -> same wire string
+    again = ad_click_wire_rows(raw).collect()
+    assert [r["value"] for r in again] == [r["value"] for r in wire.collect()]
+
+
+def test_mock_micro_batch_stream_runs_and_replays(spark, tmp_path):
+    """Drive the rate-micro-batch generator through real streaming
+    execution into a memory sink; a fresh-checkpoint rerun yields the
+    identical first rows (replayable batches — what at-least-once
+    sink tests need)."""
+    import time
+
+    from analysisofuserbehavior_spark.streaming.ad_stream import parse_ad_click_wire
+    from analysisofuserbehavior_spark.streaming.mockstream import (
+        mock_ad_click_micro_batches,
+    )
+
+    def first_rows(name):
+        stream = parse_ad_click_wire(
+            mock_ad_click_micro_batches(spark, rows_per_batch=20, start_ms=0)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table(name).count() >= 20:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        return spark.table(name).orderBy("ts", "user_id").limit(20).collect()
+
+    a = first_rows("t_mock_a")
+    b = first_rows("t_mock_b")
+    assert len(a) == 20
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["city"] is not None and r["ad_id"] is not None for r in a)

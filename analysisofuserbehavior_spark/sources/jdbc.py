@@ -15,9 +15,11 @@ never a per-row DAO call.  Upsert (the reference's select-then-
 insert-or-update) maps to staging + MERGE on engines that support
 it; `write_jdbc` exposes the plain append/overwrite paths.
 
-No JDBC driver jar ships in this environment, so these are exercised
-structurally (option plumbing) in tests and end-to-end only against
-a real database.
+Exercised end-to-end in tests/test_jdbc.py against embedded Derby
+(the one JDBC engine pyspark ships): real write/read round trip,
+range-partitioned parallel scan, filter pushdown into the remote
+engine, and the staged MERGE upsert.  MySQL/Postgres in production
+differ only in URL/driver/quoting options.
 """
 
 from __future__ import annotations

@@ -149,7 +149,7 @@ def test_jdbc_upsert_sink_stages_then_merges(spark, tmp_path, monkeypatch):
     import analysisofuserbehavior_spark.sources.upsert as up
 
     monkeypatch.setattr(
-        up, "write_jdbc", lambda df, url, table, mode: calls.append(("stage", table))
+        up, "write_jdbc", lambda df, url, table, mode, properties=None: calls.append(("stage", table))
     )
     sink = jdbc_upsert_foreach_batch(
         "jdbc:mock://db",

@@ -181,6 +181,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation, exact-verified.
 
@@ -194,7 +195,24 @@ def minhash_lsh_pairs(
     field limit and run ~6x slower — measured, not worth it.)
     The wider signature is row-local compute; candidate volume grows
     at mid similarities but every candidate is verified exactly, so
-    only work — never precision — is affected."""
+    only work — never precision — is affected.
+
+    Two physical structures, same results (equality pytest-pinned):
+
+    - default (fat band join): the per-doc shingle set rides through
+      the band self-join — bands × |set| × 8 B per doc of shuffle,
+      but candidate verification is row-local on the joined row.
+      Fewest shuffles; the right shape up to ~TB corpora.
+    - `checkpoint_dir` set (slim band join): (doc_id, shs, sig) is
+      written ONCE to a parquet table; the self-join moves only
+      (doc_id, band, bucket) triples, and the surviving candidate
+      ids re-join the checkpointed sets (two id-keyed joins) for
+      exact verification.  At PB scale the set payload dominates the
+      band join by orders of magnitude, so paying two extra slim
+      joins to keep it out is the win; the checkpoint also truncates
+      lineage so the expensive shingle aggregate runs exactly once
+      regardless of AQE exchange-reuse luck.
+    """
     rows_per_band = num_perm // bands
     # ONE full-table shuffle in the whole operator: hashed shingles →
     # a single hash-aggregate computing BOTH the per-doc set and all
@@ -203,11 +221,7 @@ def minhash_lsh_pairs(
     # the interpreted HOF evaluator, measured ~8x slower at 128
     # perms).  LSH band buckets and the exact verification
     # (array_intersect on the candidate pair's two sets) are
-    # row-LOCAL expressions on that set column.  The per-doc set
-    # rides through the band self-join (~bands × |set| × 8 B per
-    # doc); a petabyte corpus would instead slim the band join to
-    # (doc_id, bucket) and re-join sets from a checkpointed table —
-    # the structure swap is one line, documented here for the judge.
+    # row-LOCAL expressions on that set column.
     hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
     sets = (
         shingles(docs, k)
@@ -241,23 +255,47 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = (
-        sets.withColumn("sig", sig)
-        .select("doc_id", "shs", F.explode(band_structs).alias("b"))
-        .select("doc_id", "shs", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-    )
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.shs").alias("shs_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.shs").alias("shs_b"),
+    if checkpoint_dir is not None:
+        sets.withColumn("sig", sig).write.mode("overwrite").parquet(checkpoint_dir)
+        mat = docs.sparkSession.read.parquet(checkpoint_dir)
+        slim = (
+            mat.select("doc_id", F.explode(band_structs).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        cand_ids = (
+            slim.alias("x")
+            .join(slim.alias("y"), ["band", "bucket"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cand = cand_ids.join(
+            mat.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+            "doc_a",
+        ).join(
+            mat.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+            "doc_b",
+        )
+    else:
+        banded = (
+            sets.withColumn("sig", sig)
+            .select("doc_id", "shs", F.explode(band_structs).alias("b"))
+            .select("doc_id", "shs", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+        )
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("x.shs").alias("shs_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("y.shs").alias("shs_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
     n_a, n_b = F.size("shs_a").cast("long"), F.size("shs_b").cast("long")
     jaccard = inter.cast("double") / (n_a + n_b - inter).cast("double")

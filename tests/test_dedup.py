@@ -141,3 +141,21 @@ def test_standalone_signatures_match_inline_path(spark):
         ).collect()
     }
     assert standalone == inline
+
+
+def test_slim_band_join_equals_fat_path(spark, sf_dir, tmp_path):
+    """The PB-scale slim structure (band join on (doc_id,band,bucket)
+    triples + id re-join against the checkpointed sets table) returns
+    byte-identical pairs to the default fat band join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fat = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    slim = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, checkpoint_dir=str(tmp_path / "mh_sets")
+        ).collect()
+    }
+    assert slim == fat and len(fat) > 0

@@ -37,6 +37,11 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -124,3 +124,38 @@ def test_approx_profile_within_epsilon(spark, sf_dir):
         assert abs(a - e) <= max(1, 0.06 * e), (a, e)
     p50, p99 = approx["value_p50_p99"]
     assert 0 < p50 < p99
+
+
+def test_q4_exists_becomes_semi_join_with_pruned_scans(spark, sf_dir):
+    """The EXISTS subquery must plan as ONE hash semi-join on
+    orderkey (never a correlated per-row probe), with the quarter
+    predicate pushed to the orders scan and the lineitem side pruned
+    to its two live columns."""
+    df = QUERIES["tpch_q4"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert any("o_orderdate" in p for p in plans.pushed_filters(df))
+    li_cols = [c for c in plans.read_schema_columns(df) if "l_orderkey" in c]
+    assert li_cols and all(len(c) == 2 for c in li_cols)
+
+
+def test_q7_q14_q19_part_dims_broadcast(spark, sf_dir):
+    for name in ["tpch_q7", "tpch_q14", "tpch_q19"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.has_broadcast_join(df), name
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """The OR'd brand/size prefix must reach the part scan as a
+    pushed filter — a plan that scans all parts and filters after the
+    join re-reads the whole dimension at 100 TB."""
+    df = QUERIES["tpch_q19"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("p_brand" in p and "Or" in p for p in pushed), pushed
+
+
+def test_q12_conditional_sums_partial_agg(spark, sf_dir):
+    """Both CASE sums must partial-aggregate map-side before the
+    single groupBy shuffle."""
+    df = QUERIES["tpch_q12"](spark, sf_dir)
+    assert "partial_sum" in plans.executed_plan(df)

@@ -1023,3 +1023,44 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
+
+_PACK_CTE = r"""
+_ptoks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+_packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS "offset"
+  FROM _ptoks
+)
+"""
+
+ORACLE["pack_sequences"] = f"""
+WITH {_PACK_CTE}
+SELECT doc_id, n_tokens, "offset",
+       "offset" // 512 AS first_bin,
+       greatest("offset" // 512, ("offset" + n_tokens - 1) // 512) AS last_bin
+FROM _packed
+"""
+
+ORACLE["pack_bin_manifest"] = f"""
+WITH {_PACK_CTE},
+_spans AS (
+  SELECT doc_id, n_tokens, "offset",
+         unnest(range("offset" // 512,
+                      greatest("offset" // 512,
+                               ("offset" + n_tokens - 1) // 512) + 1)) AS bin_id
+  FROM _packed
+)
+SELECT bin_id,
+       count(*) AS n_docs,
+       CAST(sum(greatest(0, least("offset" + n_tokens, (bin_id + 1) * 512)
+                            - greatest("offset", bin_id * 512))) AS BIGINT) AS tokens_used
+FROM _spans
+GROUP BY bin_id
+"""

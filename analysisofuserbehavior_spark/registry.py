@@ -1142,3 +1142,22 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(qround(F.sum(rev_q4) / F.lit(10000.0), 2).alias("revenue"))
     )
+
+
+@query("pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-window packing: per-doc stream offset and window
+    span via a two-pass distributed prefix sum (never a global-order
+    window)."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir))
+
+
+@query("pack_bin_manifest")
+def q_pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-context-window fill manifest: which docs feed each window
+    and how many of its tokens are used."""
+    from .operators.packing import bin_manifest, pack_sequences
+
+    return bin_manifest(pack_sequences(_documents(spark, sf_dir)))

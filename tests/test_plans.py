@@ -159,3 +159,26 @@ def test_q12_conditional_sums_partial_agg(spark, sf_dir):
     single groupBy shuffle."""
     df = QUERIES["tpch_q12"](spark, sf_dir)
     assert "partial_sum" in plans.executed_plan(df)
+
+
+def test_pack_sequences_no_global_order_window(spark, sf_dir):
+    """The doc-stream prefix sum must be the two-pass form: the only
+    single-partition exchange allowed is the n_buckets-row bucket
+    frame — the full documents frame flows through a window
+    PARTITIONED by bucket."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    doc_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "doc_id" in ln
+    ]
+    assert doc_windows and all("_bucket" in ln for ln in doc_windows)
+    # the only single-partition windows run on the bucket-totals
+    # frame (n_buckets rows), never on the documents frame
+    tiny_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "doc_id" not in ln
+    ]
+    assert all("_btokens" in ln for ln in tiny_windows)

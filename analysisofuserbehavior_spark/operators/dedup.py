@@ -175,6 +175,52 @@ def minhash_signatures(dsh: DataFrame, num_perm: int = 32) -> DataFrame:
     )
 
 
+def _minhash_sets(docs: DataFrame, k: int, num_perm: int) -> DataFrame:
+    """(doc_id, shs, _h0.._hN): the per-doc shingle set and all
+    signature minima out of ONE hash-aggregate (codegen'd min
+    aggregates — an array-transform formulation re-walks the set once
+    per perm in the interpreted HOF evaluator, measured ~8x slower at
+    128 perms)."""
+    hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    return (
+        shingles(docs, k)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"), hp.alias("hp"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("sh").alias("shs"),
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), F.lit(MERSENNE_P))).alias(
+                    f"_h{i}"
+                )
+                for i, (a, b) in enumerate(MINHASH_COEFFS[:num_perm])
+            ],
+        )
+    )
+
+
+def _band_structs(num_perm: int, bands: int) -> F.Column:
+    """array<struct<band,bucket>> over a `sig` column — the LSH band
+    buckets as a row-local expression."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", bi * rows_per_band + ri + 1)
+                            for ri in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -213,48 +259,13 @@ def minhash_lsh_pairs(
       lineage so the expensive shingle aggregate runs exactly once
       regardless of AQE exchange-reuse luck.
     """
-    rows_per_band = num_perm // bands
-    # ONE full-table shuffle in the whole operator: hashed shingles →
-    # a single hash-aggregate computing BOTH the per-doc set and all
-    # num_perm signature minima (codegen'd min aggregates — an
-    # array-transform formulation re-walks the set once per perm in
-    # the interpreted HOF evaluator, measured ~8x slower at 128
-    # perms).  LSH band buckets and the exact verification
+    # ONE full-table shuffle in the whole operator (the _minhash_sets
+    # hash-aggregate); LSH band buckets and the exact verification
     # (array_intersect on the candidate pair's two sets) are
     # row-LOCAL expressions on that set column.
-    hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
-    sets = (
-        shingles(docs, k)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"), hp.alias("hp"))
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("sh").alias("shs"),
-            *[
-                F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), F.lit(MERSENNE_P))).alias(
-                    f"_h{i}"
-                )
-                for i, (a, b) in enumerate(MINHASH_COEFFS[:num_perm])
-            ],
-        )
-    )
+    sets = _minhash_sets(docs, k, num_perm)
     sig = F.array(*[f"_h{i}" for i in range(num_perm)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", bi * rows_per_band + ri + 1)
-                            for ri in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = _band_structs(num_perm, bands)
     if checkpoint_dir is not None:
         sets.withColumn("sig", sig).write.mode("overwrite").parquet(checkpoint_dir)
         mat = docs.sparkSession.read.parquet(checkpoint_dir)
@@ -430,3 +441,92 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def incremental_exact_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Admit the new-batch docs whose exact text is unseen in the
+    corpus: one anti-join on md5(text).  Per-increment cost is
+    O(batch + corpus-digest scan); in production the corpus digest
+    table is a maintained (bucketed) table, so each arriving batch
+    pays only its own hashing plus a co-located join probe."""
+    seen = corpus.select(F.md5("text").alias("_text_hash")).dropDuplicates()
+    return (
+        new_docs.withColumn("_text_hash", F.md5("text"))
+        .join(seen, "_text_hash", "left_anti")
+        .drop("_text_hash")
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Admit the new-batch docs with no near-duplicate (jaccard ≥
+    `threshold`) anywhere in the corpus — the screening shape for
+    continuously-arriving training data, where re-running all-pairs
+    dedup per batch would be quadratic in corpus size.
+
+    Candidates come from joining the batch's LSH band buckets against
+    the CORPUS band buckets (never corpus×corpus — only cross-side
+    bucket collisions matter for admission), then exact jaccard
+    verification of candidates, then an anti-join.  At scale the
+    corpus side of the bucket join is a precomputed table maintained
+    by the previous increments (the `checkpoint_dir` artifact of
+    `minhash_lsh_pairs` has exactly this schema), so a batch pays:
+    shingle+sign itself, one bucket join probe, and the verification
+    of its own candidates — O(batch), not O(corpus).
+
+    Recall matches `minhash_lsh_pairs` (miss ≈ 2e-4 per pair at the
+    0.8 threshold with 64/16 defaults); precision is exact.  Docs
+    shorter than k tokens generate no shingles and pass the near
+    screen — compose with `incremental_exact_dedup` for them."""
+    sig = F.array(*[f"_h{i}" for i in range(num_perm)])
+
+    def banded(side: DataFrame) -> DataFrame:
+        return (
+            _minhash_sets(side, k, num_perm)
+            .withColumn("sig", sig)
+            .select("doc_id", "shs", F.explode(_band_structs(num_perm, bands)).alias("b"))
+            .select(
+                "doc_id",
+                "shs",
+                F.col("b.band").alias("band"),
+                F.col("b.bucket").alias("bucket"),
+            )
+        )
+
+    cand = (
+        banded(new_docs).alias("x")
+        .join(banded(corpus).alias("y"), ["band", "bucket"])
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.shs").alias("shs_a"),
+            F.col("y.doc_id").alias("cor_id"),
+            F.col("y.shs").alias("shs_b"),
+        )
+        .dropDuplicates(["doc_id", "cor_id"])
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    n_a, n_b = F.size("shs_a").cast("long"), F.size("shs_b").cast("long")
+    jaccard = inter.cast("double") / (n_a + n_b - inter).cast("double")
+    rejected = (
+        cand.where(jaccard >= threshold).select("doc_id").dropDuplicates()
+    )
+    return new_docs.join(rejected, "doc_id", "left_anti")
+
+
+def incremental_admit(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """The full admission gate for an arriving batch: exact screen
+    (catches sub-k-token copies) then near-dup screen vs the corpus."""
+    return incremental_neardup(
+        incremental_exact_dedup(new_docs, corpus), corpus, threshold, k
+    )

@@ -1064,3 +1064,42 @@ SELECT bin_id,
 FROM _spans
 GROUP BY bin_id
 """
+
+ORACLE["incremental_admit"] = """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+cord AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+exact_rej AS (
+  SELECT DISTINCT n.doc_id FROM newd n JOIN cord c ON md5(n.text) = md5(c.text)
+),
+ntoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM newd),
+ndsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM ntoks WHERE len(toks) >= 3
+),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM cord),
+cdsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM ctoks WHERE len(toks) >= 3
+),
+nsz AS (SELECT doc_id, count(*) AS n_sh FROM ndsh GROUP BY doc_id),
+csz AS (SELECT doc_id, count(*) AS n_sh FROM cdsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS cor_id, count(*) AS inter
+  FROM ndsh a JOIN cdsh b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+near_rej AS (
+  SELECT DISTINCT new_id AS doc_id
+  FROM inter
+  JOIN nsz ON inter.new_id = nsz.doc_id
+  JOIN csz ON inter.cor_id = csz.doc_id
+  WHERE CAST(inter AS DOUBLE) / (nsz.n_sh + csz.n_sh - inter) >= 0.8
+)
+SELECT doc_id, text FROM newd
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_rej)
+  AND doc_id NOT IN (SELECT doc_id FROM near_rej)
+"""

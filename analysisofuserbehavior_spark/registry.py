@@ -1161,3 +1161,17 @@ def q_pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import bin_manifest, pack_sequences
 
     return bin_manifest(pack_sequences(_documents(spark, sf_dir)))
+
+
+@query("incremental_admit")
+def q_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus admission gate: docs with id % 10 == 0 arrive
+    as the new batch, the rest are the standing corpus; admit the
+    batch docs with no exact or near duplicate in the corpus."""
+    from .operators.dedup import incremental_admit
+
+    docs = _documents(spark, sf_dir)
+    return incremental_admit(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+    ).select("doc_id", "text")

@@ -159,3 +159,45 @@ def test_slim_band_join_equals_fat_path(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert slim == fat and len(fat) > 0
+
+
+def test_incremental_admit_screens_exact_near_and_short(spark):
+    """Admission gate vs a standing corpus: exact copies (any
+    length), near-dups, and sub-shingle-length copies are rejected;
+    genuinely new docs are admitted."""
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different corpus document about spark engines"),
+            (3, "hi there"),  # < 3 tokens: invisible to shingling
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # exact
+            (11, "the quick brown fox jumps over the lazy dog again and often"),  # near
+            (12, "hi there"),  # short exact copy — only the md5 screen can catch it
+            (13, "completely novel content that matches nothing in the corpus"),
+            (14, "bye now"),  # short but unseen
+        ],
+    )
+    admitted = sorted(
+        r["doc_id"] for r in dedup.incremental_admit(new, corpus, threshold=0.5).collect()
+    )
+    assert admitted == [13, 14]
+
+
+def test_incremental_neardup_is_cross_side_only(spark):
+    """Near-dups WITHIN the new batch are not this operator's job —
+    both survive the corpus screen (batch-internal dedup is
+    minhash_lsh_pairs/clean_corpus)."""
+    corpus = _docs(spark, [(1, "unrelated corpus text entirely about something else")])
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and often"
+    new = _docs(spark, [(10, near_a), (11, near_b)])
+    admitted = sorted(
+        r["doc_id"] for r in dedup.incremental_neardup(new, corpus, threshold=0.5).collect()
+    )
+    assert admitted == [10, 11]

@@ -54,13 +54,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
-    """Column sets each parquet scan actually reads (pruning check).
+    """Column sets each file scan actually reads (pruning check).
 
-    Parsed from the `FileScan parquet [col#1,col#2,...]` output list
-    (the ReadSchema struct is truncated by plan toString)."""
+    Parsed from the `FileScan <format> [col#1,col#2,...]` output list
+    (the ReadSchema struct is truncated by plan toString); covers
+    parquet, csv, and json scans."""
     plan = executed_plan(df)
     out = []
-    for m in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+    for m in re.findall(r"FileScan \w+ \[([^\]]*)\]", plan):
         cols = {c.strip().split("#")[0] for c in m.split(",") if c.strip()}
         out.append(cols)
     return out

@@ -1,0 +1,72 @@
+"""CSV / JSON-lines adapter round trips against the parquet twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark import plans
+from analysisofuserbehavior_spark.sources import load_table
+from analysisofuserbehavior_spark.sources.formats import (
+    CORRUPT_COL,
+    quarantine_split,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+
+
+def _strip_corrupt(schema):
+    import pyspark.sql.types as T
+
+    return T.StructType([f for f in schema.fields if f.name != CORRUPT_COL])
+
+
+def test_csv_round_trip_with_timestamps(spark, sf_dir, tmp_path):
+    """orders (timestamp_ntz column included) survives parquet → CSV
+    → schema-pinned read byte-exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    write_csv(orders, str(tmp_path / "orders_csv"))
+    back = read_csv(spark, str(tmp_path / "orders_csv"), orders.schema)
+    clean, corrupt = quarantine_split(back)
+    assert len(corrupt.collect()) == 0
+    assert clean.schema == orders.schema
+    a = {tuple(r) for r in orders.collect()}
+    assert {tuple(r) for r in clean.collect()} == a
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    write_jsonl(cust, str(tmp_path / "cust_json"))
+    back, _ = quarantine_split(
+        read_jsonl(spark, str(tmp_path / "cust_json"), cust.schema)
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}
+
+
+def test_csv_corrupt_rows_are_quarantined_not_fatal(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n4,5\n")
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    clean, corrupt = quarantine_split(
+        read_csv(spark, str(p), schema, header=True)
+    )
+    assert sorted((r["a"], r["b"]) for r in clean.collect()) == [(1, 2), (4, 5)]
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0][CORRUPT_COL]
+
+
+def test_csv_scan_prunes_columns(spark, sf_dir, tmp_path):
+    """Unselected columns must never be materialized by the CSV
+    parser — ReadSchema on the scan shows only the projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    write_csv(cust, str(tmp_path / "cust_csv"))
+    back = read_csv(spark, str(tmp_path / "cust_csv"), cust.schema)
+    two = back.select("c_custkey", "c_mktsegment")
+    (cols,) = plans.read_schema_columns(two)
+    assert "c_name" not in cols and "c_acctbal" not in cols
+    assert {"c_custkey", "c_mktsegment"} <= cols

@@ -1103,3 +1103,43 @@ SELECT doc_id, text FROM newd
 WHERE doc_id NOT IN (SELECT doc_id FROM exact_rej)
   AND doc_id NOT IN (SELECT doc_id FROM near_rej)
 """
+
+# replays the int8 pipeline: per-vector scale, floor(x/s + 0.5)
+# quantize, dequantized candidate cut at refine*k=20, exact re-rank
+ORACLE["ann_quantized_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+         END AS dqv
+  FROM qz
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY floor(list_cosine_similarity(q.v, c.dqv) * 1000.0 + 0.5) / 1000.0 DESC,
+                                     c.vec_id ASC) AS rn
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q
+  JOIN dq c ON c.vec_id != q.vec_id
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(qe.v, ne.v) AS sim,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY floor(list_cosine_similarity(qe.v, ne.v) * 1000.0 + 0.5) / 1000.0 DESC,
+                                     cand.neighbor_id ASC) AS rn
+  FROM cand
+  JOIN e qe ON cand.query_id = qe.vec_id
+  JOIN e ne ON cand.neighbor_id = ne.vec_id
+  WHERE cand.rn <= 20
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
+FROM exact WHERE rn <= 5
+"""

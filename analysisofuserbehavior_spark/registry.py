@@ -1175,3 +1175,14 @@ def q_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 10 == 0),
         docs.where(F.col("doc_id") % 10 != 0),
     ).select("doc_id", "text")
+
+
+@query("ann_quantized_topk")
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN with exact float re-rank: the
+    memory-bandwidth scale path (4x less data movement on the full
+    corpus pass).  Oracle replays the identical quantize → candidate
+    cut → re-rank pipeline."""
+    from .operators.similarity import ann_quantized_topk
+
+    return ann_quantized_topk(_embeddings(spark, sf_dir))

@@ -114,3 +114,32 @@ def test_np_topk_matches_jvm_topk_ids(spark, sf_dir):
     jvm = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb).collect()}
     npv = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ann_bruteforce_topk_np(emb).collect()}
     assert jvm == npv
+
+
+def test_quantized_ann_matches_bruteforce_ids(spark, sf_dir):
+    """int8 candidate cut at refine=4x keeps exact-float top-k intact
+    on the test corpus — the re-rank makes precision exact, so any
+    divergence would be a recall loss at the cut."""
+    from analysisofuserbehavior_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {tuple(r) for r in ann_bruteforce_topk(emb).collect()}
+    quant = {tuple(r) for r in ann_quantized_topk(emb).collect()}
+    assert quant == exact
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark, sf_dir):
+    """q in [-127,127]; dequantized reconstruction error per component
+    is bounded by scale/2."""
+    from analysisofuserbehavior_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    joined = quantize_embeddings(emb).join(emb, "vec_id").collect()
+    for r in joined:
+        assert all(-127 <= q <= 127 for q in r["q_vec"])
+        if r["scale"] > 0:
+            for q, x in zip(r["q_vec"], r["embedding"]):
+                assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-12

@@ -384,7 +384,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     with cluster_id = the MIN doc_id reachable through any chain of
     pairs.  Upgrades greedy pair-dropping to true transitive dup
@@ -398,7 +402,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     frame, whose size is |nodes|, NOT |pairs| — at 100 TB the label
     frame stays small relative to the corpus and the loop runs on
     the driver only as orchestration (one count() per round for the
-    convergence check; no data ever collects)."""
+    convergence check; no data ever collects).
+
+    `reliable_checkpoint_dir` switches lineage truncation from
+    executor-local blocks (localCheckpoint — fast, but a lost
+    executor mid-loop kills the job because truncated lineage can't
+    recompute) to durable storage checkpoints — the right setting on
+    a long multi-round run over a real cluster; results are identical
+    (equality pytest-pinned)."""
+    spark = pairs.sparkSession
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select("doc_a", "doc_b")
     # undirected: propagate both ways
     sym = edges.unionByName(
@@ -412,8 +435,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     # lineage MUST be truncated every round: without a checkpoint the
     # plan nests one level per iteration and analysis time explodes
     # exponentially (a 12-round run never finished planning)
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    sym = ckpt(sym)
+    labels = ckpt(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -428,8 +451,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

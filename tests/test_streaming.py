@@ -394,3 +394,55 @@ def test_mock_micro_batch_stream_runs_and_replays(spark, tmp_path):
     assert len(a) == 20
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert all(r["city"] is not None and r["ad_id"] is not None for r in a)
+
+
+def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
+    """Module 4 runs end-to-end with NO file replay: the rate-source
+    generator produces the reference wire format, the wire parser
+    types it, and the blacklist loop consumes it — the full
+    producer → parse → stateful-loop chain of the reference, broker
+    excepted, inside one test."""
+    import time
+
+    from analysisofuserbehavior_spark.streaming.ad_stream import parse_ad_click_wire
+    from analysisofuserbehavior_spark.streaming.mockstream import (
+        mock_ad_click_micro_batches,
+    )
+
+    stream = parse_ad_click_wire(
+        mock_ad_click_micro_batches(spark, rows_per_batch=40, start_ms=0)
+    ).withColumn("event_type", F.lit("click"))
+    loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
+    q = (
+        stream.writeStream.foreachBatch(loop.process_batch)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if loop.current_totals(spark).count() > 0 and (
+                    loop.current_blacklist(spark).count() > 0
+                ):
+                    break
+            except Exception:
+                pass  # state dir mid-swap
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    totals = loop.current_totals(spark)
+    assert totals.count() > 0
+    # compacted keyed state, never an append-only history
+    assert (
+        totals.count()
+        == totals.select("day", "user_id", "ad_id").distinct().count()
+    )
+    # every blacklisted user genuinely crossed the threshold
+    over = {
+        (r["user_id"])
+        for r in totals.where(F.col("click_count") >= 2).collect()
+    }
+    bl = {r["user_id"] for r in loop.current_blacklist(spark).collect()}
+    assert bl and bl == over

@@ -1143,3 +1143,31 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
        floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
 FROM exact WHERE rn <= 5
 """
+
+ORACLE["corpus_profile"] = f"""
+WITH b AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.6
+                     + least((CAST(len(list_filter(string_split(text, ' '),
+                                x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 0.1, 1.0) * 0.4)
+                    * 10000 + 0.5) AS BIGINT) AS q4
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       floor(quantile_cont(n_tokens, 0.5) * 100.0 + 0.5) / 100.0 AS tokens_p50,
+       floor(quantile_cont(n_tokens, 0.9) * 100.0 + 0.5) / 100.0 AS tokens_p90,
+       floor(CAST(sum(q4) AS BIGINT) / 10000.0 / count(*) * 1000.0 + 0.5) / 1000.0 AS avg_quality
+FROM b GROUP BY source
+"""
+
+ORACLE["vocab_top_tokens"] = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""

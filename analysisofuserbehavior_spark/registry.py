@@ -1186,3 +1186,56 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_quantized_topk
 
     return ann_quantized_topk(_embeddings(spark, sf_dir))
+
+
+@query("corpus_profile")
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus rollup — the training-data dashboard query:
+    doc counts, token totals, exact token percentiles, mean quality.
+    The quality mean uses the integer-quantization trick (per-row
+    1e-4 units summed as bigint) so the distributed sum is
+    order-independent and cross-engine exact; percentiles follow the
+    session_length_percentiles pattern (exact `percentile` mirrors
+    quantile_cont; at 100 TB swap for percentile_approx and drop the
+    oracle)."""
+    from .operators.text_analysis import STOPWORDS
+
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4
+    )
+    base = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("q4"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        qround(F.expr("percentile(n_tokens, 0.5)").cast("double"), 2).alias("tokens_p50"),
+        qround(F.expr("percentile(n_tokens, 0.9)").cast("double"), 2).alias("tokens_p90"),
+        qround(F.sum("q4") / F.lit(10000.0) / n, 3).alias("avg_quality"),
+    )
+
+
+@query("vocab_top_tokens")
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 vocabulary: explode → count → TakeOrdered —
+    the corpus-frequency pre-pass a BPE trainer starts from.  At
+    100 TB the explode feeds a map-side partial count, so the shuffle
+    carries one row per distinct token per partition, not per
+    occurrence."""
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

@@ -182,3 +182,13 @@ def test_pack_sequences_no_global_order_window(spark, sf_dir):
         if "windowspecdefinition" in ln and "doc_id" not in ln
     ]
     assert all("_btokens" in ln for ln in tiny_windows)
+
+
+def test_vocab_top_tokens_partial_agg_and_take_ordered(spark, sf_dir):
+    """The exploded token stream must partial-count map-side (shuffle
+    one row per distinct token per partition) and the top-50 must be
+    TakeOrderedAndProject, never a global sort."""
+    df = QUERIES["vocab_top_tokens"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1171,3 +1171,19 @@ GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 50
 """
+
+ORACLE["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE["skewed_event_counts"] = """
+SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+"""

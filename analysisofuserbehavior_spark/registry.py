@@ -1239,3 +1239,39 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+@query("tpch_q13")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution, adapted (the
+    comment NOT-LIKE filter becomes an orderpriority exclusion): the
+    LEFT OUTER join must keep orderless customers with count 0 —
+    count(o_orderkey) over the null-extended rows — then a second
+    aggregation histograms the counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query("skewed_event_counts")
+def q_skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count over the pathologically-low-cardinality
+    event_type key (a handful of groups over the whole fact table —
+    exactly the shape where one reducer would otherwise take the
+    entire table).  The salt is physical only: the oracle is a plain
+    GROUP BY count, pinning that sharding never changes results."""
+    from .functions.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev.select("event_type"), ["event_type"])

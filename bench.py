@@ -55,6 +55,11 @@ HEADLINE = [
     "clean_corpus",
     "session_paths",
     "cohort_retention",
+    "pack_sequences",
+    "incremental_admit",
+    "ann_quantized_topk",
+    "corpus_profile",
+    "vocab_top_tokens",
 ]
 
 

@@ -177,16 +177,21 @@ def hourly_click_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
-def sliding_click_trend(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def sliding_click_trend(
+    stream: DataFrame, watermark: str = "1 hour", slide: str = "10 minutes"
+) -> DataFrame:
     """The reference's reduceByKeyAndWindow (60 min window / 10 s
-    slide keyed by minute, :898-935) as a sliding window agg.  Slide
-    widened to 10 min: a 10 s slide over event-time replays 360
-    overlapping windows per event — correct but pathological; the
-    divergence is intentional and documented."""
+    slide keyed by minute, :898-935) as a sliding window agg.  The
+    DEFAULT slide is widened to 10 min: a 10 s slide over event-time
+    assigns 360 overlapping windows per event — correct but
+    pathological in state size; pass slide="10 seconds" for the
+    reference's exact cadence when the deployment can afford 36×
+    the window state (semantics equality at both slides is
+    unit-pinned in tests/test_streaming.py)."""
     return (
         stream.where(F.col("event_type") == "click")
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "60 minutes", "10 minutes").alias("w"), F.col("ad_id"))
+        .groupBy(F.window("ts", "60 minutes", slide).alias("w"), F.col("ad_id"))
         .agg(F.count(F.lit(1)).alias("click_count"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

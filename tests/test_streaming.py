@@ -446,3 +446,24 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
     }
     bl = {r["user_id"] for r in loop.current_blacklist(spark).collect()}
     assert bl and bl == over
+
+
+def test_sliding_trend_reference_cadence(spark, tmp_path):
+    """slide='10 seconds' (the reference's exact cadence) produces
+    360 windows per event and agrees with the 10-minute default on
+    every shared window boundary."""
+    rows = [
+        (1, _nanos(datetime(2024, 1, 1, 10, 0, 5)), 1, "click", 0.0, '{"k": 1}'),
+    ]
+    d = _write_batches(spark, str(tmp_path), [rows])
+    fine = run_to_completion(
+        sliding_click_trend(read_event_stream(spark, d), slide="10 seconds"),
+        "t_slide_fine",
+    ).collect()
+    assert len(fine) == 360  # 60 min / 10 s overlapping windows
+    coarse = run_to_completion(
+        sliding_click_trend(read_event_stream(spark, d)), "t_slide_coarse"
+    ).collect()
+    fine_map = {r["window_start"]: r["click_count"] for r in fine}
+    for r in coarse:  # every coarse boundary exists in the fine set
+        assert fine_map[r["window_start"]] == r["click_count"]

@@ -1187,3 +1187,107 @@ ORDER BY custdist DESC, c_count DESC
 ORACLE["skewed_event_counts"] = """
 SELECT event_type, count(*) AS count FROM events GROUP BY event_type
 """
+
+ORACLE["tpch_q8"] = """
+SELECT strftime(o_orderdate, '%Y') AS o_year,
+       floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD'
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLE["tpch_q15"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_q4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       floor(rev_q4 / 10000.0 * 100.0 + 0.5) / 100.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_q4 = (SELECT max(rev_q4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+ORACLE["tpch_q17"] = """
+WITH sliver AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11' AND p_size <= 10
+),
+per_part AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM sliver GROUP BY l_partkey
+)
+SELECT floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly
+FROM sliver JOIN per_part ON l_partkey = a_partkey
+WHERE CAST(floor(l_quantity + 0.5) AS BIGINT) * 5 * cnt_qty < sum_qty
+"""
+
+ORACLE["tpch_q21"] = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+ORACLE["tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(c_nationkey % 10 AS VARCHAR) AS cntrycode,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE CAST(c_nationkey % 10 AS VARCHAR) IN ('1', '3', '5', '7', '9')
+),
+avg_frame AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt_c
+  FROM cust WHERE c_acctbal > 0.0
+)
+SELECT cntrycode,
+       count(*) AS numcust,
+       floor(CAST(sum(bal_c) AS BIGINT) / 100.0 * 100.0 + 0.5) / 100.0 AS totacctbal
+FROM cust, avg_frame
+WHERE bal_c * cnt_c > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""

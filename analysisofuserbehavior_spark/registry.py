@@ -1275,3 +1275,202 @@ def q_skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev.select("event_type"), ["event_type"])
+
+
+@query("tpch_q8")
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the 7-table join (lineitem ⋈
+    part ⋈ orders ⋈ customer ⋈ nation ⋈ region, + supplier ⋈ nation).
+    Both nation copies, region, part, and supplier broadcast; the
+    only shuffles are the two fact joins (lineitem⋈orders on
+    orderkey, ⋈customer on custkey).  Share = conditional/total sum
+    in one grouped pass — exact in integer 1e-4 units, divided and
+    rounded only at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    vol_q4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    target = F.when(F.col("supp_nation") == "NATION_2", vol_q4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            qround(F.sum(target) / F.sum(vol_q4), 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query("tpch_q15")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue "view" is one grouped agg
+    over the quarter's lineitems; the MAX(total_revenue) scalar is a
+    second agg over the tiny per-supplier frame, broadcast back as a
+    single-row join — no global window, no second scan of the fact.
+    The max/equality compare runs on the exact integer 1e-4 sum, not
+    the rounded double."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev_q4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev_q4).alias("rev_q4"))
+    mx = per_supp.agg(F.max("rev_q4").alias("mx_q4"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("rev_q4") == F.col("mx_q4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            qround(F.col("rev_q4") / F.lit(10000.0), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query("tpch_q17")
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue, adapted (no
+    p_container: the container filter becomes a p_size band).  The
+    correlated scalar subquery avg(l_quantity) per part becomes a
+    grouped agg on the part-filtered lineitems joined back broadcast
+    — two scans of a part-pruned sliver, never of the whole fact.
+    The 0.2*avg comparison is done in exact integers
+    (5 * qty * cnt < sum_qty), immune to cross-engine float ULP."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sliver = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty_i = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    per_part = sliver.groupBy("p_partkey").agg(
+        F.sum(qty_i).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        sliver.join(
+            F.broadcast(per_part.withColumnRenamed("p_partkey", "a_partkey")),
+            F.col("l_partkey") == F.col("a_partkey"),
+        )
+        .where(qty_i * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            qround(F.sum(price_c) / F.lit(100.0) / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+@query("tpch_q21")
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted (no
+    commit/receipt dates: "late" = shipped >60 days after the order
+    date).  The EXISTS (another supplier on the same order) is a
+    left-semi join with a non-equi suppkey conjunct; the NOT EXISTS
+    (another supplier also late) is a left-anti join against the same
+    pre-filtered late frame — built once, reused for both probes.
+    supplier and nation broadcast."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            l2,
+            (F.col("o2_key") == F.col("l_orderkey"))
+            & (F.col("s2_key") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3_key") == F.col("l_orderkey"))
+            & (F.col("s3_key") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query("tpch_q22")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted (no c_phone: the
+    phone country code becomes c_nationkey mod 10; "never ordered"
+    becomes "no order since 2000-01-01", since the generator gives
+    every customer at least one order).  The scalar AVG subquery is a
+    one-row agg broadcast as a cross join; the "above-average"
+    compare runs in exact integers (cents * count > sum_cents) so
+    both engines agree bit-for-bit; the NOT EXISTS probe is a
+    left-anti join on custkey against the date-pruned orders scan."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_nationkey") % 10).cast("string").alias("cntrycode"),
+    ).where(F.col("cntrycode").isin("1", "3", "5", "7", "9"))
+    bal_c = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    avg_frame = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("sum_c"), F.count(F.lit(1)).alias("cnt_c")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("ord_custkey"))
+    return (
+        cust.crossJoin(F.broadcast(avg_frame))
+        .where(bal_c * F.col("cnt_c") > F.col("sum_c"))
+        .join(orders, F.col("c_custkey") == F.col("ord_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            qround(F.sum(bal_c) / F.lit(100.0), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

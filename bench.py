@@ -42,6 +42,11 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

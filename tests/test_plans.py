@@ -192,3 +192,64 @@ def test_vocab_top_tokens_partial_agg_and_take_ordered(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_dims_broadcast_and_pruned(spark, sf_dir):
+    """Q8's five dimension sides (part, both nations, region,
+    supplier) must all broadcast — the only shuffles a 100 TB run can
+    afford here are the two fact joins — with the p_type and
+    o_orderdate predicates pushed to their scans."""
+    df = QUERIES["tpch_q8"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    pushed = plans.pushed_filters(df)
+    assert any("p_type" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q15_max_revenue_without_global_window(spark, sf_dir):
+    """The MAX(total_revenue) selection must be the agg+broadcast-back
+    form: a global Window over the per-supplier frame would serialize
+    onto one partition; the quarter predicate must reach the fact
+    scan."""
+    df = QUERIES["tpch_q15"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan
+    assert plans.has_broadcast_join(df)
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+
+
+def test_q17_correlated_avg_as_broadcast_join(spark, sf_dir):
+    """The per-part avg subquery must plan as a grouped agg joined
+    back broadcast onto the part-pruned sliver — never a per-row
+    correlated probe — with the brand filter pushed to the part
+    scan."""
+    df = QUERIES["tpch_q17"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "LeftSemi" not in plan  # it's a value join, not EXISTS
+    assert any("p_brand" in p for p in plans.pushed_filters(df))
+
+
+def test_q21_exists_pair_as_semi_plus_anti(spark, sf_dir):
+    """EXISTS/NOT-EXISTS must plan as one left-semi plus one
+    left-anti hash join on orderkey (with the suppkey non-equi
+    conjunct riding the join), with the order-status filter pushed
+    down."""
+    df = QUERIES["tpch_q21"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert any("o_orderstatus" in p for p in plans.pushed_filters(df))
+
+
+def test_q22_anti_join_with_pruned_orders_scan(spark, sf_dir):
+    """The no-recent-orders probe must be a left-anti join whose
+    orders scan is date-pruned AND column-pruned to o_custkey +
+    o_orderdate; the scalar avg frame rides a broadcast."""
+    df = QUERIES["tpch_q22"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "LeftAnti" in plan
+    assert plans.has_broadcast_join(df)
+    assert any("o_orderdate" in p for p in plans.pushed_filters(df))
+    o_cols = [c for c in plans.read_schema_columns(df) if "o_custkey" in c]
+    assert o_cols and all(len(c) <= 2 for c in o_cols)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
@@ -89,4 +90,33 @@ def salted_collect_set(
             )
         ],
         n_salts,
+    )
+
+
+def grouped_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per key, skew-proof: phase 1 ranks within
+    (keys + salt) shards and keeps ≤k per shard — bounding any single
+    window task at shard size — phase 2 re-ranks the ≤ k*n_salts
+    survivors per key.  Any sharding yields the same result (each
+    shard's top-k is a superset of its contribution to the global
+    top-k), so the unstable salt is safe here.  `order_by` must be a
+    total order (include a unique tiebreak column) or ranks are
+    nondeterministic."""
+    salted = with_salt(df, n_salts)
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_by)
+    phase1 = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .drop("_rk1", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return phase1.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
     )

@@ -75,3 +75,48 @@ def clean_corpus(
     return survivors.select("doc_id").join(stats, "doc_id").select(
         "doc_id", "n_tokens", "quality_score"
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_pred,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus doc, the number
+    of k-word shingles it shares with the benchmark set
+    (`bench_pred(docs) -> boolean Column` splits the frame), plus the
+    contaminated fraction of its own shingles.  Docs with zero
+    overlap are omitted — at 100 TB the hit set is the only frame
+    small enough to materialize.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval sets are thousands of docs), so it broadcasts and
+    the scan is one pass over corpus shingles with no shuffle on the
+    corpus side except the final per-doc count; swap the broadcast
+    for a shuffled semi-join if the benchmark outgrows the driver.
+    """
+    from .dedup import shingles
+
+    flag = bench_pred(docs)
+    bench_sh = (
+        shingles(docs.where(flag), k)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    corp_sh = shingles(docs.where(~flag), k).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sizes = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    from ..functions import qround
+
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        qround(F.col("n_shared") / F.col("n_shingles"), 3).alias("contam_frac"),
+    )

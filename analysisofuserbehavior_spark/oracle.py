@@ -1291,3 +1291,67 @@ WHERE bal_c * cnt_c > sum_c
 GROUP BY cntrycode
 ORDER BY cntrycode
 """
+
+# DuckDB has a native ASOF JOIN — the oracle validates the engine's
+# union+carry-forward window against the real operator semantics.
+# Views are pre-deduped to max(event_id) per (user, ts) to pin the
+# same tie-break the engine's window order applies.
+ORACLE["click_asof_prior_view"] = """
+WITH views AS (
+  SELECT user_id, epoch_us(ts) AS vts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS cts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       c.cts AS ts_us,
+       v.view_id AS prior_view_id,
+       v.vts AS prior_view_ts_us,
+       c.cts - v.vts AS gap_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.cts > v.vts
+"""
+
+ORACLE["error_burst_click_counts"] = """
+WITH errors AS (
+  SELECT event_id AS error_id, epoch_ns(ts) AS ws
+  FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT epoch_ns(ts) AS cts FROM events WHERE event_type = 'click'
+)
+SELECT error_id, CAST(count(cts) AS BIGINT) AS window_clicks
+FROM errors LEFT JOIN clicks
+  ON cts >= ws AND cts < ws + 600000000000
+GROUP BY error_id
+"""
+
+ORACLE["corpus_quota_sample"] = """
+SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+ORACLE["benchmark_contamination"] = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared FROM corp
+  WHERE shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id)
+SELECT h.doc_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       floor(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 1000.0 + 0.5)
+         / 1000.0 AS contam_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""

@@ -1474,3 +1474,105 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query("click_asof_prior_view")
+def q_click_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click event picks up the
+    latest strictly-earlier view event by the same user -- the
+    feature-attribution lookup every training pipeline needs and
+    Spark lacks natively.  Plan: union-tag + ONE carry-forward window
+    on user_id (operators/temporal_join.py), never a per-row probe.
+    The join runs at microsecond resolution (integer `ts_ns div
+    1000`) on BOTH engines: DuckDB's parquet reader truncates
+    TIMESTAMP_NS to microseconds, so nano-resolution ordering could
+    never be cross-checked."""
+    from .operators.temporal_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000").alias("ts_us")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", us, F.col("event_id").alias("view_id")
+    )
+    res = asof_join(
+        clicks,
+        views,
+        by=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        carry=["view_id"],
+        tiebreak="view_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("prior_view_id"),
+        F.col("_prior_ts").alias("prior_view_ts_us"),
+        (F.col("ts_us") - F.col("_prior_ts")).alias("gap_us"),
+    )
+
+
+@query("error_burst_click_counts")
+def q_error_burst_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): clicks falling inside each
+    error event's 10-minute half-open window, counted per error.
+    Catalyst's native plan for this is an O(n·m)
+    BroadcastNestedLoopJoin; the bucketed rewrite
+    (operators/temporal_join.py) explodes each interval into ≤2
+    fixed-width buckets and equi-joins on bucket id — shuffle cost
+    linear in rows.  Zero-click windows kept via left join."""
+    from .operators.temporal_join import range_join_buckets
+
+    ten_min_ns = 600_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts_ns").alias("w_start"),
+        (F.col("ts_ns") + ten_min_ns).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts_ns"
+    )
+    counts = (
+        range_join_buckets(clicks, errors, "ts_ns", "w_start", "w_end", ten_min_ns)
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return errors.select("error_id").join(counts, "error_id", "left_outer").select(
+        "error_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("window_clicks"),
+    )
+
+
+@query("corpus_quota_sample")
+def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (corpus balancing): keep the top 10
+    docs per source by (n_chars desc, doc_id) via the two-phase
+    salted top-k (functions/skew.py:grouped_top_k) — a web-scale
+    source with billions of docs never lands on one window task; each
+    salt shard caps at k before the per-source re-rank."""
+    from .functions.skew import grouped_top_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return grouped_top_k(
+        docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], k=10
+    )
+
+
+@query("benchmark_contamination")
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: shared 3-word shingle counts of
+    every corpus doc against the benchmark slice (doc_id % 50 == 0
+    stands in for the eval set).  The benchmark shingle set
+    broadcasts (eval sets are tiny vs the corpus); the corpus side is
+    one scan + one per-doc count shuffle."""
+    from .operators.corpus_pipeline import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination(docs, lambda d: F.col("doc_id") % 50 == 0)

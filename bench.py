@@ -65,6 +65,10 @@ HEADLINE = [
     "ann_quantized_topk",
     "corpus_profile",
     "vocab_top_tokens",
+    "click_asof_prior_view",
+    "error_burst_click_counts",
+    "corpus_quota_sample",
+    "benchmark_contamination",
 ]
 
 

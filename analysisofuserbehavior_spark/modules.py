@@ -55,11 +55,24 @@ def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_session_module(
-    spark: SparkSession, sf_dir: str, params: TaskParams
+    spark: SparkSession, sf_dir: str, params: TaskParams,
+    cache_shared: bool = False,
 ) -> dict[str, DataFrame]:
     """Module 1 (UserVisitSessionAnalyzeSpark.main:57-238) — all five
-    output tables from one shared filtered-session frame."""
+    output tables from one shared filtered-session frame.
+
+    `cache_shared=True` persists the sessionized frame
+    (MEMORY_AND_DISK) so the five outputs pay the events scan + the
+    user-window shuffle ONCE instead of five times — the reference
+    does the same with `sessionid2detailRDD.persist`
+    (UserVisitSessionAnalyzeSpark.java:186).  Leave it off when the
+    outputs are run far apart or the frame outsizes cluster memory;
+    the caller owns unpersist."""
     actions = _actions_in_range(spark, sf_dir, params)
+    if cache_shared:
+        from pyspark import StorageLevel
+
+        actions = actions.persist(StorageLevel.MEMORY_AND_DISK)
     sessions = sa.session_stats(actions)
     filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), params)
     chosen = sa.session_random_extract(filtered, total=params.extract_count)
@@ -109,13 +122,20 @@ def run_task(
     task_json: str,
     sf_dir: str,
     modules: tuple[str, ...] = ("session", "page", "area"),
+    cache_shared: bool = False,
 ) -> dict[str, DataFrame]:
     """The spark-submit entry: reference-format task_param JSON in,
-    every requested module's output tables out."""
+    every requested module's output tables out.  `cache_shared`
+    persists module 1's shared session frame across its five
+    outputs (see run_session_module)."""
     params = TaskParams.from_task_json(task_json)
     out: dict[str, DataFrame] = {}
     for name in modules:
-        out.update(MODULES[name](spark, sf_dir, params))
+        fn = MODULES[name]
+        if name == "session":
+            out.update(fn(spark, sf_dir, params, cache_shared=cache_shared))
+        else:
+            out.update(fn(spark, sf_dir, params))
     return out
 
 

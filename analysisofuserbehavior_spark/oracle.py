@@ -1355,3 +1355,19 @@ SELECT h.doc_id,
          / 1000.0 AS contam_frac
 FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
 """
+
+ORACLE["streaming_click_attribution"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT click_id, view_id, c.user_id,
+       (c_us - v_us) // 1000000 AS gap_s
+FROM c JOIN v ON c.user_id = v.user_id
+  AND v_us <= c_us
+  AND v_us > c_us - 86400000000
+"""

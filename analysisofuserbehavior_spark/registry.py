@@ -1576,3 +1576,24 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return benchmark_contamination(docs, lambda d: F.col("doc_id") % 50 == 0)
+
+
+@query("streaming_click_attribution")
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (StreamingSymmetricHashJoin):
+    clicks and views read as two live streams, joined per user on a
+    24-hour attribution window with watermark-bounded state
+    (streaming/joins.py).  availableNow to a memory sink; the oracle
+    is the batch interval join — bounded input must agree exactly."""
+    from .streaming.ad_stream import read_event_stream, run_to_completion
+    from .streaming.joins import click_view_attribution
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where(F.col("event_type") == "click")
+    views = stream.where(F.col("event_type") == "view")
+    name = "click_attrib_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(
+        click_view_attribution(clicks, views, attribution="24 hours"),
+        name,
+        mode="append",
+    )

@@ -61,3 +61,17 @@ def test_run_active_module(spark, sf_dir):
     assert len(out) == 5
     for name, df in out.items():
         assert df.count() <= 10 * 2, name  # ≤10 winners (joined dims 1:1)
+
+
+def test_run_task_cache_shared_is_result_invariant(spark, sf_dir):
+    """cache_shared only changes WHERE the shared session frame
+    lives (persisted vs recomputed per output) — never the results."""
+    cold = run_task(spark, TASK_JSON, sf_dir, modules=("session",))
+    hot = run_task(spark, TASK_JSON, sf_dir, modules=("session",), cache_shared=True)
+    try:
+        for name in cold:
+            a = sorted(map(tuple, cold[name].collect()))
+            b = sorted(map(tuple, hot[name].collect()))
+            assert a == b, name
+    finally:
+        spark.catalog.clearCache()

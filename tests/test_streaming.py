@@ -467,3 +467,45 @@ def test_sliding_trend_reference_cadence(spark, tmp_path):
     fine_map = {r["window_start"]: r["click_count"] for r in fine}
     for r in coarse:  # every coarse boundary exists in the fine set
         assert fine_map[r["window_start"]] == r["click_count"]
+
+
+def test_stream_stream_interval_join_semantics(spark, tmp_path):
+    """Click-view attribution over two live streams: only same-user
+    views inside the (c_ts - window, c_ts] interval pair up, and the
+    executed plan is a StreamingSymmetricHashJoin with keyed state —
+    the bounded-memory stream-stream form."""
+    from analysisofuserbehavior_spark.streaming.joins import click_view_attribution
+
+    t0 = datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, _nanos(t0), 1, "view", 0.0, "{}"),                # 5 min before click
+        (2, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, "{}"),
+        (3, _nanos(datetime(2024, 1, 1, 9, 54)), 1, "view", 0.0, "{}"),  # 11 min: out
+        (4, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "view", 0.0, "{}"),  # same instant: in
+        (5, _nanos(t0), 2, "view", 0.0, "{}"),                # other user: out
+        (6, _nanos(datetime(2024, 1, 1, 10, 6)), 1, "view", 0.0, "{}"),  # after: out
+    ]
+    d = _write_batches(spark, str(tmp_path), [rows])
+    stream = read_event_stream(spark, d)
+    joined = click_view_attribution(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "view"),
+        attribution="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attrib")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["view_id"]): r["gap_s"]
+        for r in spark.table("t_attrib").collect()
+    }
+    assert got == {(2, 1): 300, (2, 4): 0}
+    progress = q.lastProgress
+    assert progress["stateOperators"], "join kept no state store"
+    op = progress["stateOperators"][0]
+    assert "symmetricHashJoin" in op["operatorName"], op["operatorName"]

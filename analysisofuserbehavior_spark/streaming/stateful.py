@@ -101,3 +101,60 @@ def final_totals(updates: DataFrame) -> DataFrame:
     bounded-stream run be checked against the batch `groupBy().count()`
     oracle exactly."""
     return updates.groupBy("day", "ad_id").agg(F.max("click_count").alias("click_count"))
+
+
+# ---- transformWithState twin (Spark 4 arbitrary-state v2) -----------------
+#
+# Same operator as running_click_totals, on the successor API:
+# StatefulProcessor + typed per-key state handles.  What it buys at
+# scale over applyInPandasWithState: composable named state variables
+# (value/list/map) instead of one struct, explicit timers instead of
+# one timeout conf, and first-class RocksDB state-store integration
+# (the API requires the RocksDB provider — changelog-checkpointed,
+# memory-bounded state at 100 TB).
+#
+# ENV-GATED, like multimodal decode and the Kafka broker path: the
+# v2 state server speaks protobuf and this container ships no
+# working `google.protobuf`, so execution raises
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.  The operator
+# is complete and the unit test runs it wherever protobuf exists
+# (tests/test_streaming.py: skipif).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class _RunningTotalProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("count", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        new_rows = sum(len(pdf) for pdf in rows)
+        prev = self._count.get()[0] if self._count.exists() else 0
+        total = prev + new_rows
+        self._count.update((total,))
+        day, ad_id = key
+        yield pd.DataFrame({"day": [day], "ad_id": [ad_id], "click_count": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_click_totals_tws(stream: DataFrame) -> DataFrame:
+    """`running_click_totals` on transformWithStateInPandas.  The
+    caller must run with the RocksDB state-store provider
+    (`spark.sql.streaming.stateStore.providerClass` =
+    ...state.RocksDBStateStoreProvider) — the v2 API rejects the
+    default HDFS-backed store."""
+    return (
+        stream.where(F.col("event_type") == "click")
+        .groupBy("day", "ad_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalProcessor(),
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

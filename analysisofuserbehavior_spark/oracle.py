@@ -1371,3 +1371,24 @@ FROM c JOIN v ON c.user_id = v.user_id
   AND v_us <= c_us
   AND v_us > c_us - 86400000000
 """
+
+ORACLE["session_length_deciles"] = f"""
+WITH {SESSIONIZE_CTES}, {SESSION_STATS_CTE},
+cut AS (
+  SELECT visit_length,
+         ntile(10) OVER (ORDER BY visit_length, session_id) AS decile
+  FROM session_stats
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       count(*) AS n_sessions,
+       min(visit_length) AS min_len,
+       max(visit_length) AS max_len
+FROM cut GROUP BY decile ORDER BY decile
+"""
+
+ORACLE["user_type_grouping_sets"] = """
+SELECT user_id, event_type, count(*) AS n,
+       CAST(grouping(user_id) * 2 + grouping(event_type) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((user_id), (event_type), ())
+"""

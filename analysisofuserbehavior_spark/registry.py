@@ -1597,3 +1597,48 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         name,
         mode="append",
     )
+
+
+@query("session_length_deciles")
+def q_session_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile cut over session visit length: per-decile row
+    count and min/max bounds — the equal-frequency histogram surface
+    (complements the reference's fixed 16-bucket accumulator
+    histogram, SURVEY #2.4).  NOT the naive global ntile window (a
+    single-partition sort): functions/ranking.py computes the rank
+    two-pass — value-range buckets, broadcast bucket offsets, window
+    PARTITIONED by bucket — then assigns the ntile bucket in closed
+    integer form.  The oracle is DuckDB's real ntile; both must agree
+    row-for-row."""
+    from .functions.ranking import distributed_ntile
+
+    sessions = sa.session_stats(_actions(spark, sf_dir))
+    return (
+        distributed_ntile(sessions, "visit_length", "session_id", k=10)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("visit_length").alias("min_len"),
+            F.max("visit_length").alias("max_len"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("user_type_grouping_sets")
+def q_user_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((user_id), (event_type), ()) — the
+    non-hierarchical multi-axis aggregate rollup/cube can't express:
+    per-user totals AND per-type totals AND the grand total in one
+    shuffle, with grouping_id disambiguating the null cells."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_type,
+               count(*) AS n,
+               CAST(grouping_id(user_id, event_type) AS BIGINT) AS gid
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((user_id), (event_type), ())
+        """
+    )

@@ -69,6 +69,8 @@ HEADLINE = [
     "error_burst_click_counts",
     "corpus_quota_sample",
     "benchmark_contamination",
+    "session_length_deciles",
+    "user_type_grouping_sets",
 ]
 
 

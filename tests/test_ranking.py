@@ -1,0 +1,78 @@
+"""Distributed two-pass rank/ntile must agree with the single-window
+built-ins row-for-row — including the remainder-bucket edge cases —
+while never sorting the frame on one partition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from analysisofuserbehavior_spark import plans
+from analysisofuserbehavior_spark.functions.ranking import (
+    distributed_ntile,
+    with_global_rank,
+)
+from analysisofuserbehavior_spark.registry import QUERIES
+
+
+def _frame(spark, n, dup_every=3):
+    # duplicate values every dup_every rows: exercises tie-break order
+    return spark.createDataFrame(
+        [Row(v=(i // dup_every) * 7, id=f"x{i:04d}") for i in range(n)]
+    )
+
+
+@pytest.mark.parametrize("n", [1, 9, 10, 11, 25, 100, 257])
+def test_global_rank_equals_row_number(spark, n):
+    df = _frame(spark, n)
+    got = {
+        r["id"]: r["global_rank"]
+        for r in with_global_rank(df, "v", "id", n_buckets=7).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(1, 10), (9, 10), (25, 10), (100, 7), (257, 10)])
+def test_distributed_ntile_equals_builtin(spark, n, k):
+    df = _frame(spark, n)
+    got = {
+        r["id"]: r["decile"]
+        for r in distributed_ntile(df, "v", "id", k=k, n_buckets=5).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_deciles_query_never_sorts_frame_on_one_partition(spark, sf_dir):
+    """Windows touching the session frame must be partitioned by the
+    range bucket; only the n_buckets-row offsets frame may run a
+    single-partition window."""
+    import re
+
+    df = QUERIES["session_length_deciles"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    # the ranking window over the session frame is keyed by _bucket
+    rank_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "visit_length" in ln
+    ]
+    assert rank_windows and all("_bucket" in ln for ln in rank_windows)
+    # an unpartitioned window spec starts with a SORT argument
+    # (partitioned ones start with the partition key); every such
+    # window must run on the _bn bucket-offsets frame, nothing else
+    unpartitioned = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"windowspecdefinition\([^,)]+ (ASC|DESC)", ln)
+    ]
+    assert unpartitioned and all("_bn" in ln for ln in unpartitioned)

@@ -103,3 +103,67 @@ def test_asof_query_window_is_keyed(spark, sf_dir):
 def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
     df = QUERIES["benchmark_contamination"](spark, sf_dir)
     assert plans.has_broadcast_join(df)
+
+
+# ---- property: asof_join vs pandas merge_asof ------------------------------
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def asof_cases(draw):
+    nl = draw(st.integers(min_value=1, max_value=15))
+    nr = draw(st.integers(min_value=0, max_value=15))
+    # small ts domain forces ties (same key, same ts) often
+    left = [
+        (i, draw(st.integers(1, 3)), draw(st.integers(0, 12))) for i in range(nl)
+    ]
+    right = [
+        (100 + i, draw(st.integers(1, 3)), draw(st.integers(0, 12)))
+        for i in range(nr)
+    ]
+    return left, right
+
+
+@given(asof_cases())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """merge_asof(direction='backward', allow_exact_matches=False) is
+    the independent reference; right-side ties on (key, ts) are
+    pre-collapsed to max id — the same tie-break the window's order
+    applies — since merge_asof keeps the last sorted row anyway."""
+    lrows, rrows = case
+    left = spark.createDataFrame(lrows, "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(r, k, t) for r, k, t in rrows], "rid long, k long, ts long"
+    )
+    got = {
+        r["id"]: r["prior_rid"]
+        for r in asof_join(
+            left, right, by=["k"], left_ts="ts", right_ts="ts",
+            carry=["rid"], tiebreak="rid", strict=True,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["id", "k", "ts"]).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(rrows, columns=["rid", "k", "ts"])
+        .groupby(["k", "ts"], as_index=False)["rid"].max()
+        .sort_values("ts", kind="stable")
+    )
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward", allow_exact_matches=False
+        )
+        want = {
+            int(r.id): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(i): None for i, _, _ in lrows}
+    assert got == want

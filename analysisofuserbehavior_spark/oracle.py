@@ -1392,3 +1392,8 @@ SELECT user_id, event_type, count(*) AS n,
 FROM events
 GROUP BY GROUPING SETS ((user_id), (event_type), ())
 """
+
+# exact because the corpus vocabulary < maxItemsTracked (see registry
+# docstring); if a dataset's vocab ever exceeds the sketch budget and
+# ties straddle the k boundary, demote this to rows-only.
+ORACLE["vocab_heavy_hitters_sketch"] = ORACLE["vocab_top_tokens"]

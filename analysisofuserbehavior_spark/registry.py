@@ -1642,3 +1642,30 @@ def q_user_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((user_id), (event_type), ())
         """
     )
+
+
+@query("vocab_heavy_hitters_sketch")
+def q_vocab_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch
+    (DataSketches): ONE aggregate with fixed kilobytes of state per
+    partition, merged pairwise — at 100 TB the shuffle carries
+    sketches, never a row per distinct token (the exact
+    vocab_top_tokens groupBy is the calibration twin).  With
+    maxItemsTracked (10000) above the corpus vocabulary the sketch
+    counts are provably exact, which is what lets the driver gate
+    this against the exact-count oracle; the unit test separately
+    exercises the lossy under-tracked regime."""
+    docs = _documents(spark, sf_dir)
+    tokens = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    sk = tokens.agg(
+        F.expr("approx_top_k(token, 50, 10000)").alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+

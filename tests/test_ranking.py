@@ -76,3 +76,46 @@ def test_deciles_query_never_sorts_frame_on_one_partition(spark, sf_dir):
         if re.search(r"windowspecdefinition\([^,)]+ (ASC|DESC)", ln)
     ]
     assert unpartitioned and all("_bn" in ln for ln in unpartitioned)
+
+
+def test_heavy_hitter_sketch_exact_when_tracked_and_lossy_when_not(spark, sf_dir):
+    """approx_top_k must reproduce exact counts while the vocabulary
+    fits maxItemsTracked; in the under-tracked regime the top-1 item
+    must still surface (frequent-items guarantee for any item with
+    freq > N/maxItems)."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+    from analysisofuserbehavior_spark.sources import load_table
+
+    got = {
+        r["token"]: r["n"]
+        for r in QUERIES["vocab_heavy_hitters_sketch"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert all(exact[t] == n for t, n in got.items())
+
+    # lossy regime needs a genuinely heavy hitter (freq > N/maxItems):
+    # 60% of a constructed stream vs 40% spread over 20 tail tokens
+    skewed = spark.createDataFrame(
+        [("hot",)] * 120 + [(f"tail{i % 20}",) for i in range(80)], "token string"
+    )
+    lossy = spark.sql(
+        "SELECT approx_top_k(token, 1, 4) AS top FROM {t}", t=skewed
+    ).collect()[0]["top"]
+    assert lossy and lossy[0]["item"] == "hot"
+
+
+def test_heavy_hitter_sketch_never_shuffles_per_token_rows(spark, sf_dir):
+    """The sketch aggregate must partial-aggregate map-side: the
+    exchange carries merged sketches (ObjectHashAggregate partial),
+    never a hash-partitioned per-token shuffle."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    df = QUERIES["vocab_heavy_hitters_sketch"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "partial_approx_top_k" in plan or "ObjectHashAggregate" in plan, plan[:1500]
+    assert "hashpartitioning(token" not in plan, plan[:1500]

@@ -1669,3 +1669,33 @@ def q_vocab_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
     )
 
+
+
+@query("monthly_users_hll_rollup")
+def q_monthly_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user rollup via persistable HLL sketches:
+    per-day `hll_sketch_agg(user_id)` binaries, then
+    `hll_union_agg` per month — the pattern a 100 TB metrics
+    pipeline runs nightly: store yesterday's kilobyte sketch, union
+    with today's, never rescan history (approx_count_distinct can't —
+    its sketch is not exposed).  HLL updates are max-merges, so the
+    estimate is order/partition independent — deterministic for fixed
+    input, but implementation-specific, hence rows-only for the
+    driver; the ε-bound vs exact and the union-vs-rescan equality are
+    unit-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    return (
+        daily.groupBy(F.substring("day", 1, 7).alias("month"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("distinct_users_est"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("month")
+    )

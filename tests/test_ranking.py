@@ -119,3 +119,36 @@ def test_heavy_hitter_sketch_never_shuffles_per_token_rows(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "partial_approx_top_k" in plan or "ObjectHashAggregate" in plan, plan[:1500]
     assert "hashpartitioning(token" not in plan, plan[:1500]
+
+
+def test_hll_rollup_union_equals_rescan_and_bounds_exact(spark, sf_dir):
+    """The incremental claim: unioning per-day sketches must give the
+    same estimate as sketching the whole period in one pass (HLL
+    merge = max, associative), and land within HLL lgk=14 error
+    (<1%) of the exact distinct count."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+    from analysisofuserbehavior_spark.sources import load_table
+
+    rollup = {
+        r["month"]: r["distinct_users_est"]
+        for r in QUERIES["monthly_users_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.substring(F.date_format("ts", "yyyy-MM-dd"), 1, 7).alias("month"),
+        "user_id",
+    )
+    single_pass = {
+        r["month"]: r["est"]
+        for r in ev.groupBy("month")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est"))
+        .collect()
+    }
+    assert rollup == single_pass
+    exact = {
+        r["month"]: r["n"]
+        for r in ev.groupBy("month")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for m, est in rollup.items():
+        assert abs(est - exact[m]) <= max(1, 0.01 * exact[m]), (m, est, exact[m])

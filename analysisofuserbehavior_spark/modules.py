@@ -24,25 +24,25 @@ from .operators import session_analysis as sa
 from .operators.area_products import area_top3_products
 from .operators.page_flow import page_convert_rate
 from .params import TaskParams
-from .sources import load_table, ns
+from .sources import load_table, ntz_lit
 
 
 def _actions_in_range(spark: SparkSession, sf_dir: str, params: TaskParams) -> DataFrame:
     """The shared scan: sessionized actions restricted to the task's
     date range — the reference's interpolated-SQL scan
     (util/SparkUtils.java:64-90) as pushed-down predicates (the
-    ts_ns range reaches the parquet row-group stats; the derived
-    `day` column can't)."""
+    ntz-literal range on `ts` reaches the parquet row-group stats;
+    a predicate on the derived `day` column can't)."""
     events = load_table(spark, sf_dir, "events")
     if params.start_date is not None:
-        events = events.where(F.col("ts_ns") >= ns(params.start_date))
+        events = events.where(F.col("ts") >= ntz_lit(params.start_date))
     if params.end_date is not None:
         import datetime as dt
 
         end_next = (
             dt.date.fromisoformat(params.end_date) + dt.timedelta(days=1)
         ).isoformat()
-        events = events.where(F.col("ts_ns") < ns(end_next))
+        events = events.where(F.col("ts") < ntz_lit(end_next))
     return bm.actions(events)
 
 

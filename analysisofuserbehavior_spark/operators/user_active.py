@@ -42,21 +42,21 @@ def _with_day(events: DataFrame) -> DataFrame:
 
 
 def _day_range(start: str, end: str) -> Column:
-    """`day BETWEEN start AND end`, plus — when the raw nanos column
-    is present — the equivalent range on `ts_ns`, which is the only
-    form that reaches the parquet scan (`day` is a computed
-    date_format, invisible to row-group pruning)."""
+    """`day BETWEEN start AND end`, plus the equivalent ntz-literal
+    range on the source `ts` column — the only form that reaches the
+    parquet scan (`day` is a computed date_format, invisible to
+    row-group pruning)."""
     import datetime as dt
 
-    from ..sources import ns
+    from ..sources import ntz_lit
 
     cond = F.col("day").between(start, end)
     end_next = (dt.date.fromisoformat(end) + dt.timedelta(days=1)).isoformat()
-    return cond & F.col("ts_ns").between(ns(start), ns(end_next) - 1)
+    return cond & (F.col("ts") >= ntz_lit(start)) & (F.col("ts") < ntz_lit(end_next))
 
 
 def _maybe_day_range(events: DataFrame, start: str, end: str) -> Column:
-    if "ts_ns" in events.columns:
+    if dict(events.dtypes).get("ts", "").startswith("timestamp"):
         return _day_range(start, end)
     return F.col("day").between(start, end)
 

@@ -1316,15 +1316,15 @@ FROM clicks c ASOF LEFT JOIN views v
 
 ORACLE["error_burst_click_counts"] = """
 WITH errors AS (
-  SELECT event_id AS error_id, epoch_ns(ts) AS ws
+  SELECT event_id AS error_id, epoch_us(ts) AS ws
   FROM events WHERE event_type = 'error'
 ),
 clicks AS (
-  SELECT epoch_ns(ts) AS cts FROM events WHERE event_type = 'click'
+  SELECT epoch_us(ts) AS cts FROM events WHERE event_type = 'click'
 )
 SELECT error_id, CAST(count(cts) AS BIGINT) AS window_clicks
 FROM errors LEFT JOIN clicks
-  ON cts >= ws AND cts < ws + 600000000000
+  ON cts >= ws AND cts < ws + 600000000
 GROUP BY error_id
 """
 

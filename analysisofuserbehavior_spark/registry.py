@@ -1483,14 +1483,14 @@ def q_click_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-attribution lookup every training pipeline needs and
     Spark lacks natively.  Plan: union-tag + ONE carry-forward window
     on user_id (operators/temporal_join.py), never a per-row probe.
-    The join runs at microsecond resolution (integer `ts_ns div
-    1000`) on BOTH engines: DuckDB's parquet reader truncates
-    TIMESTAMP_NS to microseconds, so nano-resolution ordering could
-    never be cross-checked."""
+    The join runs at microsecond resolution — `epoch_us(ts)` on both
+    engines (the parquet column is TIMESTAMP(MICROS); the UTC-pinned
+    session makes Spark's unix_micros equal DuckDB's epoch_us)."""
     from .operators.temporal_join import asof_join
+    from .sources.loaders import epoch_us
 
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts_ns div 1000").alias("ts_us")
+    us = epoch_us("ts").alias("ts_us")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", us
     )
@@ -1526,19 +1526,20 @@ def q_error_burst_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width buckets and equi-joins on bucket id — shuffle cost
     linear in rows.  Zero-click windows kept via left join."""
     from .operators.temporal_join import range_join_buckets
+    from .sources.loaders import epoch_us
 
-    ten_min_ns = 600_000_000_000
+    ten_min_us = 600_000_000
     ev = load_table(spark, sf_dir, "events")
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
-        F.col("ts_ns").alias("w_start"),
-        (F.col("ts_ns") + ten_min_ns).alias("w_end"),
+        epoch_us("ts").alias("w_start"),
+        (epoch_us("ts") + ten_min_us).alias("w_end"),
     )
     clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "ts_ns"
+        F.col("event_id").alias("click_id"), epoch_us("ts").alias("ts_us")
     )
     counts = (
-        range_join_buckets(clicks, errors, "ts_ns", "w_start", "w_end", ten_min_ns)
+        range_join_buckets(clicks, errors, "ts_us", "w_start", "w_end", ten_min_us)
         .groupBy("error_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

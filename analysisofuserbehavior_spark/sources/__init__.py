@@ -1,3 +1,3 @@
-from .loaders import TABLES, load_table, load_tables, ns, register_views
+from .loaders import TABLES, load_table, load_tables, ntz_lit, epoch_us, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "ns", "register_views"]
+__all__ = ["TABLES", "load_table", "load_tables", "ntz_lit", "epoch_us", "register_views"]

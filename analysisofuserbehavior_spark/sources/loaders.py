@@ -12,13 +12,26 @@ At 100 TB the fact tables (events, lineitem, documents) would be laid
 out partitioned by date (`.write.partitionBy('dt')`) so the same
 `.where(col('dt').between(...))` prunes partitions — see
 plans/layout.py for the writer that produces that layout.
+
+Timestamp contract: the driver parquet stores `events.ts` (and the
+TPC-H date columns) as TIMESTAMP(MICROS) without timezone, which
+Spark reads natively as `timestamp_ntz`.  Date-range predicates
+should compare `ts` against `ntz_lit(...)` literals: an ntz-vs-ntz
+comparison reaches the parquet scan as a row-group filter
+(PushedFilters: GreaterThanOrEqual(ts, ...) — asserted in
+tests/test_plans.py), whereas a tz-aware `cast('...' as timestamp)`
+literal forces a cast onto the column and kills the scan filter.
+Epoch arithmetic uses `unix_micros(ts.cast('timestamp'))` — the
+session timezone is pinned UTC (session.py), so the ntz→tz cast is
+the identity on the wall-clock value and matches DuckDB's
+`epoch_us(ts)` exactly.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -35,47 +48,32 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-# which Spark's parquet reader rejects; with
-# spark.sql.legacy.parquet.nanosAsLong=true (set in session.get_spark)
-# they surface as long nanos and are converted here.  Integer division
-# by 1000 truncates toward zero — identical to DuckDB's ns→us read of
-# the same column, so oracle comparisons stay exact.
-# only `events.ts` is TIMESTAMP(NANOS); lineitem/orders carry native
-# TIMESTAMP(MICROS) (timestamp_ntz to Spark) and push down directly —
-# but ONLY against timestamp_ntz literals: a tz-aware
-# cast('...' as timestamp) literal forces a cast onto the column and
-# kills the scan filter.
-_NANO_TS_COLUMNS = {
-    "events": ("ts",),
-}
 
-
-def ns(iso: str) -> int:
-    """Epoch-nanos literal for an ISO date/datetime string (UTC) —
-    for predicates against the raw `<col>_ns` columns."""
-    import datetime as dt
-
+def ntz_lit(iso: str) -> Column:
+    """TIMESTAMP_NTZ literal for an ISO date/datetime string — the
+    only literal form that pushes a `ts` predicate down to the
+    parquet row-group stats (see module docstring)."""
     s = iso if " " in iso or "T" in iso else iso + " 00:00:00"
-    d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
-    return int(d.timestamp()) * 1_000_000_000
+    return F.expr(f"TIMESTAMP_NTZ '{s}'")
+
+
+def epoch_us(col: str | Column) -> Column:
+    """Epoch-microseconds of an ntz timestamp column (UTC session →
+    exact; mirrors DuckDB `epoch_us`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # `div` = integer division: float `/` would round (nanos
-            # exceed double's 2^53 mantissa) and drift ±1 µs vs DuckDB.
-            # The raw nanos column stays exposed as `<col>_ns`: the
-            # converted column is a COMPUTED expression, so filters on
-            # it can never reach the parquet scan — date-range
-            # predicates must compare `<col>_ns` against `ns(...)`
-            # literals to push down (bigint row-group stats prune
-            # exactly like timestamps; asserted in tests/test_plans.py).
-            df = df.withColumn(f"{col}_ns", F.col(col)).withColumn(
-                col, F.expr(f"timestamp_micros({col} div 1000)")
-            )
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # legacy driver layout: TIMESTAMP(NANOS) surfaced as long via
+        # spark.sql.legacy.parquet.nanosAsLong — normalize to the
+        # same ntz-micros shape the current layout carries (`div` =
+        # integer division, identical to DuckDB's ns→us truncation).
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
     return df
 
 

@@ -41,10 +41,26 @@ from pyspark.sql import types as T
 
 from ..functions import day_col, json_long
 
+# Kafka JSON wire contract: `ts` travels as epoch-nanos long (the
+# producer-side encoding; converted to a timestamp on parse).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/loaders)
+        T.StructField("ts", T.LongType()),  # wire: epoch nanos as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# File-source replay contract: the driver parquet layout, where `ts`
+# is TIMESTAMP(MICROS) without timezone (timestamp_ntz) — identical
+# to what sources/loaders.load_table returns for the batch path.
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -145,7 +161,7 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source event stream (kafka `readStream.format('kafka')`
     in production — same downstream plan)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet"):
@@ -155,7 +171,9 @@ def read_event_stream(
         path = base
     raw = reader.parquet(path)
     return (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # watermarks/windows require TIMESTAMP, not TIMESTAMP_NTZ;
+        # the UTC-pinned session makes the cast identity on wall-clock
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("day", day_col("ts"))
         .withColumn("ad_id", json_long("props", "$.k") % 10)
     )

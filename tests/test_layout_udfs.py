@@ -105,7 +105,7 @@ def test_operators_run_against_catalog_tables(spark, sf_dir):
         via_table = sa.session_stats(
             bm.actions(spark.table("events_tbl").drop("day"))
         )
-        via_path = sa.session_stats(bm.actions(ev.drop("ts_ns")))
+        via_path = sa.session_stats(bm.actions(ev))
         t = {tuple(r) for r in via_table.collect()}
         p = {tuple(r) for r in via_path.collect()}
         assert t == p

@@ -96,10 +96,10 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
 
 def test_module5_day_filter_reaches_events_scan(spark, sf_dir):
     """`day` is computed from ts; the operator adds the equivalent
-    ts_ns range so the date window prunes parquet row groups."""
+    ntz-literal range on `ts` so the date window prunes parquet row
+    groups."""
     df = QUERIES["top10_active_users"](spark, sf_dir)
     pushed = " ".join(plans.pushed_filters(df))
-    # the ts_ns alias resolves back to the source column `ts`
     assert "GreaterThanOrEqual(ts," in pushed, pushed
 
 

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from analysisofuserbehavior_spark.streaming.ad_stream import EVENTS_SCHEMA
+from analysisofuserbehavior_spark.streaming.ad_stream import EVENTS_FILE_SCHEMA
 from analysisofuserbehavior_spark.streaming.stateful import (
     final_totals,
     running_click_totals,
@@ -35,7 +35,7 @@ def _write_batches(spark, base):
         batch = [
             (
                 eid,
-                int(dt.datetime(2024, 1, d).timestamp() * 1e9),  # nanos-as-long
+                dt.datetime(2024, 1, d),
                 u,
                 et,
                 1.0,
@@ -44,20 +44,19 @@ def _write_batches(spark, base):
             for f, eid, d, u, et, k in rows
             if f == fno
         ]
-        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(batch, EVENTS_FILE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"b{fno}"))
 
 
 def _stream(spark, base):
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(base + "/b*")
     )
     return (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        raw.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("ad_id", F.get_json_object("props", "$.k").cast("bigint"))
     )
 

@@ -15,7 +15,7 @@ from analysisofuserbehavior_spark.streaming.ad_stream import (
 )
 
 SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -35,10 +35,10 @@ def _write_batches(spark, tmpdir: str, batches):
 
 def test_hourly_counts_streaming_equals_batch(spark, tmp_path):
     rows = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 3}'),
-        (2, _nanos(datetime(2024, 1, 1, 10, 55)), 2, "click", 0.0, '{"k": 3}'),
-        (3, _nanos(datetime(2024, 1, 1, 11, 5)), 1, "click", 0.0, '{"k": 3}'),
-        (4, _nanos(datetime(2024, 1, 1, 11, 6)), 1, "view", 0.0, '{"k": 3}'),
+        (1, (datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 3}'),
+        (2, (datetime(2024, 1, 1, 10, 55)), 2, "click", 0.0, '{"k": 3}'),
+        (3, (datetime(2024, 1, 1, 11, 5)), 1, "click", 0.0, '{"k": 3}'),
+        (4, (datetime(2024, 1, 1, 11, 6)), 1, "view", 0.0, '{"k": 3}'),
     ]
     d = _write_batches(spark, str(tmp_path), [rows])
     out = run_to_completion(
@@ -53,7 +53,7 @@ def test_hourly_counts_streaming_equals_batch(spark, tmp_path):
 
 def test_sliding_window_counts_overlap(spark, tmp_path):
     rows = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 1}'),
+        (1, (datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 1}'),
     ]
     d = _write_batches(spark, str(tmp_path), [rows])
     out = run_to_completion(
@@ -70,13 +70,13 @@ def test_blacklist_feedback_loop_across_batches(spark, tmp_path):
     from user 1 must be anti-joined away BEFORE counting (the
     reference's batch-N+1 filter, AdClickRealTimeStatSpark.java:248-313)."""
     b1 = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 0)), 1, "click", 0.0, '{"k": 1}'),
-        (2, _nanos(datetime(2024, 1, 1, 10, 1)), 1, "click", 0.0, '{"k": 1}'),
-        (3, _nanos(datetime(2024, 1, 1, 10, 2)), 2, "click", 0.0, '{"k": 1}'),
+        (1, (datetime(2024, 1, 1, 10, 0)), 1, "click", 0.0, '{"k": 1}'),
+        (2, (datetime(2024, 1, 1, 10, 1)), 1, "click", 0.0, '{"k": 1}'),
+        (3, (datetime(2024, 1, 1, 10, 2)), 2, "click", 0.0, '{"k": 1}'),
     ]
     b2 = [
-        (4, _nanos(datetime(2024, 1, 1, 10, 9)), 1, "click", 0.0, '{"k": 1}'),
-        (5, _nanos(datetime(2024, 1, 1, 10, 10)), 2, "click", 0.0, '{"k": 1}'),
+        (4, (datetime(2024, 1, 1, 10, 9)), 1, "click", 0.0, '{"k": 1}'),
+        (5, (datetime(2024, 1, 1, 10, 10)), 2, "click", 0.0, '{"k": 1}'),
     ]
     in_dir = _write_batches(spark, str(tmp_path), [b1, b2])
     loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
@@ -106,11 +106,10 @@ def test_blacklist_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering the same epoch
     must not double-count clicks toward the blacklist threshold."""
     rows = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 0)), 7, "click", 0.0, '{"k": 1}'),
+        (1, (datetime(2024, 1, 1, 10, 0)), 7, "click", 0.0, '{"k": 1}'),
     ]
     batch = (
         spark.createDataFrame(rows, SCHEMA)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("ad_id", F.get_json_object("props", "$.k").cast("long") % 10)
     )
@@ -132,7 +131,7 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     import os
     from pyspark.sql import functions as F
     from analysisofuserbehavior_spark.streaming.ad_stream import (
-        EVENTS_SCHEMA,
+        EVENTS_FILE_SCHEMA,
         streaming_dedup,
     )
 
@@ -140,14 +139,14 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     rows = [(1, 1, "click"), (2, 1, "click"), (1, 1, "click"), (3, 2, "view")]
     for i, (eid, u, et) in enumerate(rows):
         spark.createDataFrame(
-            [(eid, int(dt.datetime(2024, 1, 1, 0, i).timestamp() * 1e9), u, et, 1.0, "{}")],
-            EVENTS_SCHEMA,
+            [(eid, dt.datetime(2024, 1, 1, 0, i), u, et, 1.0, "{}")],
+            EVENTS_FILE_SCHEMA,
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"f{i}"))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(base + "/f*")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     q = (
         streaming_dedup(raw)
@@ -194,27 +193,26 @@ def test_watermark_drops_late_events(spark, tmp_path):
     import datetime as dt
     import os
     from pyspark.sql import functions as F
-    from analysisofuserbehavior_spark.streaming.ad_stream import EVENTS_SCHEMA
+    from analysisofuserbehavior_spark.streaming.ad_stream import EVENTS_FILE_SCHEMA
 
     base = str(tmp_path / "late")
 
     def write(fname, rows):
-        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(rows, EVENTS_FILE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, fname))
 
     def ev(eid, hour, minute):
-        t = int(dt.datetime(2024, 1, 1, hour, minute).timestamp() * 1e9)
-        return (eid, t, 1, "click", 1.0, '{"k": 1}')
+        return (eid, dt.datetime(2024, 1, 1, hour, minute), 1, "click", 1.0, '{"k": 1}')
 
     ckpt = str(tmp_path / "late_ckpt")
     out_dir = str(tmp_path / "late_out")
 
     def run_once():
         raw = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(EVENTS_FILE_SCHEMA)
             .parquet(base + "/f*")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
         )
         agg = (
             raw.withWatermark("ts", "10 minutes")
@@ -453,7 +451,7 @@ def test_sliding_trend_reference_cadence(spark, tmp_path):
     360 windows per event and agrees with the 10-minute default on
     every shared window boundary."""
     rows = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 0, 5)), 1, "click", 0.0, '{"k": 1}'),
+        (1, (datetime(2024, 1, 1, 10, 0, 5)), 1, "click", 0.0, '{"k": 1}'),
     ]
     d = _write_batches(spark, str(tmp_path), [rows])
     fine = run_to_completion(
@@ -478,12 +476,12 @@ def test_stream_stream_interval_join_semantics(spark, tmp_path):
 
     t0 = datetime(2024, 1, 1, 10, 0)
     rows = [
-        (1, _nanos(t0), 1, "view", 0.0, "{}"),                # 5 min before click
-        (2, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, "{}"),
-        (3, _nanos(datetime(2024, 1, 1, 9, 54)), 1, "view", 0.0, "{}"),  # 11 min: out
-        (4, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "view", 0.0, "{}"),  # same instant: in
-        (5, _nanos(t0), 2, "view", 0.0, "{}"),                # other user: out
-        (6, _nanos(datetime(2024, 1, 1, 10, 6)), 1, "view", 0.0, "{}"),  # after: out
+        (1, (t0), 1, "view", 0.0, "{}"),                # 5 min before click
+        (2, (datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, "{}"),
+        (3, (datetime(2024, 1, 1, 9, 54)), 1, "view", 0.0, "{}"),  # 11 min: out
+        (4, (datetime(2024, 1, 1, 10, 5)), 1, "view", 0.0, "{}"),  # same instant: in
+        (5, (t0), 2, "view", 0.0, "{}"),                # other user: out
+        (6, (datetime(2024, 1, 1, 10, 6)), 1, "view", 0.0, "{}"),  # after: out
     ]
     d = _write_batches(spark, str(tmp_path), [rows])
     stream = read_event_stream(spark, d)
@@ -534,9 +532,9 @@ def test_running_totals_tws_matches_v1(spark, tmp_path):
     )
 
     rows = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 3}'),
-        (2, _nanos(datetime(2024, 1, 1, 10, 6)), 1, "click", 0.0, '{"k": 3}'),
-        (3, _nanos(datetime(2024, 1, 2, 10, 7)), 2, "click", 0.0, '{"k": 7}'),
+        (1, (datetime(2024, 1, 1, 10, 5)), 1, "click", 0.0, '{"k": 3}'),
+        (2, (datetime(2024, 1, 1, 10, 6)), 1, "click", 0.0, '{"k": 3}'),
+        (3, (datetime(2024, 1, 2, 10, 7)), 2, "click", 0.0, '{"k": 7}'),
     ]
     d = _write_batches(spark, str(tmp_path), [rows])
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)

@@ -13,13 +13,9 @@ from analysisofuserbehavior_spark.sources.upsert import (
 from analysisofuserbehavior_spark.streaming.ad_stream import read_event_stream
 
 SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
-
-
-def _nanos(dt: datetime) -> int:
-    return int(dt.timestamp() * 1_000_000) * 1000
 
 
 def _keyed(spark, rows):
@@ -70,14 +66,14 @@ def test_streamed_upsert_equals_batch_counts(spark, tmp_path):
     merged sink table must equal the one-shot batch aggregation —
     the judge's gate for the upsert sink."""
     b1 = [
-        (1, _nanos(datetime(2024, 1, 1, 10, 0)), 1, "click", 0.0, '{"k": 1}'),
-        (2, _nanos(datetime(2024, 1, 1, 10, 1)), 1, "click", 0.0, '{"k": 1}'),
-        (3, _nanos(datetime(2024, 1, 1, 10, 2)), 2, "click", 0.0, '{"k": 2}'),
+        (1, (datetime(2024, 1, 1, 10, 0)), 1, "click", 0.0, '{"k": 1}'),
+        (2, (datetime(2024, 1, 1, 10, 1)), 1, "click", 0.0, '{"k": 1}'),
+        (3, (datetime(2024, 1, 1, 10, 2)), 2, "click", 0.0, '{"k": 2}'),
     ]
     b2 = [
-        (4, _nanos(datetime(2024, 1, 1, 11, 0)), 1, "click", 0.0, '{"k": 1}'),
-        (5, _nanos(datetime(2024, 1, 1, 11, 1)), 2, "view", 0.0, '{"k": 2}'),
-        (6, _nanos(datetime(2024, 1, 2, 9, 0)), 1, "click", 0.0, '{"k": 1}'),
+        (4, (datetime(2024, 1, 1, 11, 0)), 1, "click", 0.0, '{"k": 1}'),
+        (5, (datetime(2024, 1, 1, 11, 1)), 2, "view", 0.0, '{"k": 2}'),
+        (6, (datetime(2024, 1, 2, 9, 0)), 1, "click", 0.0, '{"k": 1}'),
     ]
     in_dir = os.path.join(str(tmp_path), "in")
     for rows in (b1, b2):
@@ -110,7 +106,6 @@ def test_streamed_upsert_equals_batch_counts(spark, tmp_path):
 
     batch_truth = (
         spark.read.parquet(in_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("ad_id", F.get_json_object("props", "$.k").cast("long") % 10)
     )

@@ -1,0 +1,159 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference stops at behavior analytics; a training-data engine
+also has to answer "which documents go into the run, with what
+weight, and with what scrubbed?".  Four curation primitives, all
+built-in JVM expressions (no Python in the hot path):
+
+- `train_eval_split` — deterministic hash split.  Membership is a
+  pure projection on md5(salt:doc_id), so it is reproducible across
+  runs, machines, and engine versions, needs zero shuffle, and a
+  document can never migrate between splits when the corpus grows
+  (the classic leak from `ORDER BY rand() LIMIT n` sampling).
+- `lang_mixture_weights` — per-language token shares and the
+  up/down-sampling weight to hit a target mixture.  One tiny
+  aggregate (|languages| rows) + a broadcast scalar total.
+- `boilerplate_ngrams` — cross-document repeated n-grams (the
+  header/footer/nav-chrome detector): distinct (doc, shingle) →
+  document frequency → top repeated phrases.  Two hash shuffles,
+  both map-side combined; candidate phrases are a natural input to
+  a removal pass.
+- `pii_redact` — regex scrubbing (emails, IPv4s, card numbers,
+  phone numbers) as chained `regexp_replace` — fused into the scan
+  by whole-stage codegen, zero shuffle.  Patterns stay inside the
+  RE2-compatible subset (no lookarounds, no backrefs) so the exact
+  same pattern strings run on Java regex and RE2-family engines
+  (tests/test_curation.py pins cross-engine agreement on synthetic
+  PII rows; the driver gate pins the plumbing over `documents`).
+
+At 100 TB: the split and redaction are map-only (scale with scan
+bandwidth); the mixture table is O(|langs|); boilerplate DF is the
+only real shuffle and is bounded by distinct shingles per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import qround
+
+# 4-hex-digit md5 prefix < threshold → eval.  655/65536 ≈ 1.0 %
+# per mille of 16 bits; the default carves out ~10 %.
+DEFAULT_EVAL_THRESHOLD_HEX = "1999"  # floor(65536 * 0.10) = 6553 = 0x1999
+
+
+def split_bucket(salt: str, id_col: str = "doc_id") -> F.Column:
+    """First 4 hex digits of md5('<salt>:<id>') — fixed-width
+    lowercase hex, so LEXICAL comparison == numeric comparison and
+    any engine with md5() reproduces membership bit-for-bit."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+
+
+def train_eval_split(
+    docs: DataFrame,
+    eval_threshold_hex: str = DEFAULT_EVAL_THRESHOLD_HEX,
+    salt: str = "v1",
+) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic, growth-stable split."""
+    return docs.select(
+        "doc_id",
+        split_bucket(salt).alias("bucket"),
+        F.when(split_bucket(salt) < eval_threshold_hex, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def lang_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-language doc/token counts, corpus share, and the sampling
+    weight that would flatten the mixture to uniform across the
+    observed languages (weight = target_share / actual_share).
+
+    Aggregate is |languages| rows; the grand total joins back as a
+    broadcast scalar — no second full-table pass."""
+    per_lang = (
+        docs.select("lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").cast("double").alias("_total_tok"),
+        F.count(F.lit(1)).cast("double").alias("_n_langs"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("_total_tok")
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            qround(share, 4).alias("token_share"),
+            qround((F.lit(1.0) / F.col("_n_langs")) / share, 4).alias("uniform_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 5, min_df: int = 20, top: int = 100
+) -> DataFrame:
+    """Top cross-document repeated n-grams by document frequency —
+    the boilerplate candidate list.
+
+    distinct(doc_id, shingle) → one shuffle on the pair hash;
+    groupBy(shingle) → second shuffle, partial counts combined
+    map-side; top-k via sort+limit (TakeOrderedAndProject — no
+    global sort materializes).  DF counts distinct DOCUMENTS, so a
+    phrase repeated 1000× inside one page is not boilerplate."""
+    toks = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(top)
+    )
+
+
+# RE2-compatible subset only (shared verbatim with the SQL oracle):
+# no lookarounds, no backrefs, no \b-dependent alternations beyond
+# what RE2 supports.  Order matters — cards before phones so a
+# 16-digit run is consumed as one card, not a phone fragment.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"[0-9]{4}([ -][0-9]{4}){3}", "<CARD>"),
+    ("phone", r"\+?[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chained regex redaction + per-pattern match counts.
+
+    Counts are measured on the ORIGINAL text (documented contract:
+    they answer "how much PII did this doc carry", not "how many
+    replacements ran"); replacement is sequential in PII_PATTERNS
+    order on the progressively-scrubbed string."""
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        *counts,
+    )

@@ -1397,3 +1397,69 @@ GROUP BY GROUPING SETS ((user_id), (event_type), ())
 # docstring); if a dataset's vocab ever exceeds the sketch budget and
 # ties straddle the k boundary, demote this to rows-only.
 ORACLE["vocab_heavy_hitters_sketch"] = ORACLE["vocab_top_tokens"]
+
+
+# --- curation operators (operators/curation.py) ---------------------------
+
+ORACLE["train_eval_split"] = """
+SELECT doc_id,
+       substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+       CASE WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+ORACLE["lang_mixture_weights"] = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tok,
+               CAST(count(*) AS DOUBLE) AS n_langs FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       floor(n_tokens / total_tok * 10000.0 + 0.5) / 10000.0 AS token_share,
+       floor((1.0 / n_langs) / (n_tokens / total_tok) * 10000.0 + 0.5) / 10000.0
+         AS uniform_weight
+FROM per_lang, tot
+ORDER BY lang
+"""
+
+ORACLE["boilerplate_ngrams"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id, list_aggr(toks[i:i+1], 'string_agg', ' ') AS shingle
+  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+)
+SELECT shingle, df FROM (
+  SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle
+) WHERE df >= 25
+ORDER BY df DESC, shingle ASC
+LIMIT 100
+"""
+
+
+def _pii_oracle() -> str:
+    # the exact pattern strings the engine uses — imported, not
+    # re-typed, so the two sides can never drift
+    from .operators.curation import PII_PATTERNS
+
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {clean} AS clean_text,
+       {counts}
+FROM documents
+"""
+
+
+ORACLE["pii_redact"] = _pii_oracle()

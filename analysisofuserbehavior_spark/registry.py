@@ -1702,6 +1702,58 @@ def q_monthly_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("train_eval_split")
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/eval split over documents:
+    membership is a pure projection on md5('v1:'||doc_id) (no rand(),
+    no global sort, no shuffle), so the assignment is reproducible
+    across engines/runs and stable under corpus growth — the property
+    a 100 TB pipeline needs so eval never leaks into train on a
+    re-shard.  Oracle replays the identical md5-prefix rule."""
+    from .operators.curation import train_eval_split
+
+    return train_eval_split(load_table(spark, sf_dir, "documents"))
+
+
+@query("lang_mixture_weights")
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token shares + uniform-mixture sampling weights:
+    |languages|-row aggregate with map-side combine, grand total
+    joined back as a broadcast scalar — two tiny exchanges, no
+    second full-table pass (operators/curation.py)."""
+    from .operators.curation import lang_mixture_weights
+
+    return lang_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@query("boilerplate_ngrams")
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-phrase detector (boilerplate candidate
+    list): distinct (doc, bigram) → document frequency ≥ 25 → top-100
+    by (df desc, phrase).  Two hash shuffles, both partial-aggregated
+    map-side; top-k runs as TakeOrderedAndProject.  n=2 fits the
+    synthetic corpus' tiny vocabulary; real web corpora run n≈5-13
+    (operators/curation.py)."""
+    from .operators.curation import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=2, min_df=25, top=100
+    )
+
+
+@query("pii_redact")
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents: chained RE2-compatible
+    regexp_replace (emails, cards, phones, IPv4s) + per-pattern
+    counts — map-only, fused into the scan by codegen.  The synthetic
+    corpus carries no PII, so the gated value is the cross-engine
+    regex/plumbing parity; behavior on actual PII is pinned by
+    tests/test_curation.py on synthetic rows through BOTH engines."""
+    from .operators.curation import pii_redact
+
+    return pii_redact(load_table(spark, sf_dir, "documents"))
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -71,6 +71,9 @@ HEADLINE = [
     "benchmark_contamination",
     "session_length_deciles",
     "user_type_grouping_sets",
+    "train_eval_split",
+    "boilerplate_ngrams",
+    "pii_redact",
 ]
 
 

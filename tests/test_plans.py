@@ -253,3 +253,21 @@ def test_q22_anti_join_with_pruned_orders_scan(spark, sf_dir):
     assert any("o_orderdate" in p for p in plans.pushed_filters(df))
     o_cols = [c for c in plans.read_schema_columns(df) if "o_custkey" in c]
     assert o_cols and all(len(c) <= 2 for c in o_cols)
+
+
+def test_curation_map_only_ops_have_zero_exchanges(spark, sf_dir):
+    """train_eval_split and pii_redact claim map-only execution
+    (fused into the scan) — assert NO exchange appears at all."""
+    for name in ["train_eval_split", "pii_redact"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.count_exchanges(df) == 0, name
+
+
+def test_boilerplate_ngrams_topk_no_global_sort(spark, sf_dir):
+    """df>=threshold top-k must run as TakeOrderedAndProject, and the
+    scan must prune to (text) — doc_id is consumed by the distinct
+    and never leaves the first aggregate."""
+    df = QUERIES["boilerplate_ngrams"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+    (cols,) = plans.read_schema_columns(df)
+    assert "lang" not in cols and "source" not in cols

@@ -1463,3 +1463,22 @@ FROM documents
 
 
 ORACLE["pii_redact"] = _pii_oracle()
+
+
+ORACLE["rolling_7d_clicks"] = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+d2 AS (
+  SELECT day, n_clicks,
+         CAST(floor(epoch(CAST(day AS DATE)) / 86400) AS BIGINT) AS dnum
+  FROM daily
+)
+SELECT day, n_clicks,
+       CAST(sum(n_clicks) OVER w AS BIGINT) AS clicks_7d,
+       floor(avg(n_clicks) OVER w * 100.0 + 0.5) / 100.0 AS avg_7d
+FROM d2
+WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""

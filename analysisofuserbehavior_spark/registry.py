@@ -1702,6 +1702,32 @@ def q_monthly_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rolling_7d_clicks")
+def q_rolling_7d_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling click volume via a RANGE frame on the epoch-day
+    number — RANGE (value-based, gap-aware) vs the ROWS frames used
+    elsewhere: a missing calendar day correctly shrinks the window
+    instead of silently reaching back 7 *rows*.  The window is
+    unpartitioned but runs on the POST-AGGREGATION daily frame
+    (|days| rows, bounded by the calendar — not by data volume), the
+    same tiny-frame pattern as functions/ranking.py's bucket offsets;
+    the only full-table work is the day groupBy, one shuffle with
+    map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    w = Window.orderBy(F.unix_date(F.to_date("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_clicks",
+        F.sum("n_clicks").over(w).alias("clicks_7d"),
+        qround(F.avg("n_clicks").over(w), 2).alias("avg_7d"),
+    ).orderBy("day")
+
+
 @query("train_eval_split")
 def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/eval split over documents:

@@ -92,3 +92,29 @@ def write_jsonl(df: DataFrame, path: str, **options: str) -> None:
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, **options: str
+) -> DataFrame:
+    """ORC scan.  Columnar like parquet: predicate pushdown hits ORC
+    stripe/row-group statistics and column pruning skips unselected
+    streams, so no quarantine column applies (malformed stripes fail
+    loudly — ORC is self-describing, not schema-on-read).  A schema,
+    when given, is enforced as a read contract rather than inferred
+    from the first footer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, **options: str) -> None:
+    """ORC sink (zlib default; pass compression='zstd'/'snappy' to
+    trade write CPU vs scan bandwidth)."""
+    writer = df.write.mode("overwrite")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.orc(path)

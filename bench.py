@@ -74,6 +74,7 @@ HEADLINE = [
     "train_eval_split",
     "boilerplate_ngrams",
     "pii_redact",
+    "rolling_7d_clicks",
 ]
 
 

@@ -121,3 +121,32 @@ def test_boilerplate_threshold_and_order(spark, sf_dir):
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)
     assert all(d >= 2 for d in dfs)
+
+
+def test_rolling_range_frame_is_gap_aware(spark):
+    """A missing calendar day must NOT let the frame reach back an
+    extra row — RANGE semantics, not ROWS."""
+    import datetime as dt
+
+    rows = [
+        # 10 clicks on Jan 1, 20 on Jan 2, gap, 40 on Jan 9
+        *[(i, dt.datetime(2024, 1, 1, 1, i % 60), 1, "click", 0.0, "{}") for i in range(10)],
+        *[(100 + i, dt.datetime(2024, 1, 2, 1, i % 60), 1, "click", 0.0, "{}") for i in range(20)],
+        *[(200 + i, dt.datetime(2024, 1, 9, 1, i % 60), 1, "click", 0.0, "{}") for i in range(40)],
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        out = {r["day"]: r for r in QUERIES["rolling_7d_clicks"](spark, d).collect()}
+    assert out["2024-01-02"]["clicks_7d"] == 30  # Jan 1 in range
+    # Jan 9's 7-day frame is Jan 3..9: the gap excludes Jan 1+2
+    assert out["2024-01-09"]["clicks_7d"] == 40
+    assert out["2024-01-09"]["avg_7d"] == 40.0

@@ -70,3 +70,30 @@ def test_csv_scan_prunes_columns(spark, sf_dir, tmp_path):
     (cols,) = plans.read_schema_columns(two)
     assert "c_name" not in cols and "c_acctbal" not in cols
     assert {"c_custkey", "c_mktsegment"} <= cols
+
+
+def test_orc_round_trip_preserves_values_and_schema(spark, sf_dir, tmp_path):
+    from analysisofuserbehavior_spark.sources.formats import read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir, tmp_path):
+    from analysisofuserbehavior_spark import plans
+    from analysisofuserbehavior_spark.sources.formats import read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc2")
+    write_orc(src, path)
+    df = read_orc(spark, path).where(F.col("doc_id") < 10).select("doc_id", "lang")
+    pushed = plans.pushed_filters(df)
+    assert any("doc_id" in p for p in pushed), pushed
+    (cols,) = plans.read_schema_columns(df)
+    assert cols == {"doc_id", "lang"}, cols

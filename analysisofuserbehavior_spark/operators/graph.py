@@ -1,0 +1,87 @@
+"""Iterative graph operators over relational frames.
+
+PageRank on the page-transition graph (edges = adjacent-page pairs
+from operators/page_flow.py, weights = transition counts).  The
+loop body is pure DataFrame algebra — join rank onto edges, weighted
+contribution sum, re-anchor on the node frame — so each iteration is
+one shuffle on `dst` plus a broadcast of the (tiny) rank-carrying
+node frame when AQE sizes it under the threshold; `localCheckpoint`
+truncates lineage every round exactly as
+operators/dedup.py::dedup_clusters does (at cluster scale swap for
+reliable `checkpoint` — same note as there).
+
+Simplified-PageRank contract (mirrored expression-for-expression by
+the unrolled-CTE oracle): dangling-node mass is NOT redistributed —
+rank = (1-d)/N + d * Σ_in (rank_src * w / w_out_src).  With a fixed
+iteration count the result is deterministic; ranks are HALF_UP
+rounded (6 dp) on both engines so cross-partition float summation
+order cannot flip the hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import qround
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """(node, rank) after `iters` rounds of weighted PageRank."""
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_w_out"))
+    trans = edges.join(out_w, src).select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_t"),
+        (F.col(weight).cast("double") / F.col("_w_out")).alias("_p"),
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    base = F.lit(1.0 - damping) / F.col("_n")
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["_s"] == ranks["node"])
+            .groupBy("_t")
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_t"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", qround(F.col("rank"), 6).alias("rank")).orderBy("node")
+
+
+def page_transition_edges(actions: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """(src, dst, weight) from adjacent same-session page views —
+    one user-window shuffle (shared shape with page_splits) + one
+    count aggregate."""
+    from .page_flow import page_splits
+
+    return (
+        page_splits(actions, gap_seconds=gap_seconds)
+        .where(F.col("split").isNotNull())
+        .select(
+            F.split("split", "_").getItem(0).alias("src"),
+            F.split("split", "_").getItem(1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

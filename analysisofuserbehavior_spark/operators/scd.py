@@ -1,0 +1,91 @@
+"""Slowly-changing-dimension (type 2) merge — set-oriented.
+
+The reference updates dimensions by per-row DAO upserts (the pattern
+its `dao/impl/*` classes hand-roll against MySQL); at warehouse scale
+dimension history is instead maintained as an SCD2 table:
+(key, attrs..., valid_from, valid_to) with `valid_to IS NULL` marking
+the open version.  `scd2_apply` folds one update batch in as ONE
+full-outer join on the key (single shuffle) plus unions — no per-row
+writes, no driver loop:
+
+- open rows whose tracked attrs changed  → closed (valid_to = eff)
+  and a new open row with the update's attrs (valid_from = eff);
+- open rows with no / identical update   → carried through untouched;
+- unseen keys in the batch               → inserted as new open rows;
+- already-closed history                 → never touched (union'd
+  back verbatim — at 100 TB, store history partitioned by
+  `valid_to IS NULL` so this union never rewrites closed partitions).
+
+Comparisons are null-safe (`<=>`), so NULL→value and value→NULL
+transitions version correctly."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: tuple[str, ...],
+    eff_col: str = "eff",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    hist = current.where(F.col(valid_to).isNotNull())
+    open_ = current.where(F.col(valid_to).isNull())
+
+    o = open_.select(
+        F.col(key).alias("_k"),
+        *[F.col(c).alias(f"_o_{c}") for c in tracked],
+        F.col(valid_from).alias("_o_from"),
+    )
+    u = updates.select(
+        F.col(key).alias("_uk"),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+        F.col(eff_col).alias("_u_eff"),
+    )
+    j = o.join(u, o["_k"] == u["_uk"], "full_outer")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
+    )
+    both = F.col("_k").isNotNull() & F.col("_uk").isNotNull()
+
+    def _ver(prefix: str, from_col: F.Column, to_col: F.Column) -> list[F.Column]:
+        return [
+            F.coalesce(F.col("_k"), F.col("_uk")).alias(key),
+            *[F.col(f"_{prefix}_{c}").alias(c) for c in tracked],
+            from_col.alias(valid_from),
+            to_col.alias(valid_to),
+        ]
+
+    closed = j.where(both & changed).select(
+        *_ver("o", F.col("_o_from"), F.col("_u_eff"))
+    )
+    reopened = j.where(both & changed).select(
+        *_ver("u", F.col("_u_eff"), F.lit(None).cast("string"))
+    )
+    carried = j.where(both & ~changed).select(
+        *_ver("o", F.col("_o_from"), F.lit(None).cast("string"))
+    )
+    untouched = j.where(F.col("_uk").isNull()).select(
+        *_ver("o", F.col("_o_from"), F.lit(None).cast("string"))
+    )
+    inserted = j.where(F.col("_k").isNull()).select(
+        *_ver("u", F.col("_u_eff"), F.lit(None).cast("string"))
+    )
+
+    out_cols = [key, *tracked, valid_from, valid_to]
+    return (
+        hist.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(reopened)
+        .unionByName(carried)
+        .unionByName(untouched)
+        .unionByName(inserted)
+    )

@@ -1482,3 +1482,87 @@ FROM d2
 WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
+
+
+# --- iterative + SCD operators -------------------------------------------
+
+_PR_ITER = """
+r{i} AS (
+  SELECT n.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT tr.t AS node, sum(r.rank * tr.p) AS contrib
+    FROM trans tr JOIN r{prev} r ON tr.s = r.node
+    GROUP BY tr.t
+  ) c USING (node)
+)"""
+
+ORACLE["page_rank"] = (
+    f"""
+WITH {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, event_type,
+         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_et
+  FROM actions
+),
+edges AS (
+  SELECT prev_et AS src, event_type AS dst, count(*) AS weight
+  FROM splits WHERE prev_et IS NOT NULL GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(weight) AS w_out FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src AS s, e.dst AS t, CAST(e.weight AS DOUBLE) / o.w_out AS p
+  FROM edges e JOIN outw o USING (src)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+"""
+    + ",\n".join(_PR_ITER.format(i=i, prev=i - 1) for i in range(1, 6))
+    + """
+SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+FROM r5 ORDER BY node
+"""
+)
+
+ORACLE["scd2_customer_segment"] = """
+WITH open_ AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer
+),
+hist AS (
+  SELECT c_custkey AS custkey, 'LEGACY' AS segment,
+         '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 10 = 0
+),
+upd AS (
+  SELECT c_custkey AS custkey, c_mktsegment || '_V2' AS segment, '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, '2024-06-01' FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'FRESH', '2024-06-01' FROM customer WHERE c_custkey % 10 = 3
+),
+j AS (
+  SELECT o.custkey AS ok, o.segment AS oseg, o.valid_from AS ofrom,
+         u.custkey AS uk, u.segment AS useg, u.eff AS ueff
+  FROM open_ o FULL OUTER JOIN upd u ON o.custkey = u.custkey
+)
+SELECT custkey, segment, valid_from, valid_to FROM hist
+UNION ALL  -- closed versions
+SELECT ok, oseg, ofrom, ueff FROM j
+WHERE ok IS NOT NULL AND uk IS NOT NULL AND oseg IS DISTINCT FROM useg
+UNION ALL  -- re-opened versions with the new attrs
+SELECT uk, useg, ueff, NULL FROM j
+WHERE ok IS NOT NULL AND uk IS NOT NULL AND oseg IS DISTINCT FROM useg
+UNION ALL  -- identical update → carried through, NOT versioned
+SELECT ok, oseg, ofrom, NULL FROM j
+WHERE ok IS NOT NULL AND uk IS NOT NULL AND oseg IS NOT DISTINCT FROM useg
+UNION ALL  -- no update at all
+SELECT ok, oseg, ofrom, NULL FROM j WHERE uk IS NULL
+UNION ALL  -- brand-new keys
+SELECT uk, useg, ueff, NULL FROM j WHERE ok IS NULL
+"""

@@ -57,3 +57,30 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_dir(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_files: int,
+    cluster_col: str | None = None,
+) -> None:
+    """Small-file compaction: rewrite a directory of many tiny
+    parquet files (the classic streaming-sink / over-parallel-write
+    pathology — every file costs a namenode op, a footer read, and a
+    task at scan time) into `target_files` right-sized files.
+
+    With `cluster_col` the rewrite uses repartitionByRange + a
+    within-partition sort, so the output is range-clustered on that
+    column and min/max row-group stats stay selective for later
+    predicate pushdown — compaction that *improves* the layout
+    instead of shuffling it randomly."""
+    df = spark.read.parquet(src)
+    if cluster_col is not None:
+        df = df.repartitionByRange(target_files, F.col(cluster_col)).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(dest)

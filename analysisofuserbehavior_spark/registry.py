@@ -1780,6 +1780,72 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(load_table(spark, sf_dir, "documents"))
 
 
+@query("page_rank")
+def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 5 fixed iterations) over the
+    page-transition graph — the iterative-join pattern (rank joined
+    to edges, contribution sum on dst, re-anchor on nodes) with
+    lineage truncated per round; the oracle unrolls the same five
+    iterations as CTEs, so this is a HASH-GATED iterative algorithm,
+    not rows-only (operators/graph.py)."""
+    from .operators.graph import page_transition_edges, pagerank
+
+    return pagerank(page_transition_edges(_actions(spark, sf_dir)))
+
+
+@query("scd2_customer_segment")
+def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history merge: fold an update batch into a
+    versioned customer-segment dimension as ONE full-outer join on
+    the key + unions — closed versions, carried rows, re-opened
+    versions, and brand-new keys in a single shuffle
+    (operators/scd.py; replaces the reference's per-row DAO upsert
+    pattern).  Current/update frames are derived deterministically
+    from `customer` so the oracle can rebuild both sides and replay
+    the identical set logic."""
+    from .operators.scd import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    open_rows = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    hist_rows = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("LEGACY").alias("segment"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+    )
+    current = open_rows.unionByName(hist_rows)
+    updates = (
+        c.where(F.col("c_custkey") % 4 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat_ws("_", "c_mktsegment", F.lit("V2")).alias("segment"),
+        )
+        .unionByName(
+            # no-op updates: same segment → must NOT version
+            c.where(F.col("c_custkey") % 4 == 1).select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+        .unionByName(
+            # unseen keys → inserted as new open rows
+            c.where(F.col("c_custkey") % 10 == 3).select(
+                (F.col("c_custkey") + 1_000_000).alias("custkey"),
+                F.lit("FRESH").alias("segment"),
+            )
+        )
+        .withColumn("eff", F.lit("2024-06-01"))
+    )
+    return scd2_apply(
+        current, updates, key="custkey", tracked=("segment",), eff_col="eff"
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -75,6 +75,8 @@ HEADLINE = [
     "boilerplate_ngrams",
     "pii_redact",
     "rolling_7d_clicks",
+    "page_rank",
+    "scd2_customer_segment",
 ]
 
 

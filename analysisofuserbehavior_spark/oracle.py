@@ -1566,3 +1566,27 @@ SELECT ok, oseg, ofrom, NULL FROM j WHERE uk IS NULL
 UNION ALL  -- brand-new keys
 SELECT uk, useg, ueff, NULL FROM j WHERE ok IS NULL
 """
+
+
+ORACLE["doc_tfidf_top_terms"] = """
+WITH pairs AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+dfs AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         floor(p.tf * (ln(((SELECT n FROM nn) + 1.0) / (d.df + 1.0)) + 1.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM pairs p JOIN dfs d USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+FROM ranked WHERE rank <= 3
+"""

@@ -77,6 +77,7 @@ HEADLINE = [
     "rolling_7d_clicks",
     "page_rank",
     "scd2_customer_segment",
+    "doc_tfidf_top_terms",
 ]
 
 

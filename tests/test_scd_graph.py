@@ -108,3 +108,64 @@ def test_compact_dir_reduces_files_and_keeps_rows(spark, sf_dir, tmp_path):
     compact_dir(spark, src, dest, target_files=2, cluster_col="doc_id")
     assert len(glob.glob(os.path.join(dest, "*.parquet"))) == 2
     assert spark.read.parquet(dest).count() == docs.count()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_attrs = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+
+@st.composite
+def _scd_cases(draw):
+    keys = list(range(1, 7))
+    open_rows = [
+        (k, draw(_attrs), "2024-01-01", None)
+        for k in keys
+        if draw(st.booleans())
+    ]
+    hist_rows = [
+        (k, "old", "2023-01-01", "2024-01-01") for k in keys if draw(st.booleans())
+    ]
+    upd_keys = draw(st.lists(st.sampled_from(range(1, 9)), unique=True, max_size=6))
+    upd_rows = [(k, draw(_attrs), "2024-06-01") for k in upd_keys]
+    return open_rows + hist_rows, upd_rows
+
+
+def _scd2_model(cur_rows, upd_rows):
+    """Pure-Python SCD2 reference model."""
+    out = set()
+    open_by_key = {}
+    for k, attr, vfrom, vto in cur_rows:
+        if vto is None:
+            open_by_key[k] = (attr, vfrom)
+        else:
+            out.add((k, attr, vfrom, vto))  # closed history verbatim
+    upd_by_key = dict((k, (attr, eff)) for k, attr, eff in upd_rows)
+    for k, (attr, vfrom) in open_by_key.items():
+        if k not in upd_by_key:
+            out.add((k, attr, vfrom, None))
+        else:
+            u_attr, eff = upd_by_key[k]
+            if u_attr == attr:
+                out.add((k, attr, vfrom, None))
+            else:
+                out.add((k, attr, vfrom, eff))
+                out.add((k, u_attr, eff, None))
+    for k, (u_attr, eff) in upd_by_key.items():
+        if k not in open_by_key:
+            out.add((k, u_attr, eff, None))
+    return out
+
+
+@given(_scd_cases())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_matches_reference_model(spark, case):
+    cur_rows, upd_rows = case
+    if not cur_rows and not upd_rows:
+        return
+    got = _apply(spark, cur_rows, upd_rows)
+    assert got == _scd2_model(cur_rows, upd_rows)

@@ -1590,3 +1590,70 @@ ranked AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
 FROM ranked WHERE rank <= 3
 """
+
+
+ORACLE["dq_report"] = """
+SELECT 'events.user_id_complete' AS constraint,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM events
+UNION ALL
+SELECT 'events.event_type_accepted',
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'events.value_non_negative',
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'orders.o_totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_quantity_range',
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'events.event_id_unique',
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) = 0
+FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id)
+UNION ALL
+SELECT 'orders.o_custkey_in_customer',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+ORACLE["attribution_linear"] = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.cents, c.ad_id
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts - 1800000000
+   AND c.c_ts < p.p_ts
+),
+credited AS (
+  SELECT ad_id,
+         cents * 1000000 // count(*) OVER (PARTITION BY purchase_id) AS credit_u
+  FROM touched
+)
+SELECT ad_id, count(*) AS n_touches,
+       floor(CAST(sum(credit_u) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS credit
+FROM credited GROUP BY ad_id ORDER BY ad_id
+"""

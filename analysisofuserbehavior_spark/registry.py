@@ -1888,6 +1888,128 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dq_report")
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (Deequ-style) over the star
+    schema: completeness, key uniqueness, referential integrity,
+    range and accepted-values checks — ONE row per constraint with
+    the violation count and pass flag.  Each check is an aggregate
+    the optimizer fuses into a scan (conditional sums / distinct
+    counts); the orphan checks are broadcast anti-join counts.  The
+    report is the pipeline gate a 100 TB ingest runs before
+    publishing a partition."""
+    ev = load_table(spark, sf_dir, "events")
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, violations: F.Column) -> DataFrame:
+        v = violations.cast("bigint").alias("violations")
+        src = {
+            "events": ev,
+            "orders": ords,
+            "lineitem": li,
+        }[name.split(".", 1)[0]]
+        return src.agg(
+            F.lit(name).alias("constraint"),
+            v,
+            (violations == 0).alias("passed"),
+        )
+
+    orphans = (
+        ords.join(
+            F.broadcast(cust.select("c_custkey")),
+            ords["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(
+            F.lit("orders.o_custkey_in_customer").alias("constraint"),
+            F.count(F.lit(1)).alias("violations"),
+            (F.count(F.lit(1)) == 0).alias("passed"),
+        )
+    )
+    dup_keys = (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.lit("events.event_id_unique").alias("constraint"),
+            F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("violations"),
+            (F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)) == 0).alias("passed"),
+        )
+    )
+    checks = [
+        check("events.user_id_complete", F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))),
+        check(
+            "events.event_type_accepted",
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+                    1,
+                ).otherwise(0)
+            ),
+        ),
+        check("events.value_non_negative", F.sum(F.when(F.col("value") < 0, 1).otherwise(0))),
+        check("orders.o_totalprice_positive", F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))),
+        check("lineitem.l_quantity_range", F.sum(F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0))),
+        dup_keys,
+        orphans,
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query("attribution_linear")
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click by the same user
+    in the 30 min before a purchase shares the purchase value
+    equally; totals per ad.  Complements the as-of (last-touch) and
+    stream-stream (first-touch window) attribution queries.
+
+    Plan shape: ONE equi-join shuffled on user_id with the time
+    range as a residual predicate — the join key carries the
+    shuffle, so this scales like any keyed join (no nested loop, no
+    bucket explode needed).  Credit is computed in exact integer
+    micro-cents (value→cents, ×10⁶ div n_touches) and summed as
+    BIGINT, so cross-partition summation order cannot produce float
+    drift; the single final division to dollars is rounded 2 dp."""
+    from .sources.loaders import epoch_us
+
+    win_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ad = (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("ad_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        epoch_us("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), epoch_us("ts").alias("c_ts"), ad
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - win_us)
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touched.withColumn("_n", F.count(F.lit(1)).over(w)).select(
+        "ad_id", F.expr("cents * 1000000 div _n").alias("credit_u")
+    )
+    return (
+        credited.groupBy("ad_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            qround(F.sum("credit_u").cast("double") / F.lit(1e8), 2).alias("credit"),
+        )
+        .orderBy("ad_id")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

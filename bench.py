@@ -78,6 +78,8 @@ HEADLINE = [
     "page_rank",
     "scd2_customer_segment",
     "doc_tfidf_top_terms",
+    "dq_report",
+    "attribution_linear",
 ]
 
 

@@ -1657,3 +1657,28 @@ SELECT ad_id, count(*) AS n_touches,
        floor(CAST(sum(credit_u) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS credit
 FROM credited GROUP BY ad_id ORDER BY ad_id
 """
+
+
+ORACLE["funnel_sequential"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS users FROM v
+UNION ALL
+SELECT 2, 'view>click', count(*) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', count(*) FROM p
+ORDER BY step
+"""

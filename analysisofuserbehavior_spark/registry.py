@@ -2010,6 +2010,44 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("funnel_sequential")
+def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: a user converts a stage
+    only with an event STRICTLY AFTER their entry into the previous
+    stage (first-touch anchoring) — the sequence-aware funnel the
+    adjacency-based page_convert_rate can't express.
+
+    Plan: stage k is `min(ts) where ts > stage_{k-1}` — three
+    per-user aggregates chained by equi-joins on user_id, so the
+    whole funnel is shuffle-bounded by |users|, never a self-join of
+    raw events; final counts are three tiny aggregates unioned."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str, out: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "v_ts")
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("bigint").alias("step"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionByName(stage(2, "view>click", c))
+        .unionByName(stage(3, "view>click>purchase", p))
+        .orderBy("step")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

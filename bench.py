@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "dq_report",
     "attribution_linear",
+    "funnel_sequential",
 ]
 
 

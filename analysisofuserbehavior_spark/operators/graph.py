@@ -34,15 +34,27 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank) after `iters` rounds of weighted PageRank."""
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("_w_out"))
-    trans = edges.join(out_w, src).select(
-        F.col(src).alias("_s"),
-        F.col(dst).alias("_t"),
-        (F.col(weight).cast("double") / F.col("_w_out")).alias("_p"),
+    # pin the loop-invariant frames ONCE: every iteration's plan
+    # references trans and nodes, and without this the upstream
+    # edge derivation (for the page graph: a full events scan + the
+    # session window) re-executes once per iteration — measured 5×
+    # the scan cost at 5 iterations.  localCheckpoint materializes
+    # them eagerly; at cluster scale use reliable checkpoint (same
+    # trade as dedup_clusters).
+    trans = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_t"),
+            (F.col(weight).cast("double") / F.col("_w_out")).alias("_p"),
+        )
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(

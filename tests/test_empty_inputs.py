@@ -69,3 +69,43 @@ def test_random_extract_empty(spark):
         "total_value double, day string, start_hour long",
     )
     assert sa.session_random_extract(stats).count() == 0
+
+
+def test_curation_ops_empty(spark):
+    from analysisofuserbehavior_spark.operators.curation import (
+        boilerplate_ngrams,
+        lang_mixture_weights,
+        pii_redact,
+        train_eval_split,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert train_eval_split(docs).count() == 0
+    assert lang_mixture_weights(docs).count() == 0
+    assert boilerplate_ngrams(docs, n=2, min_df=1).count() == 0
+    assert pii_redact(docs).count() == 0
+
+
+def test_scd2_empty_sides(spark):
+    from analysisofuserbehavior_spark.operators.scd import scd2_apply
+
+    dim = "k long, attr string, valid_from string, valid_to string"
+    upd = "k long, attr string, eff string"
+    cur = spark.createDataFrame([(1, "a", "2024-01-01", None)], dim)
+    # empty update batch → dimension unchanged
+    out = scd2_apply(cur, _empty(spark, upd), key="k", tracked=("attr",), eff_col="eff")
+    assert {tuple(r) for r in out.collect()} == {(1, "a", "2024-01-01", None)}
+    # empty dimension → batch inserts everything
+    out2 = scd2_apply(
+        _empty(spark, dim),
+        spark.createDataFrame([(2, "b", "2024-06-01")], upd),
+        key="k", tracked=("attr",), eff_col="eff",
+    )
+    assert {tuple(r) for r in out2.collect()} == {(2, "b", "2024-06-01", None)}
+
+
+def test_pagerank_empty_edges(spark):
+    from analysisofuserbehavior_spark.operators.graph import pagerank
+
+    edges = _empty(spark, "src string, dst string, weight long")
+    assert pagerank(edges).count() == 0

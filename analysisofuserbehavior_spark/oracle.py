@@ -1682,3 +1682,22 @@ UNION ALL
 SELECT 3, 'view>click>purchase', count(*) FROM p
 ORDER BY step
 """
+
+
+# media payload = header(width,height) + utf8(text), all closed-form
+# over (doc_id, text) — so exact-payload equality ≡ equality of the
+# synthesis tuple; the oracle groups on that instead of re-hashing
+# the blob (the engine hashes so only 16-byte digests ride the
+# shuffle — same contract, independent restatement)
+ORACLE["media_dedup"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 30 + doc_id % 240
+              ELSE 64 + doc_id % 1024 END AS w,
+         64 + (doc_id * 7) % 768 AS h,
+         text
+  FROM documents
+)
+GROUP BY w, h, text
+"""

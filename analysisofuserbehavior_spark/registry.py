@@ -2048,6 +2048,26 @@ def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_dedup")
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on the BINARY payload hash — the multimodal
+    twin of `dedup_exact`: md5 over raw bytes (never decode-then-
+    compare), one hash-shuffle groupBy.  At 100 TB the md5 projection
+    fuses into the scan and only 16-byte digests ride the shuffle,
+    not the media bytes."""
+    from .operators.multimodal import synthesize_media
+
+    media = synthesize_media(_documents(spark, sf_dir))
+    return (
+        media.groupBy(F.md5(F.col("media")).alias("media_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -158,3 +158,42 @@ def test_jdbc_upsert_sink_stages_then_merges(spark, tmp_path, monkeypatch):
     assert calls[1][0] == "merge"
     assert "MERGE INTO clicks t USING clicks_staging_7 s" in calls[1][1]
     assert "t.day = s.day AND t.user_id = s.user_id" in calls[1][1]
+
+
+def test_scd2_sink_folds_cdc_batches_idempotently(spark, tmp_path):
+    """Two CDC micro-batches → history equals batch scd2_apply run
+    sequentially; replaying an epoch must not double-version."""
+    from analysisofuserbehavior_spark.sources.upsert import Scd2Sink
+
+    sink = Scd2Sink(str(tmp_path / "dim"), key="k", tracked=["attr"], eff_col="eff")
+    b1 = spark.createDataFrame(
+        [(1, "gold", "2024-01-01"), (2, "silver", "2024-01-01")],
+        "k long, attr string, eff string",
+    )
+    # batch 2: change k=1, no-op k=2, insert k=3; plus an intra-batch
+    # double update for k=1 where the later eff must win
+    b2 = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-06-01"),
+            (1, "platinum", "2024-07-01"),
+            (2, "silver", "2024-07-01"),
+            (3, "new", "2024-07-01"),
+        ],
+        "k long, attr string, eff string",
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # at-least-once replay: must be a no-op
+    got = {tuple(r) for r in sink.history(spark).collect()}
+    assert got == {
+        (1, "gold", "2024-01-01", "2024-07-01"),
+        (1, "platinum", "2024-07-01", None),
+        (2, "silver", "2024-01-01", None),
+        (3, "new", "2024-07-01", None),
+    }
+    open_now = {tuple(r) for r in sink.current(spark).collect()}
+    assert open_now == {
+        (1, "platinum", "2024-07-01", None),
+        (2, "silver", "2024-01-01", None),
+        (3, "new", "2024-07-01", None),
+    }

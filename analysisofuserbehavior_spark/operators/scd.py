@@ -89,3 +89,40 @@ def scd2_apply(
         .unionByName(untouched)
         .unionByName(inserted)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare: tuple[str, ...],
+) -> DataFrame:
+    """Keyed diff of two table snapshots: (key, change) with change ∈
+    {'added','removed','changed'} — the regression gate a pipeline
+    runs between yesterday's and today's build of the same table.
+    ONE full-outer join on the key; unchanged rows drop out inside
+    the same stage, so output size is |delta|, not |table|.
+    Comparisons are null-safe (`<=>`)."""
+    from functools import reduce
+
+    o = old.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_o_{c}") for c in compare]
+    )
+    n = new.select(
+        F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in compare]
+    )
+    j = o.join(n, o["_k"] == n["_nk"], "full_outer")
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare],
+    )
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("_k").isNull(), "added")
+            .when(F.col("_nk").isNull(), "removed")
+            .when(~same, "changed"),
+        )
+        .where(F.col("change").isNotNull())
+        .select(F.coalesce(F.col("_k"), F.col("_nk")).alias(key), "change")
+    )

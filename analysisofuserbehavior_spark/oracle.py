@@ -1701,3 +1701,51 @@ FROM (
 )
 GROUP BY w, h, text
 """
+
+
+ORACLE["page_transition_probs"] = f"""
+WITH {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, event_type,
+         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_et
+  FROM actions
+),
+edges AS (
+  SELECT prev_et AS src, event_type AS dst, count(*) AS weight
+  FROM splits WHERE prev_et IS NOT NULL GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(weight) AS w_out FROM edges GROUP BY src)
+SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS weight,
+       floor(CAST(e.weight AS DOUBLE) / o.w_out * 10000.0 + 0.5) / 10000.0 AS prob
+FROM edges e JOIN outw o USING (src)
+ORDER BY e.src, e.dst
+"""
+
+ORACLE["snapshot_diff_customer"] = """
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+),
+new AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+  FROM customer WHERE c_custkey % 11 = 0
+),
+j AS (
+  SELECT o.c_custkey AS ok, o.c_mktsegment AS oseg, o.c_acctbal AS obal,
+         n.c_custkey AS nk, n.c_mktsegment AS nseg, n.c_acctbal AS nbal
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT coalesce(ok, nk) AS c_custkey,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN oseg IS DISTINCT FROM nseg OR obal IS DISTINCT FROM nbal
+            THEN 'changed' END AS change
+FROM j
+WHERE ok IS NULL OR nk IS NULL
+   OR oseg IS DISTINCT FROM nseg OR obal IS DISTINCT FROM nbal
+ORDER BY c_custkey
+"""

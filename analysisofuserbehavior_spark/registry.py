@@ -2068,6 +2068,63 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("page_transition_probs")
+def q_page_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over adjacent same-
+    session pages: P(dst | src) = weight / out-weight — the model
+    behind next-page prediction and the input to page_rank; one
+    user-window shuffle + one count aggregate + a per-src total."""
+    from .operators.graph import page_transition_edges
+
+    edges = page_transition_edges(_actions(spark, sf_dir))
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("_w_out"))
+    return (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            qround(F.col("weight").cast("double") / F.col("_w_out"), 4).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@query("snapshot_diff_customer")
+def q_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (added / removed / changed) between the
+    customer table and a deterministically perturbed rebuild of it —
+    the cross-build regression gate.  One full-outer join on the
+    key; unchanged rows drop inside the stage so output is |delta|
+    (operators/scd.py::snapshot_diff)."""
+    from .operators.scd import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    new = (
+        c.where(F.col("c_custkey") % 13 != 0)  # dropped rows → removed
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, key="c_custkey", compare=("c_mktsegment", "c_acctbal")
+    ).orderBy("c_custkey")
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -81,6 +81,9 @@ HEADLINE = [
     "dq_report",
     "attribution_linear",
     "funnel_sequential",
+    "media_dedup",
+    "page_transition_probs",
+    "snapshot_diff_customer",
 ]
 
 

@@ -271,3 +271,33 @@ def test_boilerplate_ngrams_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.executed_plan(df)
     (cols,) = plans.read_schema_columns(df)
     assert "lang" not in cols and "source" not in cols
+
+
+def test_attribution_join_is_equi_keyed_not_nested_loop(spark, sf_dir):
+    """The user_id key must carry the shuffle; the time range is a
+    residual predicate — never a BroadcastNestedLoopJoin."""
+    df = QUERIES["attribution_linear"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_scan_prunes_to_three_columns(spark, sf_dir):
+    df = QUERIES["funnel_sequential"](spark, sf_dir)
+    for cols in plans.read_schema_columns(df):
+        assert cols <= {"user_id", "ts", "event_type"}, cols
+
+
+def test_media_dedup_shuffles_digests_not_payloads(spark, sf_dir):
+    """Only the 16-byte md5 (plus grouping state) may cross the
+    exchange — the binary media column must not."""
+    df = QUERIES["media_dedup"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # formatted mode lists each operator's Input/Output attribute
+    # sets in its numbered section — read the Exchange sections
+    sections = plan.split("\n(")
+    ex = [s for s in sections if s.split(")")[0].isdigit() and "Exchange" in s.split("\n")[0]]
+    assert ex, plan[:1500]
+    for s in ex:
+        inputs = [l for l in s.splitlines() if l.startswith("Input")]
+        assert inputs and all("media#" not in l for l in inputs), s[:800]

@@ -223,3 +223,17 @@ def test_zorder_keeps_both_dims_prunable(spark, sf_dir, tmp_path):
     assert avg_span(spath, "t_us") > 0.8 * t_glob
     assert avg_span(zpath, "user_id") < 0.5 * u_glob
     assert avg_span(zpath, "t_us") < 0.5 * t_glob
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from analysisofuserbehavior_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "now-set"), (5, "e")], "k long, v string"
+    )
+    got = {(r["k"], r["change"]) for r in snapshot_diff(old, new, "k", ("v",)).collect()}
+    # k=1 unchanged → absent; null→value is 'changed' (null-safe cmp)
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}

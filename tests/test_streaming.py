@@ -411,29 +411,41 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
         mock_ad_click_micro_batches(spark, rows_per_batch=40, start_ms=0)
     ).withColumn("event_type", F.lit("click"))
     loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
-    q = (
-        stream.writeStream.foreachBatch(loop.process_batch)
-        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        # generous: micro-batches crawl when the host is saturated
-        # (e.g. the judge re-running the suite alongside other JVMs);
-        # the loop exits as soon as the condition holds, so the happy
-        # path never waits this long
-        deadline = time.time() + 240
-        while time.time() < deadline:
-            try:
-                if loop.current_totals(spark).count() > 0 and (
-                    loop.current_blacklist(spark).count() > 0
-                ):
+
+    def condition_met() -> bool:
+        try:
+            return (
+                loop.current_totals(spark).count() > 0
+                and loop.current_blacklist(spark).count() > 0
+            )
+        except Exception:
+            return False  # state dir mid-swap
+
+    # A busy JVM can occasionally kill the stream-execution thread at
+    # startup (observed: transient StackOverflowError mid-suite, never
+    # in isolation).  Restart with a fresh checkpoint instead of
+    # polling a dead query until the deadline; the loop state itself
+    # is replay-idempotent, so retries are safe.
+    for _ in range(3):
+        ckpt = os.path.join(str(tmp_path), f"ckpt{time.time_ns()}")
+        q = (
+            stream.writeStream.foreachBatch(loop.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if condition_met():
                     break
-            except Exception:
-                pass  # state dir mid-swap
-            time.sleep(0.5)
-    finally:
-        q.stop()
+                if q.exception() is not None:
+                    break  # stream died — retry with a fresh query
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        if condition_met():
+            break
     totals = loop.current_totals(spark)
     assert totals.count() > 0
     # compacted keyed state, never an append-only history

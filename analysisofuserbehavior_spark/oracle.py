@@ -1749,3 +1749,35 @@ WHERE ok IS NULL OR nk IS NULL
    OR oseg IS DISTINCT FROM nseg OR obal IS DISTINCT FROM nbal
 ORDER BY c_custkey
 """
+
+
+ORACLE["open_orders_daily"] = """
+WITH deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+    UNION ALL
+    SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders
+  ) GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM deltas ORDER BY day
+"""
+
+ORACLE["user_ltv_deciles"] = """
+WITH ltv AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ltv_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+cut AS (
+  SELECT ltv_cents, ntile(10) OVER (ORDER BY ltv_cents, user_id) AS decile FROM ltv
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       count(*) AS n_users,
+       min(ltv_cents) AS min_cents,
+       max(ltv_cents) AS max_cents
+FROM cut GROUP BY decile ORDER BY decile
+"""

@@ -2125,6 +2125,66 @@ def q_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+@query("open_orders_daily")
+def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via the sweep-line pattern: each
+    order contributes +1 at its open day and −1 at its close day
+    (open + 30 d), deltas aggregate per day, and the backlog is the
+    running sum — interval counting WITHOUT exploding each order
+    into its ~30 covered days (30× less shuffle input at any scale).
+    The running-sum window is unpartitioned but runs on the
+    per-day aggregated frame (|days| rows, calendar-bounded), the
+    standard tiny-frame exception."""
+    ords = load_table(spark, sf_dir, "orders")
+    opens = ords.select(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta"))
+    closes = ords.select(
+        F.date_add(F.to_date("o_orderdate"), 30).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deltas.withColumn("open_orders", F.sum("net").over(w).cast("bigint"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "open_orders")
+        .orderBy("day")
+    )
+
+
+@query("user_ltv_deciles")
+def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime purchase value cut into spend deciles —
+    the second consumer of functions/ranking.py's two-pass
+    distributed ntile (no single-partition sort), proving the
+    primitive generalizes beyond session lengths.  LTV is summed in
+    exact integer cents; decile bounds stay integers end-to-end."""
+    from .functions.ranking import distributed_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    ltv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "ltv_cents"
+            )
+        )
+    )
+    return (
+        distributed_ntile(ltv, "ltv_cents", "user_id", k=10)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("ltv_cents").alias("min_cents"),
+            F.max("ltv_cents").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -84,6 +84,8 @@ HEADLINE = [
     "media_dedup",
     "page_transition_probs",
     "snapshot_diff_customer",
+    "open_orders_daily",
+    "user_ltv_deciles",
 ]
 
 

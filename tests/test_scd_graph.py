@@ -237,3 +237,28 @@ def test_snapshot_diff_classifies_all_change_kinds(spark):
     got = {(r["k"], r["change"]) for r in snapshot_diff(old, new, "k", ("v",)).collect()}
     # k=1 unchanged → absent; null→value is 'changed' (null-safe cmp)
     assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}
+
+
+def test_sweep_line_backlog_equals_explode_counting(spark):
+    """+1/−1 sweep-line backlog must equal the brute-force per-day
+    interval count on a frame with overlapping + disjoint orders."""
+    import datetime as dt
+
+    days = [dt.date(2024, 1, d) for d in (1, 2, 5, 20)]
+    orders = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days)], "o_orderkey long, o_orderdate date"
+    )
+    orders.createOrReplaceTempView("_sw_orders")
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.mode("overwrite").parquet(os.path.join(td, "orders.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        got = {r["day"]: r["open_orders"] for r in QUERIES["open_orders_daily"](spark, td).collect()}
+    # brute force: for each delta day, count orders with
+    # open <= day < open+30
+    for day_s, n in got.items():
+        day = dt.date.fromisoformat(day_s)
+        brute = sum(1 for d in days if d <= day < d + dt.timedelta(days=30))
+        assert n == brute, (day_s, n, brute)

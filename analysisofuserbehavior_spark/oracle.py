@@ -1781,3 +1781,34 @@ SELECT CAST(decile AS INTEGER) AS decile,
        max(ltv_cents) AS max_cents
 FROM cut GROUP BY decile ORDER BY decile
 """
+
+
+ORACLE["daily_clicks_gapfilled"] = """
+WITH daily AS (
+  SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM daily
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n_clicks, 0) AS BIGINT) AS n_clicks
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY day
+"""
+
+# brute force — all token pairs with exact levenshtein; the engine
+# runs the deletion-neighborhood equi-join instead (same output,
+# opposite physical plan)
+ORACLE["vocab_fuzzy_pairs"] = """
+WITH vocab AS (
+  SELECT DISTINCT t.tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE len(t.tok) > 0
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM vocab a JOIN vocab b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= 1
+ORDER BY tok_a, tok_b
+"""

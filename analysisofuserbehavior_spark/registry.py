@@ -2185,6 +2185,76 @@ def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("daily_clicks_gapfilled")
+def q_daily_clicks_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click counts over a dense calendar spine: the day range
+    materializes from ONE (min,max) aggregate via sequence+explode
+    (|days| rows — calendar-bounded, broadcast to the join), so
+    gapless output needs no second scan and no driver loop; missing
+    days coalesce to 0.  The downstream-safe shape for time-series
+    models that can't tolerate implicit gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        .select(F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("vocab_fuzzy_pairs")
+def q_vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 token pairs via deletion-neighborhood
+    hashing — the scalable fuzzy join: each distinct token emits
+    itself + its single-character deletions (≤ len+1 variants, all
+    row-local), candidates meet on an EQUI join over the variant
+    key, and survivors are verified exactly with levenshtein ≤ 1.
+    Never an all-pairs cross join: cost is O(Σ token_len) candidate
+    keys instead of O(|vocab|²) comparisons.  The oracle brute-forces
+    all pairs (fine at oracle scale) — same output, opposite
+    physical plan, which is exactly the point."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                """array_union(
+                     array(tok),
+                     transform(sequence(1, length(tok)),
+                               i -> concat(substring(tok, 1, i - 1),
+                                           substring(tok, i + 1)))
+                   )"""
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "variant")
+    b = variants.select(F.col("tok").alias("tok_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .where(F.levenshtein("tok_a", "tok_b") <= 1)
+        .orderBy("tok_a", "tok_b")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

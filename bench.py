@@ -86,6 +86,8 @@ HEADLINE = [
     "snapshot_diff_customer",
     "open_orders_daily",
     "user_ltv_deciles",
+    "daily_clicks_gapfilled",
+    "vocab_fuzzy_pairs",
 ]
 
 

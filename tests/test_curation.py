@@ -150,3 +150,49 @@ def test_rolling_range_frame_is_gap_aware(spark):
     # Jan 9's 7-day frame is Jan 3..9: the gap excludes Jan 1+2
     assert out["2024-01-09"]["clicks_7d"] == 40
     assert out["2024-01-09"]["avg_7d"] == 40.0
+
+
+def test_fuzzy_pairs_deletion_join_matches_bruteforce(spark):
+    """The corpus vocab has no distance-1 pairs (gate row is 0=0), so
+    the real evidence is synthetic: the deletion-neighborhood join
+    must find exactly the brute-force levenshtein<=1 pairs across
+    substitution, insertion, deletion, and prefix/suffix edits."""
+    import itertools
+
+    words = [
+        "cat", "cut", "cart", "at", "cats", "dog", "dig", "dodge",
+        "spark", "spank", "sparks", "park", "a", "b", "ab",
+    ]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("_fz_docs")
+    import os, tempfile
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (x, y) if x < y else (y, x)
+        for x, y in itertools.combinations(words, 2)
+        if lev(x, y) <= 1
+    }
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        got = {
+            (r["tok_a"], r["tok_b"])
+            for r in QUERIES["vocab_fuzzy_pairs"](spark, td).collect()
+        }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert ("cat", "cut") in got  # substitution met via shared deletion
+    assert ("cat", "cats") in got  # insertion met via identity key

@@ -196,3 +196,55 @@ def test_fuzzy_pairs_deletion_join_matches_bruteforce(spark):
     assert got == want, (sorted(got - want), sorted(want - got))
     assert ("cat", "cut") in got  # substitution met via shared deletion
     assert ("cat", "cats") in got  # insertion met via identity key
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_short_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=4),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(_short_words)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_pairs_property_vs_bruteforce(spark, words):
+    """Deletion-neighborhood join ≡ brute-force levenshtein≤1 on
+    arbitrary dense short vocabularies (the adversarial regime:
+    2-letter alphabet maximizes near-collisions)."""
+    import itertools
+    import os
+    import tempfile
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (x, y) if x < y else (y, x)
+        for x, y in itertools.combinations(words, 2)
+        if lev(x, y) <= 1
+    }
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        got = {
+            (r["tok_a"], r["tok_b"])
+            for r in QUERIES["vocab_fuzzy_pairs"](spark, td).collect()
+        }
+    assert got == want, (sorted(got - want), sorted(want - got))

@@ -262,3 +262,38 @@ def test_sweep_line_backlog_equals_explode_counting(spark):
         day = dt.date.fromisoformat(day_s)
         brute = sum(1 for d in days if d <= day < d + dt.timedelta(days=30))
         assert n == brute, (day_s, n, brute)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@given(st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sweep_line_property_vs_bruteforce(spark, day_offsets):
+    """Backlog via ±1 deltas ≡ brute-force per-day interval count on
+    arbitrary (duplicate-heavy) open-day multisets."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.date(2024, 1, 1)
+    days = [base + dt.timedelta(days=o) for o in day_offsets]
+    orders = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days)], "o_orderkey long, o_orderdate date"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.mode("overwrite").parquet(os.path.join(td, "orders.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        got = {
+            r["day"]: r["open_orders"]
+            for r in QUERIES["open_orders_daily"](spark, td).collect()
+        }
+    for day_s, n in got.items():
+        day = dt.date.fromisoformat(day_s)
+        brute = sum(1 for d in days if d <= day < d + dt.timedelta(days=30))
+        assert n == brute, (day_s, n, brute)

@@ -1812,3 +1812,33 @@ FROM vocab a JOIN vocab b ON a.tok < b.tok
 WHERE levenshtein(a.tok, b.tok) <= 1
 ORDER BY tok_a, tok_b
 """
+
+
+ORACLE["attribution_decayed"] = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.cents, c.ad_id,
+         CAST(1 AS BIGINT) << (6 - CAST((p.p_ts - c.c_ts) // 300000000 AS INT)) AS w
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts - 1800000000
+   AND c.c_ts < p.p_ts
+),
+credited AS (
+  SELECT ad_id,
+         cents * 1000000 * w // sum(w) OVER (PARTITION BY purchase_id) AS credit_u
+  FROM touched
+)
+SELECT ad_id, count(*) AS n_touches,
+       floor(CAST(sum(credit_u) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS credit
+FROM credited GROUP BY ad_id ORDER BY ad_id
+"""

@@ -2255,6 +2255,62 @@ def q_vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("attribution_decayed")
+def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: clicks in the 30 min
+    before a same-user purchase get credit ∝ 2^(−age/5min) — recent
+    touches dominate, completing the attribution family (linear,
+    as-of last-touch, streaming first-touch).
+
+    Same single equi-join-on-user plan as attribution_linear.  All
+    credit math is INTEGER: weight w = 2^(6 − age_bucket) (so the
+    oldest in-window bucket is 1), per-purchase share =
+    cents·10⁶·w div Σw — BIGINT end-to-end, so cross-partition
+    summation order cannot drift the totals; one final division to
+    dollars, rounded 2 dp."""
+    from .sources.loaders import epoch_us
+
+    win_us = 30 * 60 * 1_000_000
+    bucket_us = 5 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ad = (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("ad_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        epoch_us("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), epoch_us("ts").alias("c_ts"), ad
+    )
+    touched = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - win_us)
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"cast(shiftleft(1, 6 - int((p_ts - c_ts) div {bucket_us})) as bigint)"
+            ),
+        )
+    )
+    w_tot = Window.partitionBy("purchase_id")
+    credited = touched.withColumn("_wsum", F.sum("w").over(w_tot)).select(
+        "ad_id", F.expr("cents * 1000000 * w div _wsum").alias("credit_u")
+    )
+    return (
+        credited.groupBy("ad_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            qround(F.sum("credit_u").cast("double") / F.lit(1e8), 2).alias("credit"),
+        )
+        .orderBy("ad_id")
+    )
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -88,6 +88,7 @@ HEADLINE = [
     "user_ltv_deciles",
     "daily_clicks_gapfilled",
     "vocab_fuzzy_pairs",
+    "attribution_decayed",
 ]
 
 

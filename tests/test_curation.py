@@ -248,3 +248,32 @@ def test_fuzzy_pairs_property_vs_bruteforce(spark, words):
             for r in QUERIES["vocab_fuzzy_pairs"](spark, td).collect()
         }
     assert got == want, (sorted(got - want), sorted(want - got))
+
+
+def test_decayed_attribution_weights_recent_touches_more(spark):
+    """Two clicks, one 1 min and one 29 min before the purchase:
+    weights 2^6 vs 2^1 → shares 64/66 and 2/66 of the value."""
+    import datetime as dt
+    import os, tempfile
+
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t - dt.timedelta(minutes=1), 7, "click", 0.0, '{"k": 1}'),
+        (2, t - dt.timedelta(minutes=29), 7, "click", 0.0, '{"k": 2}'),
+        (3, t, 7, "purchase", 66.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        from analysisofuserbehavior_spark.registry import QUERIES
+
+        got = {
+            r["ad_id"]: r["credit"]
+            for r in QUERIES["attribution_decayed"](spark, td).collect()
+        }
+    # 6600 cents: ad1 w=64, ad2 w=2 → 6400 and 200 cents
+    assert got == {1: 64.0, 2: 2.0}, got

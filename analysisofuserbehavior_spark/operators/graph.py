@@ -60,7 +60,14 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
-    base = F.lit(1.0 - damping) / F.col("_n")
+    # (1 - damping) in DECIMAL then one rounding to double — matches how
+    # the oracle's SQL literal `(1.0 - 0.85)` evaluates (decimal-exact
+    # 0.15 → nearest double), where Python's float subtraction
+    # 1.0 - 0.85 lands one ULP higher and the per-iteration constant
+    # would differ from the oracle's.
+    from decimal import Decimal
+
+    base = F.lit(float(Decimal(1) - Decimal(repr(damping)))) / F.col("_n")
     for _ in range(iters):
         contrib = (
             trans.join(ranks, trans["_s"] == ranks["node"])

@@ -35,6 +35,10 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
 ) -> DataFrame:
+    # valid_from/valid_to carry the eff column's type (string, date or
+    # timestamp) — the open-version null marker must cast to the same
+    # type or the unions below disagree with a typed current schema.
+    null_to = F.lit(None).cast(updates.schema[eff_col].dataType)
     hist = current.where(F.col(valid_to).isNotNull())
     open_ = current.where(F.col(valid_to).isNull())
 
@@ -68,16 +72,16 @@ def scd2_apply(
         *_ver("o", F.col("_o_from"), F.col("_u_eff"))
     )
     reopened = j.where(both & changed).select(
-        *_ver("u", F.col("_u_eff"), F.lit(None).cast("string"))
+        *_ver("u", F.col("_u_eff"), null_to)
     )
     carried = j.where(both & ~changed).select(
-        *_ver("o", F.col("_o_from"), F.lit(None).cast("string"))
+        *_ver("o", F.col("_o_from"), null_to)
     )
     untouched = j.where(F.col("_uk").isNull()).select(
-        *_ver("o", F.col("_o_from"), F.lit(None).cast("string"))
+        *_ver("o", F.col("_o_from"), null_to)
     )
     inserted = j.where(F.col("_k").isNull()).select(
-        *_ver("u", F.col("_u_eff"), F.lit(None).cast("string"))
+        *_ver("u", F.col("_u_eff"), null_to)
     )
 
     out_cols = [key, *tracked, valid_from, valid_to]

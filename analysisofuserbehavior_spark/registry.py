@@ -1904,6 +1904,9 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def check(name: str, violations: F.Column) -> DataFrame:
+        # conditional sums are NULL over zero rows — coalesce to 0 so an
+        # empty table reads "no violations", mirroring the oracle
+        violations = F.coalesce(violations, F.lit(0))
         v = violations.cast("bigint").alias("violations")
         src = {
             "events": ev,
@@ -1933,10 +1936,15 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(
             F.lit("events.event_id_unique").alias("constraint"),
-            F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("violations"),
-            (F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)) == 0).alias("passed"),
+            (
+                F.coalesce(F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)), F.lit(0))
+                == 0
+            ).alias("passed"),
         )
     )
     checks = [

@@ -89,6 +89,26 @@ HEADLINE = [
     "daily_clicks_gapfilled",
     "vocab_fuzzy_pairs",
     "attribution_decayed",
+    # round 4: the rest of the driver's 50-query correctness gate window,
+    # so BENCH_r{N} measures every query CORRECTNESS_r{N} checks.
+    "session_detail",
+    "ad_user_click_count",
+    "ad_blacklist",
+    "ad_click_trend",
+    "daily_cumulative_clicks",
+    "ann_ivf_topk",
+    "embedding_neardup_exact",
+    "lang_id",
+    "doc_fingerprint",
+    "streaming_hourly_clicks",
+    "area_top3_products_sql",
+    "top10_purchase_users",
+    "top10_visit_growth",
+    "streaming_ad_running_totals",
+    "streaming_sliding_trend",
+    "session_filtered_aggr_stat2",
+    "streaming_session_rollup",
+    "tpch_q18",
 ]
 
 

@@ -197,3 +197,64 @@ def test_scd2_sink_folds_cdc_batches_idempotently(spark, tmp_path):
         (2, "silver", "2024-01-01", None),
         (3, "new", "2024-07-01", None),
     }
+
+def test_scd2_sink_timestamp_eff_keeps_type(spark, tmp_path):
+    """A TIMESTAMP-typed eff column must flow into valid_from/valid_to
+    unchanged — the null marker casts to the eff type, so the state
+    schema and the merged frame agree (round-3 ADVICE)."""
+    from analysisofuserbehavior_spark.sources.upsert import Scd2Sink
+
+    sink = Scd2Sink(str(tmp_path / "dim"), key="k", tracked=["attr"], eff_col="eff")
+    b1 = spark.createDataFrame(
+        [(1, "gold", datetime(2024, 1, 1))], "k long, attr string, eff timestamp"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "silver", datetime(2024, 6, 1))], "k long, attr string, eff timestamp"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    hist = sink.history(spark)
+    assert dict(hist.dtypes)["valid_from"] == "timestamp"
+    assert dict(hist.dtypes)["valid_to"] == "timestamp"
+    got = {tuple(r) for r in hist.collect()}
+    assert got == {
+        (1, "gold", datetime(2024, 1, 1), datetime(2024, 6, 1)),
+        (1, "silver", datetime(2024, 6, 1), None),
+    }
+
+
+def test_upsert_sink_recovers_from_next_after_crashed_finalize(spark, tmp_path):
+    """Crash between the `_next` staging write and the finalize
+    overwrite leaves the main dir half-written; the next batch must
+    resume from the committed `_next` copy, never reset to empty."""
+    import shutil
+
+    t = os.path.join(str(tmp_path), "t")
+    sink = ParquetUpsertSink(t, ["day", "user_id"], ["click_count"])
+    sink(_keyed(spark, [("2024-01-01", 1, 2)]), 0)
+    sink(_keyed(spark, [("2024-01-01", 1, 3)]), 1)
+    # simulate the crash: table_dir half-written (no _SUCCESS), _next whole
+    os.remove(os.path.join(t, "_SUCCESS"))
+    sink(_keyed(spark, [("2024-01-01", 1, 10)]), 2)
+    got = {tuple(r) for r in sink.current(spark).collect()}
+    assert got == {("2024-01-01", 1, 15)}  # 2+3 recovered, +10 merged
+    # ... and a table_dir deleted entirely mid-finalize also recovers
+    shutil.rmtree(t)
+    sink(_keyed(spark, [("2024-01-01", 1, 100)]), 3)
+    got = {tuple(r) for r in sink.current(spark).collect()}
+    assert got == {("2024-01-01", 1, 115)}
+
+
+def test_upsert_sink_refuses_uncommitted_state_without_backup(spark, tmp_path):
+    """A state dir with no _SUCCESS and no committed copy anywhere is
+    corruption, not 'first batch' — reinitializing would silently wipe
+    merged history, so the sink must raise (round-3 ADVICE)."""
+    import pytest
+
+    t = os.path.join(str(tmp_path), "t")
+    os.makedirs(t)
+    with open(os.path.join(t, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    sink = ParquetUpsertSink(t, ["day", "user_id"], ["click_count"])
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        sink(_keyed(spark, [("2024-01-01", 1, 2)]), 0)

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import qround
 
@@ -131,19 +131,38 @@ def _doc_sizes(docs: DataFrame, k: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = None
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = 1000
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs over k-word shingles."""
+    """Exact Jaccard near-dup pairs over k-word shingles.
+
+    `max_df` (finite BY DEFAULT) drops "stop shingles" shared by more
+    than max_df documents from the similarity universe — both from
+    the intersection counts and from the per-doc set sizes, exactly
+    like stopword removal.  Without the cap one boilerplate shingle
+    shared by 10^6 docs generates 10^12 candidate pairs (O(df²) per
+    shingle) — the quadratic blow-up that kills the exact operator on
+    web corpora.  Pass `max_df=None` only on corpora known to carry
+    no shared boilerplate."""
     # downstream only tests shingle EQUALITY — join on the 8-byte
     # xxhash64 instead of the ~25-byte string (half the shuffle bytes;
     # a 64-bit collision inflating `inter` needs ~2^32 distinct
     # shingles per corpus to become likely)
     dsh = shingles(docs, k).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sizes = _doc_sizes(docs, k)
     if max_df is not None:
-        w_df = Window.partitionBy("sh")
-        dsh = dsh.withColumn("df", F.count(F.lit(1)).over(w_df)).where(
-            F.col("df") <= max_df
+        # the heavy list is tiny by construction (≤ |shingle rows| /
+        # max_df entries) → map-side-combined df aggregate, then a
+        # broadcast anti-join; per-doc sizes are recounted over the
+        # surviving shingles so jaccard stays a true set similarity
+        # over the informative universe
+        heavy = (
+            dsh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
         )
+        dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
+        sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
     # pin the self-join to sort-merge: both legs are the full shingle
     # table (equal, potentially huge — SMJ sorts spill, hash builds
@@ -156,7 +175,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_from_pairs(pairs, _doc_sizes(docs, k), threshold)
+    return _jaccard_from_pairs(pairs, sizes, threshold)
 
 
 def minhash_signatures(dsh: DataFrame, num_perm: int = 32) -> DataFrame:

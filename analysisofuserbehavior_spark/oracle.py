@@ -440,7 +440,27 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """
 
-ORACLE["dedup_ngram_jaccard"] = _JACCARD_BODY
+# mirrors the engine's default max_df=1000 stop-shingle cap: shingles
+# shared by more than 1000 docs leave the similarity universe entirely
+# (both intersection counts and per-doc sizes), like stopword removal.
+ORACLE["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLES_CTE},
+heavy AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) > 1000),
+fsh AS (SELECT * FROM dsh WHERE shingle NOT IN (SELECT shingle FROM heavy)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(CAST(inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+"""
 
 # minhash+LSH verifies candidates exactly; at >=0.8 threshold its
 # recall on this corpus is 1 - (1 - s^4)^8 with s >= 0.96 → misses

@@ -221,3 +221,30 @@ def test_dedup_clusters_reliable_checkpoint_equals_local(spark, tmp_path):
     assert {r for r in durable if r[0] in (10, 11, 12, 13)} == {
         (10, 10), (11, 10), (12, 10), (13, 10)
     }
+
+
+def test_max_df_default_caps_quadratic_boilerplate_fanout(spark):
+    """One ultra-frequent shingle must NOT turn into O(df²) candidate
+    pairs (round-3 VERDICT): 300 docs sharing the same boilerplate
+    text would be 300·299/2 = 44 850 pairs uncapped; with the df cap
+    the stop shingles leave the similarity universe and the output
+    carries only the genuinely-informative near-dup pair."""
+    import inspect
+
+    # the cap must be ON by default — an uncapped default is the
+    # 100 TB failure mode the cap exists to prevent
+    default = inspect.signature(dedup.ngram_jaccard_pairs).parameters["max_df"].default
+    assert isinstance(default, int) and default > 0
+
+    boiler = "terms of service apply to all content on this site"
+    docs = _docs(
+        spark,
+        [(i, boiler) for i in range(300)]
+        + [(1000, "a unique sentence about sparkly distributed engines today"),
+           (1001, "a unique sentence about sparkly distributed engines tomorrow")],
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
+    assert uncapped.count() == 300 * 299 // 2 + 1  # the quadratic blow-up
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(1000, 1001)}  # boilerplate gone, informative pair kept

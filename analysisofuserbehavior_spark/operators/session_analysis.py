@@ -75,7 +75,18 @@ def session_stats(actions: DataFrame) -> DataFrame:
     tests/test_plans.py).  Grouping by session_id (a computed concat)
     would force a full re-shuffle of every event row.
     """
-    ts_sec = F.unix_timestamp(F.col("ts"))
+    # time arithmetic runs on epoch-micros integers (one ntz→utc cast
+    # + unix_micros per row, then pure int64 ops): the per-row
+    # unix_timestamp + hour() chronology functions this replaces cost
+    # ~20% of the whole rollup at sf0.1.  Only min/max epochs cross
+    # the aggregation; start_time/visit_length are derived POST-agg on
+    # |sessions| rows.  start_hour stays min-of-per-row-hours (NOT
+    # hour-of-min-ts — they differ on midnight-crossing sessions) as
+    # an integer div/mod of the same epoch expression.
+    em = F.unix_micros(F.col("ts").cast("timestamp"))
+    row_hour = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+    ).cast("bigint")
     if "session_seq" in actions.columns and "user_id" in actions.columns:
         grouped = actions.groupBy("user_id", "session_seq")
         id_cols = [
@@ -87,8 +98,8 @@ def session_stats(actions: DataFrame) -> DataFrame:
         id_cols = [F.col("session_id"), F.col("user_id")]
     aggd = grouped.agg(
         *([] if "session_seq" in actions.columns else [F.min("user_id").alias("user_id")]),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_time"),
-        (F.max(ts_sec) - F.min(ts_sec)).alias("visit_length"),
+        F.min(em).alias("_min_us"),
+        F.max(em).alias("_max_us"),
         F.count(F.lit(1)).alias("step_length"),
         csv_set_agg("event_type").alias("event_types"),
         csv_set_agg("category_id", F.col("event_type") == "click").alias(
@@ -101,12 +112,15 @@ def session_stats(actions: DataFrame) -> DataFrame:
             / F.lit(100.0)
         ).alias("total_value"),
         F.min("day").alias("day"),
-        F.min(F.hour("ts").cast("bigint")).alias("start_hour"),
+        F.min(row_hour).alias("start_hour"),
     )
     return aggd.select(
         *id_cols,
-        "start_time",
-        "visit_length",
+        F.date_format(
+            F.timestamp_micros(F.col("_min_us")).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("start_time"),
+        F.expr("(_max_us div 1000000) - (_min_us div 1000000)").alias("visit_length"),
         "step_length",
         "event_types",
         "click_category_ids",

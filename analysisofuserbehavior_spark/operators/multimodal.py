@@ -4,8 +4,11 @@ Not in the reference (pure log analytics); added for training-data
 pipelines: media travels as an opaque `binary` column plus typed
 metadata, and per-batch feature extraction runs as Arrow-batched
 `mapInPandas` — the Spark-side contract (schema, partitioning, batch
-shape) is real and tested, while the actual codec work is stubbed
-because no image/audio libraries ship in this environment.
+shape) is real and tested.  Two REAL formats decode end-to-end with
+stdlib struct + numpy (no PIL/ffmpeg needed): uncompressed 24-bit
+BMP (`image_features`) and PCM-16 WAV (`audio_features`); other
+codecs (JPEG, MP3, H.264) remain environment-stubbed behind the same
+iterator contract.
 
 Wire format of the deterministic fake used by tests and the stub
 decoder: 8-byte little-endian header `<II` = (width, height) followed
@@ -52,6 +55,139 @@ def decode_real(payload: bytes):  # pragma: no cover - env has no codecs
             "Spark plumbing"
         )
     raise NotImplementedError("wire PIL.Image.open here")
+
+
+def sniff_format(payload: bytes | None) -> str:
+    """Magic-byte dispatch: 'bmp' | 'wav' | 'fake' | 'unknown'.
+    The fake header can't collide: a BMP starts 'BM' (width 19778 LE)
+    and a WAV 'RIFF', far outside the fake generator's dims."""
+    if payload is None or len(payload) < 8:
+        return "unknown"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "fake"
+
+
+def _decode_bmp(payload: bytes):
+    """Decode an UNCOMPRESSED 24-bit BMP with stdlib struct + numpy:
+    returns (width, height, mean_r, mean_g, mean_b) or None if the
+    payload isn't a BMP this decoder handles (compressed, exotic
+    bpp).  BITMAPINFOHEADER layout: data offset at byte 10, width at
+    18 (i32), height at 22 (i32, negative = top-down), bpp at 28
+    (u16), compression at 30 (u32, 0 = BI_RGB).  Rows are 4-byte
+    aligned, stored bottom-up, pixels as BGR."""
+    import numpy as np
+
+    if len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    abs_h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    need = data_off + row_bytes * abs_h
+    if len(payload) < need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * abs_h, offset=data_off)
+    px = px.reshape(abs_h, row_bytes)[:, : width * 3].reshape(abs_h, width, 3)
+    if height > 0:
+        px = px[::-1]  # bottom-up storage → top-down pixels
+    means = px.reshape(-1, 3).mean(axis=0)  # BGR order
+    return width, abs_h, float(means[2]), float(means[1]), float(means[0])
+
+
+def _decode_wav(payload: bytes):
+    """Decode a PCM-16 WAV with stdlib struct + numpy: returns
+    (sample_rate, channels, n_samples, rms) or None.  Walks the RIFF
+    chunk list (fmt may not be first) — format tag must be 1 (PCM)
+    and bits-per-sample 16."""
+    import numpy as np
+
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or bits != 16 or channels == 0:
+        return None
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    n_samples = len(samples) // channels
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+    return rate, channels, n_samples, rms
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "duration_sec double, rms double"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL end-to-end image decode (no PIL needed): uncompressed
+    24-bit BMP payloads → (width, height, channel means) via stdlib
+    struct + vectorized numpy inside mapInPandas.  Non-BMP /
+    unsupported payloads drop out (same contract a PIL decoder with
+    an error-quarantine would have).  Same Arrow-batch shape as
+    `media_metadata`, so this is the codec swap-in point proven with
+    a real format."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                if b is None or sniff_format(bytes(b)) != "bmp":
+                    continue
+                got = _decode_bmp(bytes(b))
+                if got is not None:
+                    w, h, r, g, bl = got
+                    rows.append((int(did), w, h, r, g, bl))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return media.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL end-to-end audio decode: PCM-16 WAV payloads →
+    (sample_rate, channels, n_samples, duration, RMS amplitude) via
+    stdlib RIFF chunk walking + numpy sample math in mapInPandas."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                if b is None or sniff_format(bytes(b)) != "wav":
+                    continue
+                got = _decode_wav(bytes(b))
+                if got is not None:
+                    rate, ch, ns, rms = got
+                    rows.append((int(did), rate, ch, ns, ns / rate, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "duration_sec", "rms",
+                ],
+            )
+
+    return media.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
@@ -208,3 +344,61 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine
+    uncompressed 24-bit BMP (solid color; bottom-up storage, 4-byte
+    row padding — everything a real file has).  All fields are
+    closed-form over doc_id, so a SQL oracle can predict the decoded
+    (width, height, channel means) exactly: width = 2 + doc_id % 5,
+    height = 1 + doc_id % 4, color = (doc_id % 256, (doc_id*3) % 256,
+    (doc_id*7) % 256).  Solid color → per-channel mean == channel
+    value, so the hash gate checks the whole decode path (header,
+    padding strip, BGR order) without replaying pixels in SQL."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 5, 1 + did % 4
+                r, g, b = did % 256, (did * 3) % 256, (did * 7) % 256
+                row_bytes = (w * 3 + 3) & ~3
+                row = struct.pack("BBB", b, g, r) * w + b"\x00" * (row_bytes - w * 3)
+                body = row * h
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+                )
+                rows.append((did, "image", hdr + info + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """REAL-format audio table: every doc becomes a genuine PCM-16
+    WAV (RIFF/fmt/data chunks) holding a constant-amplitude signal:
+    rate = 8000, amplitude = (doc_id % 100) * 10, n_samples =
+    4 + doc_id % 50.  Constant signal → RMS == amplitude exactly, so
+    the oracle predicts every decoded field in closed form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp, n = (did % 100) * 10, 4 + did % 50
+                data = struct.pack("<h", amp) * n
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                rows.append(
+                    (did, "audio", b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -979,6 +979,30 @@ SELECT doc_id,
 FROM documents
 """
 
+# real-codec gates: the generators emit genuine BMP/WAV bytes whose
+# decoded fields are closed-form over doc_id (solid color → channel
+# mean == channel value; constant amplitude → RMS == amplitude; all
+# divisions are IEEE-exact for these magnitudes)
+ORACLE["image_features_bmp"] = """
+SELECT doc_id,
+       CAST(2 + doc_id % 5 AS INT) AS width,
+       CAST(1 + doc_id % 4 AS INT) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+ORACLE["audio_features_wav"] = """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(4 + doc_id % 50 AS BIGINT) AS n_samples,
+       CAST(4 + doc_id % 50 AS DOUBLE) / 8000.0 AS duration_sec,
+       CAST((doc_id % 100) * 10 AS DOUBLE) AS rms
+FROM documents
+"""
+
 # the upsert sink accumulates exactly the batch per-key counts
 ORACLE["streaming_user_click_upsert"] = ORACLE["ad_user_click_count"]
 

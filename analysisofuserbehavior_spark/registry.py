@@ -31,8 +31,57 @@ def query(name: str):
     return deco
 
 
+# ~20 registry queries start from the same sessionized-actions frame
+# (scan + one user-window shuffle).  Run independently each pays that
+# cost; a workload running several of them should pay it ONCE — the
+# reference persists the frame for exactly this reason
+# (UserVisitSessionAnalyzeSpark.java:186).  `enable_shared_scan`
+# caches the frame per (session, sf_dir); `_actions` consults the
+# cache, so every consumer query amortizes transparently.  Caching
+# changes physical reuse only — results are identical (pinned by
+# tests/test_modules.py::test_shared_scan_results_identical).
+_SHARED_ACTIONS: dict[tuple[int, str], DataFrame] = {}
+_SHARED_SESSIONS: dict[tuple[int, str], DataFrame] = {}
+
+
+def enable_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist + materialize the shared actions frame AND its
+    per-session rollup for `sf_dir`; subsequent `_actions` /
+    `_sessions` calls on this session reuse them.  The rollup cache
+    matters as much as the scan cache: six queries start from
+    session_stats, whose |sessions|-row result is tiny but whose
+    rollup shuffle over the full event table is the dominant cost."""
+    key = (id(spark), sf_dir)
+    if key not in _SHARED_ACTIONS:
+        df = bm.actions(load_table(spark, sf_dir, "events")).persist()
+        df.count()  # materialize eagerly so consumers measure amortized cost
+        _SHARED_ACTIONS[key] = df
+        ss = sa.session_stats(df).persist()
+        ss.count()
+        _SHARED_SESSIONS[key] = ss
+    return _SHARED_ACTIONS[key]
+
+
+def disable_shared_scan(spark: SparkSession | None = None) -> None:
+    for cache in (_SHARED_ACTIONS, _SHARED_SESSIONS):
+        for k in list(cache):
+            if spark is None or k[0] == id(spark):
+                cache.pop(k).unpersist()
+
+
 def _actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _SHARED_ACTIONS.get((id(spark), sf_dir))
+    if cached is not None:
+        return cached
     return bm.actions(load_table(spark, sf_dir, "events"))
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_stats over the (possibly cached) actions frame."""
+    cached = _SHARED_SESSIONS.get((id(spark), sf_dir))
+    if cached is not None:
+        return cached
+    return sa.session_stats(_actions(spark, sf_dir))
 
 
 def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,24 +110,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("session_stats")
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sa.session_stats(_actions(spark, sf_dir))
+    return _sessions(spark, sf_dir)
 
 
 @query("session_aggr_stat")
 def q_session_aggr_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sa.session_aggr_stat(sa.session_stats(_actions(spark, sf_dir)))
+    return sa.session_aggr_stat(_sessions(spark, sf_dir))
 
 
 @query("session_filtered_aggr_stat")
 def q_session_filtered_aggr_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sessions = sa.session_stats(_actions(spark, sf_dir))
+    sessions = _sessions(spark, sf_dir)
     filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), DEMO_PARAMS)
     return sa.session_aggr_stat(filtered)
 
 
 @query("session_random_extract")
 def q_session_random_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sa.session_random_extract(sa.session_stats(_actions(spark, sf_dir)))
+    return sa.session_random_extract(_sessions(spark, sf_dir))
 
 
 @query("session_detail")
@@ -357,6 +406,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(_embeddings(spark, sf_dir))
+
+
+@query("ann_ivf_kmeans_topk")
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (kmeans_iters=2) — the
+    production centroid path.  Rows-only BY DESIGN: refined centroid
+    positions depend on the iteration's float reduction order, so no
+    ANSI twin can hash-match; the defining property (recall ≥ floor
+    vs brute force) is pinned by
+    tests/test_similarity.py::test_ivf_kmeans_recall_floor."""
+    from .operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_embeddings(spark, sf_dir), kmeans_iters=2)
 
 
 @query("embedding_neardup")
@@ -650,7 +712,7 @@ DEMO_PARAMS2 = TaskParams(
 def q_session_filtered_aggr_stat2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate engine, second parameter shape: date window + city
     set + click-category CSV overlap (ValidUtils `in` semantics)."""
-    sessions = sa.session_stats(_actions(spark, sf_dir))
+    sessions = _sessions(spark, sf_dir)
     filtered = sa.filter_sessions(sessions, _users(spark, sf_dir), DEMO_PARAMS2)
     return sa.session_aggr_stat(filtered)
 
@@ -817,7 +879,7 @@ def q_session_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of session visit/step length — Spark
     `percentile` (exact, interpolated) mirrors DuckDB quantile_cont;
     at 100 TB swap for percentile_approx and drop the oracle."""
-    sessions = sa.session_stats(_actions(spark, sf_dir))
+    sessions = _sessions(spark, sf_dir)
 
     def pct(col: str, p: float, alias: str) -> F.Column:
         return qround(
@@ -958,6 +1020,31 @@ def q_media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(
         resize_media(synthesize_media(_documents(spark, sf_dir)), 256, 256)
     )
+
+
+@query("image_features_bmp")
+def q_image_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec, end to end: documents → genuine uncompressed
+    24-bit BMP bytes (bottom-up rows, 4-byte padding) → stdlib/numpy
+    decode in mapInPandas → per-channel means.  Solid-color images
+    make every decoded field closed-form over doc_id, so the oracle
+    hash-checks the whole decode (header offsets, padding strip, BGR
+    order) analytically."""
+    from .operators.multimodal import image_features, synthesize_bmp_media
+
+    return image_features(synthesize_bmp_media(_documents(spark, sf_dir)))
+
+
+@query("audio_features_wav")
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, end to end: documents → genuine PCM-16 WAV
+    bytes (RIFF chunk list) → stdlib/numpy decode in mapInPandas →
+    sample stats.  Constant-amplitude signals make RMS == amplitude
+    exactly, so the oracle predicts every field in closed form."""
+    from .operators.multimodal import audio_features, synthesize_wav_media
+
+    return audio_features(synthesize_wav_media(_documents(spark, sf_dir)))
+
 
 @query("streaming_user_click_upsert")
 def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,7 +1700,7 @@ def q_session_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row."""
     from .functions.ranking import distributed_ntile
 
-    sessions = sa.session_stats(_actions(spark, sf_dir))
+    sessions = _sessions(spark, sf_dir)
     return (
         distributed_ntile(sessions, "visit_length", "session_id", k=10)
         .groupBy("decile")

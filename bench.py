@@ -17,7 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from analysisofuserbehavior_spark.registry import QUERIES
+from analysisofuserbehavior_spark.registry import (
+    QUERIES,
+    disable_shared_scan,
+    enable_shared_scan,
+)
 from analysisofuserbehavior_spark.session import get_spark
 
 HEADLINE = [
@@ -112,6 +116,36 @@ HEADLINE = [
 ]
 
 
+# queries whose plan starts from the shared sessionized-actions frame
+# (registry._actions): a workload running several of them pays the
+# scan + sessionize shuffle once via enable_shared_scan, the way the
+# reference persists the frame across module 1's outputs.  These run
+# as a second phase with the cache alive (its build cost is reported
+# as the `shared_scan_build` entry); everything else keeps the
+# clear-cache-between-queries discipline.
+ACTIONS_FAMILY = [
+    "sessionize",
+    "session_stats",
+    "session_aggr_stat",
+    "session_filtered_aggr_stat",
+    "session_filtered_aggr_stat2",
+    "session_random_extract",
+    "session_detail",
+    "session_paths",
+    "session_length_deciles",
+    "top10_categories",
+    "top10_category_sessions",
+    "area_top3_products",
+    "ad_user_click_count",
+    "ad_blacklist",
+    "ad_stat",
+    "ad_province_top3",
+    "ad_click_trend",
+    "page_rank",
+    "page_transition_probs",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -119,9 +153,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM/parquet footer caches once with the cheapest query
     QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
+
+    def measure(name: str) -> float:
         # two runs, report the faster: the first pays one-time
         # whole-stage-codegen compilation (~2-3 s/plan locally),
         # which is noise for throughput comparisons
@@ -130,11 +163,24 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    shared = [n for n in HEADLINE if n in QUERIES and n in ACTIONS_FAMILY]
+    for name in HEADLINE:
+        if name not in QUERIES or name in ACTIONS_FAMILY:
+            continue
+        timings[name] = measure(name)
         # drop any lingering per-query JVM state (broadcast refs,
         # memory-sink tables) so later queries aren't measured under
         # earlier queries' heap pressure
         spark.catalog.clearCache()
+    if shared:
+        t0 = time.perf_counter()
+        enable_shared_scan(spark, sf_dir)
+        timings["shared_scan_build"] = round(time.perf_counter() - t0, 3)
+        for name in shared:
+            timings[name] = measure(name)  # no clearCache: cache must live
+        disable_shared_scan(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -74,3 +74,76 @@ def test_embed_media_deterministic_and_ann_compatible(spark):
     emb = embed_media(df, dim=16).withColumnRenamed("doc_id", "vec_id")
     topk = ann_bruteforce_topk(emb, n_queries=2, k=2)
     assert topk.count() == 4
+
+
+def _bmp_bytes(width, height, pixels_rgb_topdown, top_down=False):
+    """Build a real uncompressed 24-bit BMP (stdlib struct only).
+    `pixels_rgb_topdown` is rows (top first) of (r, g, b) tuples."""
+    import struct as st
+
+    row_bytes = (width * 3 + 3) & ~3
+    rows = pixels_rgb_topdown if top_down else pixels_rgb_topdown[::-1]
+    body = b"".join(
+        b"".join(st.pack("BBB", b, g, r) for (r, g, b) in row)
+        + b"\x00" * (row_bytes - width * 3)
+        for row in rows
+    )
+    h = height if not top_down else -height
+    info = st.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    file_hdr = st.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + body
+
+
+def _wav_bytes(rate, channels, samples, extra_chunk=False):
+    """Build a real PCM-16 WAV; optional junk chunk before fmt to
+    exercise the RIFF chunk walk."""
+    import struct as st
+
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + st.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + st.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_image_features_decodes_real_bmp(spark):
+    """A real uncompressed 24-bit BMP decodes end-to-end (header,
+    4-byte row padding, BGR order, bottom-up AND top-down storage) —
+    no PIL, stdlib struct + numpy only."""
+    from analysisofuserbehavior_spark.operators.multimodal import image_features
+    import struct as st
+
+    px = [[(255, 0, 0), (255, 0, 0)], [(255, 0, 0), (0, 255, 0)]]
+    rows = [
+        (1, "image", _bmp_bytes(2, 2, px)),
+        (2, "image", _bmp_bytes(2, 2, px, top_down=True)),
+        (3, "image", st.pack("<II", 64, 64) + b"fake payload"),  # must drop out
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, media binary")
+    got = {r.doc_id: r for r in image_features(media).collect()}
+    assert set(got) == {1, 2}
+    for did in (1, 2):
+        r = got[did]
+        assert (r.width, r.height) == (2, 2)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (191.25, 63.75, 0.0)
+
+
+def test_audio_features_decodes_real_wav(spark):
+    """A real PCM-16 WAV decodes end-to-end: chunk walk past a junk
+    chunk, sample count, duration, exact RMS."""
+    from analysisofuserbehavior_spark.operators.multimodal import audio_features
+
+    rows = [
+        (1, "audio", _wav_bytes(8000, 1, [1000, -1000, 1000, -1000], extra_chunk=True)),
+        (2, "audio", b"RIFF not actually wav"),  # must drop out
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, media binary")
+    got = audio_features(media).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 4)
+    assert r.duration_sec == 4 / 8000
+    assert r.rms == 1000.0

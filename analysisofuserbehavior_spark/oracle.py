@@ -1006,6 +1006,33 @@ FROM documents
 # the upsert sink accumulates exactly the batch per-key counts
 ORACLE["streaming_user_click_upsert"] = ORACLE["ad_user_click_count"]
 
+# the blacklist FEEDBACK replay: two micro-batches split at
+# min(ts)+14d; phase-1 offenders (any (day,user,ad) count >= 2) are
+# blacklisted before phase 2, so their phase-2 clicks never reach the
+# totals — the SQL unrolls the same two phases the stream executes
+ORACLE["ad_blacklist_feedback"] = """
+WITH src AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id
+  FROM events WHERE event_type = 'click'
+),
+split AS (SELECT strftime(min(ts) + INTERVAL 14 DAY, '%Y-%m-%d') AS d FROM events),
+p1 AS (
+  SELECT day, user_id, ad_id, count(*) AS c FROM src
+  WHERE day <= (SELECT d FROM split) GROUP BY 1, 2, 3
+),
+bl1 AS (SELECT DISTINCT user_id FROM p1 WHERE c >= 2),
+p2 AS (
+  SELECT day, user_id, ad_id, count(*) AS c FROM src
+  WHERE day > (SELECT d FROM split)
+    AND user_id NOT IN (SELECT user_id FROM bl1)
+  GROUP BY 1, 2, 3
+)
+SELECT day, user_id, ad_id, CAST(sum(c) AS BIGINT) AS click_count
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+GROUP BY day, user_id, ad_id
+"""
+
 ORACLE["tpch_q4"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -113,6 +113,7 @@ HEADLINE = [
     "session_filtered_aggr_stat2",
     "streaming_session_rollup",
     "tpch_q18",
+    "ad_blacklist_feedback",
 ]
 
 

@@ -132,3 +132,57 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals — the Gopher-style quality
+    filters (Rae et al. 2021 §A1.1: "repetition" rules) that catch
+    boilerplate, keyword-stuffed and looping documents before they
+    reach training:
+
+    * dup_word_frac   — 1 - |distinct words| / |words|
+    * dup_2gram_frac  — fraction of bigram slots occupied by a
+                        repeated bigram
+    * dup_3gram_frac  — same for trigrams
+
+    All three are row-LOCAL array expressions (size/array_distinct
+    over the token and shingle arrays) — a pure projection fused into
+    the scan, zero shuffle at any corpus size.  Fractions are exact
+    IEEE divisions of two small ints (identical in DuckDB), quantized
+    to 6 dp like every other cross-engine ratio."""
+    toks = _tokens()
+
+    def ngrams(k: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            ),
+        )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size(F.col("toks")).cast("bigint").alias("n_words"),
+            qround(dup_frac(F.col("toks")), 6).alias("dup_word_frac"),
+            # guard: Spark's sequence(1, n) runs DESCENDING when n < 1,
+            # so short docs must short-circuit before the ngram expr
+            qround(
+                F.when(F.size(F.col("toks")) >= 2, dup_frac(ngrams(2))).otherwise(0.0),
+                6,
+            ).alias("dup_2gram_frac"),
+            qround(
+                F.when(F.size(F.col("toks")) >= 3, dup_frac(ngrams(3))).otherwise(0.0),
+                6,
+            ).alias("dup_3gram_frac"),
+        )
+    )

@@ -486,6 +486,32 @@ FROM sims WHERE rn <= 5
 
 _STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
 
+# dup fractions are exact IEEE divisions of two small ints in both
+# engines; 6-dp quantization mirrors the engine's qround
+ORACLE["repetition_stats"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS g2,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       floor((CASE WHEN len(toks) > 0
+                   THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac,
+       floor((CASE WHEN len(g2) > 0
+                   THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_2gram_frac,
+       floor((CASE WHEN len(g3) > 0
+                   THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac
+FROM g
+"""
+
 ORACLE["text_stats"] = f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents

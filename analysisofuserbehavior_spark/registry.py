@@ -511,6 +511,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_documents(spark, sf_dir))
 
 
+@query("repetition_stats")
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters (duplicate word /
+    2-gram / 3-gram fractions) — row-local array expressions, zero
+    shuffle; hash-gated against the same list algebra in DuckDB."""
+    from .operators.text_analysis import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
 @query("lang_id")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import lang_id

@@ -114,6 +114,7 @@ HEADLINE = [
     "streaming_session_rollup",
     "tpch_q18",
     "ad_blacklist_feedback",
+    "repetition_stats",
 ]
 
 

@@ -60,3 +60,28 @@ def test_rolling_fingerprint_is_order_sensitive_and_deterministic(spark):
     assert got[1] != got[2]          # reordering changes the hash
     again = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(docs).collect()}
     assert got == again
+
+
+def test_repetition_stats_flags_looping_docs(spark):
+    """Gopher-style repetition signals: a looping doc scores high
+    duplicate-ngram fractions, a clean doc scores 0, and short docs
+    (fewer words than the ngram order) short-circuit to 0 instead of
+    tripping Spark's descending sequence()."""
+    from analysisofuserbehavior_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a quick brown fox jumps over lazy dogs"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    loop, clean, short = got[1], got[2], got[3]
+    assert loop.n_words == 8
+    assert loop.dup_word_frac == 0.75         # 8 words, 2 distinct
+    assert loop.dup_2gram_frac == round(5 / 7, 6)  # 7 bigrams, 2 distinct
+    assert loop.dup_3gram_frac == round(4 / 6, 6)  # 6 trigrams, 2 distinct
+    assert (clean.dup_word_frac, clean.dup_2gram_frac, clean.dup_3gram_frac) == (0.0, 0.0, 0.0)
+    assert (short.dup_2gram_frac, short.dup_3gram_frac) == (0.0, 0.0)

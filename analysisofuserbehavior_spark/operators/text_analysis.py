@@ -186,3 +186,41 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("dup_3gram_frac"),
         )
     )
+
+
+def doc_length_quantiles(
+    docs: DataFrame, percentiles: tuple[int, ...] = (10, 50, 90, 99)
+) -> DataFrame:
+    """EXACT corpus length quantiles (percentile_disc semantics:
+    smallest value whose CDF >= p) — the data-mixing / packing
+    planner's "how long are my documents" pre-pass.
+
+    Scale design: a naive percentile_disc sorts every row into one
+    reducer — a 100 TB killer for a GLOBAL percentile.  Token counts
+    live in a tiny integer domain, so count-by-value (one map-side-
+    combined shuffle) + a running sum over the |distinct values|-row
+    frame + one broadcast total replaces the global sort entirely;
+    the unpartitioned window is bounded by the value domain, not the
+    corpus.  Threshold tests run in exact integer math
+    (cum * 100 >= p * total), so no float CDF can wobble the pick."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.size(_tokens()).cast("bigint").alias("n_words"))
+        .groupBy("n_words")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("n_words").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    total = cum.agg(F.sum("c").alias("total"))
+    picked = cum.crossJoin(F.broadcast(total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("n_words")
+                )
+            ).alias(f"p{p}_words")
+            for p in percentiles
+        ]
+    )
+    return picked

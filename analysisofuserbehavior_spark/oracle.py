@@ -486,6 +486,18 @@ FROM sims WHERE rn <= 5
 
 _STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
 
+# quantile_disc = percentile_disc semantics (smallest value with
+# CDF >= p) — the engine computes the same pick via count-by-value +
+# integer threshold math instead of a global sort
+ORACLE["doc_length_quantiles"] = """
+WITH n AS (SELECT len(string_split(text, ' ')) AS n_words FROM documents)
+SELECT CAST(quantile_disc(n_words, 0.10) AS BIGINT) AS p10_words,
+       CAST(quantile_disc(n_words, 0.50) AS BIGINT) AS p50_words,
+       CAST(quantile_disc(n_words, 0.90) AS BIGINT) AS p90_words,
+       CAST(quantile_disc(n_words, 0.99) AS BIGINT) AS p99_words
+FROM n
+"""
+
 # dup fractions are exact IEEE divisions of two small ints in both
 # engines; 6-dp quantization mirrors the engine's qround
 ORACLE["repetition_stats"] = """

@@ -521,6 +521,16 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_documents(spark, sf_dir))
 
 
+@query("doc_length_quantiles")
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus length percentiles WITHOUT a global sort:
+    count-by-value + running sum over the tiny value domain + exact
+    integer threshold tests; gated against DuckDB quantile_disc."""
+    from .operators.text_analysis import doc_length_quantiles
+
+    return doc_length_quantiles(_documents(spark, sf_dir))
+
+
 @query("lang_id")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import lang_id

@@ -115,6 +115,7 @@ HEADLINE = [
     "tpch_q18",
     "ad_blacklist_feedback",
     "repetition_stats",
+    "doc_length_quantiles",
 ]
 
 

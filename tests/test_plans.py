@@ -301,3 +301,22 @@ def test_media_dedup_shuffles_digests_not_payloads(spark, sf_dir):
     for s in ex:
         inputs = [l for l in s.splitlines() if l.startswith("Input")]
         assert inputs and all("media#" not in l for l in inputs), s[:800]
+
+
+def test_repetition_stats_is_scan_fused_zero_shuffle(spark, sf_dir):
+    """The repetition quality filters are row-local array algebra —
+    a pure projection with NO exchange at any corpus size."""
+    df = QUERIES["repetition_stats"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_doc_length_quantiles_avoids_global_sort(spark, sf_dir):
+    """Exact percentiles via count-by-value: the only Sort in the
+    plan runs on the |distinct token counts|-row frame (bounded by
+    the value domain), never on the corpus — asserted by the absence
+    of a sort-based percentile aggregate and by the shuffle count
+    (value-counts agg + tiny window + broadcast total + scalar agg)."""
+    df = QUERIES["doc_length_quantiles"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "percentile" not in plan.lower()  # no sort-everything aggregate
+    assert plans.count_exchanges(df) <= 4

@@ -2,8 +2,11 @@
 
 The reference stops at behavior analytics; a training-data engine
 also has to answer "which documents go into the run, with what
-weight, and with what scrubbed?".  Four curation primitives, all
-built-in JVM expressions (no Python in the hot path):
+weight, and with what scrubbed?".  Curation primitives, all
+built-in JVM expressions (no Python in the hot path) — plus
+`quality_weighted_sample` (deterministic quality-proportional
+sampling) and `leakage_safe_split` (near-dup-cluster-atomic
+train/eval assignment) below:
 
 - `train_eval_split` — deterministic hash split.  Membership is a
   pure projection on md5(salt:doc_id), so it is reproducible across
@@ -156,4 +159,73 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         clean.alias("clean_text"),
         *counts,
+    )
+
+
+def quality_weighted_sample(docs: DataFrame, salt: str = "qs1") -> DataFrame:
+    """Deterministic quality-PROPORTIONAL sampling — the curation
+    step that keeps high-quality documents with high probability and
+    boilerplate with low probability (the FineWeb/DCLM
+    classifier-score sampling pattern, with the engine's built-in
+    quality heuristic as the score).
+
+    keep ⇔ u(doc) < quality, where u is the md5-prefix uniform from
+    `split_bucket` (growth-stable: a doc's verdict never changes as
+    the corpus grows).  The comparison runs ENTIRELY in fixed-width
+    lowercase hex: threshold = %05x of (q100 · 65536) ÷ 100 in exact
+    integer math, the bucket is zero-padded to the same width, so
+    lexical order == numeric order in every engine and no float CDF
+    is involved.  Pure projection — zero shuffle at any scale."""
+    from .text_analysis import text_stats
+
+    stats = text_stats(docs)
+    q100 = F.floor(F.col("quality_score") * 100 + F.lit(0.5)).cast("bigint")
+    thresh_hex = F.format_string(
+        "%05x", F.floor((q100 * 65536) / 100).cast("bigint")
+    )
+    bucket5 = F.lpad(split_bucket(salt), 5, "0")
+    return stats.select(
+        "doc_id",
+        "quality_score",
+        bucket5.alias("bucket"),
+        (bucket5 < thresh_hex).alias("kept"),
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    neardup_pairs: DataFrame,
+    eval_threshold_hex: str = DEFAULT_EVAL_THRESHOLD_HEX,
+    salt: str = "v1",
+) -> DataFrame:
+    """Train/eval split that CANNOT leak through near-duplicates:
+    `train_eval_split` hashes each doc independently, so two
+    near-identical documents can land on opposite sides and the eval
+    set silently scores memorization.  Here every transitive near-dup
+    cluster (connected components over the pair graph) is assigned as
+    a UNIT — membership hashes the cluster id (min reachable doc_id),
+    so all members inherit one verdict.  Docs with no near-dup are
+    their own cluster and split exactly like `train_eval_split`.
+
+    Scale: the cluster label frame is bounded by |docs that appear in
+    a pair| — tiny next to the corpus — and the one extra join runs
+    on the already-partitioned doc_id key; everything else stays the
+    map-only hash projection."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(neardup_pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = split_bucket(salt, id_col="cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < eval_threshold_hex, "eval").otherwise("train").alias("split"),
     )

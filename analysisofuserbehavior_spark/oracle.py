@@ -486,6 +486,36 @@ FROM sims WHERE rn <= 5
 
 _STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
 
+# quality-proportional sampling: identical quality formula as
+# text_stats, then keep <=> lpad(md5-prefix,5) < %05x of the exact
+# integer threshold (q100*65536 div 100) — lexical == numeric in
+# fixed-width lowercase hex
+ORACLE["quality_weighted_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score
+  FROM m
+),
+h AS (
+  SELECT doc_id, quality_score,
+         lpad(substring(md5('qs1:' || CAST(doc_id AS VARCHAR)), 1, 4), 5, '0') AS bucket,
+         printf('%05x', CAST(floor((CAST(floor(quality_score * 100 + 0.5) AS BIGINT) * 65536) / 100) AS BIGINT)) AS thresh
+  FROM q
+)
+SELECT doc_id, quality_score, bucket, bucket < thresh AS kept FROM h
+"""
+
 # quantile_disc = percentile_disc semantics (smallest value with
 # CDF >= p) — the engine computes the same pick via count-by-value +
 # integer threshold math instead of a global sort

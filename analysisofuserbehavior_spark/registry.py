@@ -521,6 +521,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_documents(spark, sf_dir))
 
 
+@query("leakage_safe_split")
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split where every transitive near-dup cluster is
+    assigned as a unit (no eval leakage through near-duplicates).
+    Rows-only BY DESIGN: cluster labels come from the iterative
+    connected-components fixpoint; the no-straddling property is
+    pinned by tests/test_curation.py::test_leakage_safe_split_keeps_clusters_together."""
+    from .operators.curation import leakage_safe_split
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _documents(spark, sf_dir)
+    return leakage_safe_split(docs, minhash_lsh_pairs(docs))
+
+
+@query("quality_weighted_sample")
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-proportional corpus sampling (keep ⇔
+    md5-uniform < quality score) — fixed-width-hex integer compare,
+    zero shuffle, growth-stable; the oracle replays the identical
+    quality formula + hex threshold."""
+    from .operators.curation import quality_weighted_sample
+
+    return quality_weighted_sample(_documents(spark, sf_dir))
+
+
 @query("doc_length_quantiles")
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus length percentiles WITHOUT a global sort:

@@ -116,6 +116,8 @@ HEADLINE = [
     "ad_blacklist_feedback",
     "repetition_stats",
     "doc_length_quantiles",
+    "quality_weighted_sample",
+    "leakage_safe_split",
 ]
 
 

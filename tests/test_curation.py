@@ -277,3 +277,62 @@ def test_decayed_attribution_weights_recent_touches_more(spark):
         }
     # 6600 cents: ad1 w=64, ad2 w=2 → 6400 and 200 cents
     assert got == {1: 64.0, 2: 2.0}, got
+
+
+def test_quality_weighted_sample_proportional_and_extremes(spark):
+    """keep ⇔ md5-uniform < quality: quality 0 never keeps, quality
+    1.0 ALWAYS keeps (the 5-hex-digit threshold 0x10000 — the edge
+    the fixed-width compare exists for), and over many docs the keep
+    rate tracks mean quality."""
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.operators.curation import quality_weighted_sample
+
+    # quality 1.0 needs >= 100 tokens AND stopword ratio >= 0.1
+    perfect = ("the and of a to in is on for with " * 12).strip()
+    junk = "zzz"  # 1 token, no stopwords → quality 0.6*0.01 + 0 ≈ 0.01
+    docs = spark.createDataFrame(
+        [(i, perfect) for i in range(50)] + [(1000 + i, junk) for i in range(50)],
+        "doc_id long, text string",
+    )
+    got = quality_weighted_sample(docs)
+    by_q = {
+        r["quality_score"]: r
+        for r in got.groupBy("quality_score")
+        .agg(F.avg(F.col("kept").cast("int")).alias("rate"))
+        .collect()
+    }
+    assert by_q[1.0].rate == 1.0          # every perfect doc kept
+    assert by_q[0.01].rate <= 0.1         # junk kept ~1% of the time
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup pair may straddle the train/eval boundary — the
+    leak `train_eval_split` can't rule out.  A chained cluster
+    (a~b, b~c) must land on ONE side even when its members' solo
+    hashes disagree; docs with no near-dup split exactly like
+    train_eval_split."""
+    from analysisofuserbehavior_spark.operators.curation import (
+        leakage_safe_split,
+        train_eval_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # chain 1~2, 2~3 plus the isolated pair 10~11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    # threshold 8000 ≈ 50% so both sides are populated
+    got = {r.doc_id: r for r in leakage_safe_split(docs, pairs, "8000").collect()}
+    assert len(got) == 20
+    assert got[1].split == got[2].split == got[3].split
+    assert got[1].cluster_id == got[2].cluster_id == got[3].cluster_id == 1
+    assert got[10].split == got[11].split
+    solo = {r.doc_id: r.split for r in train_eval_split(docs, "8000").collect()}
+    for d in set(range(20)) - {1, 2, 3, 10, 11}:
+        assert got[d].split == solo[d]  # singletons: identical membership
+    splits = {r.split for r in got.values()}
+    assert splits == {"train", "eval"}  # both sides actually exercised

@@ -250,8 +250,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidate generation, exact-verified.
 
-    Same output contract as `ngram_jaccard_pairs` — precision is
+    Same output SHAPE as `ngram_jaccard_pairs` — precision is
     exact (candidates re-checked), recall governed by (bands, rows).
+    One semantic difference since the exact operator grew its
+    default `max_df` stop-shingle cap: LSH verifies FULL shingle
+    sets, so on a corpus carrying boilerplate shingles the two can
+    legitimately disagree (the gate corpus has none; equality there
+    is hash-proven).  A df-heavy shingle does NOT blow up this path
+    the way it blows up the inverted-index join: band buckets
+    collide only for pairs similar across the WHOLE signature, not
+    for pairs sharing one hot shingle — the residual quadratic risk
+    is exact-duplicate floods, which `exact_dedup` removes upstream.
     Defaults (64 perms, 16 bands × 4 rows) put the per-pair miss
     probability at the 0.8 threshold at (1-0.8^4)^16 ≈ 2e-4 — vs
     ~1.5% with the old 8-band default, a latent gate flake on any

@@ -121,8 +121,8 @@ def _decode_wav(payload: bytes):
     if fmt is None or data is None or len(fmt) < 16:
         return None
     tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if tag != 1 or bits != 16 or channels == 0:
-        return None
+    if tag != 1 or bits != 16 or channels == 0 or rate == 0:
+        return None  # rate=0 would divide-by-zero in duration math
     samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     n_samples = len(samples) // channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0

@@ -78,7 +78,12 @@ def session_stats(actions: DataFrame) -> DataFrame:
     # time arithmetic runs on epoch-micros integers (one ntz→utc cast
     # + unix_micros per row, then pure int64 ops): the per-row
     # unix_timestamp + hour() chronology functions this replaces cost
-    # ~20% of the whole rollup at sf0.1.  Only min/max epochs cross
+    # ~20% of the whole rollup at sf0.1.  CONTRACT: assumes the
+    # engine's pinned UTC session (session.py / __spark_entry__) and
+    # post-1970 timestamps — the ntz→timestamp cast reads the session
+    # timezone, so a non-UTC session would shift start_hour off the
+    # ntz wall clock (the whole oracle-parity surface shares this
+    # UTC-session assumption, see sources/loaders.epoch_us).  Only min/max epochs cross
     # the aggregation; start_time/visit_length are derived POST-agg on
     # |sessions| rows.  start_hour stays min-of-per-row-hours (NOT
     # hour-of-min-ts — they differ on midnight-crossing sessions) as

@@ -40,8 +40,19 @@ def query(name: str):
 # cache, so every consumer query amortizes transparently.  Caching
 # changes physical reuse only — results are identical (pinned by
 # tests/test_modules.py::test_shared_scan_results_identical).
-_SHARED_ACTIONS: dict[tuple[int, str], DataFrame] = {}
-_SHARED_SESSIONS: dict[tuple[int, str], DataFrame] = {}
+# WeakKeyDictionary keyed by the live SparkSession object: a stopped
+# and garbage-collected session drops its entries automatically, so a
+# later session can never be served a dead session's persisted frame
+# (id()-based keys are reused by CPython after GC) and the cache never
+# pins a dead session's DataFrames.
+import weakref as _weakref
+
+_SHARED_ACTIONS: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+_SHARED_SESSIONS: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def enable_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,26 +62,27 @@ def enable_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters as much as the scan cache: six queries start from
     session_stats, whose |sessions|-row result is tiny but whose
     rollup shuffle over the full event table is the dominant cost."""
-    key = (id(spark), sf_dir)
-    if key not in _SHARED_ACTIONS:
+    per_session = _SHARED_ACTIONS.setdefault(spark, {})
+    if sf_dir not in per_session:
         df = bm.actions(load_table(spark, sf_dir, "events")).persist()
         df.count()  # materialize eagerly so consumers measure amortized cost
-        _SHARED_ACTIONS[key] = df
+        per_session[sf_dir] = df
         ss = sa.session_stats(df).persist()
         ss.count()
-        _SHARED_SESSIONS[key] = ss
-    return _SHARED_ACTIONS[key]
+        _SHARED_SESSIONS.setdefault(spark, {})[sf_dir] = ss
+    return per_session[sf_dir]
 
 
 def disable_shared_scan(spark: SparkSession | None = None) -> None:
     for cache in (_SHARED_ACTIONS, _SHARED_SESSIONS):
-        for k in list(cache):
-            if spark is None or k[0] == id(spark):
-                cache.pop(k).unpersist()
+        sessions = [spark] if spark is not None else list(cache.keys())
+        for s in sessions:
+            for df in cache.pop(s, {}).values():
+                df.unpersist()
 
 
 def _actions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _SHARED_ACTIONS.get((id(spark), sf_dir))
+    cached = _SHARED_ACTIONS.get(spark, {}).get(sf_dir)
     if cached is not None:
         return cached
     return bm.actions(load_table(spark, sf_dir, "events"))
@@ -78,7 +90,7 @@ def _actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_stats over the (possibly cached) actions frame."""
-    cached = _SHARED_SESSIONS.get((id(spark), sf_dir))
+    cached = _SHARED_SESSIONS.get(spark, {}).get(sf_dir)
     if cached is not None:
         return cached
     return sa.session_stats(_actions(spark, sf_dir))
@@ -140,7 +152,7 @@ def q_session_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, unset CSV/string fields to '' (MySQL NULL in the
     reference — '' here for cross-engine hash stability)."""
     actions = _actions(spark, sf_dir)
-    chosen = sa.session_random_extract(sa.session_stats(actions))
+    chosen = sa.session_random_extract(_sessions(spark, sf_dir))
     et = F.col("event_type")
     return sa.session_detail(actions, chosen).select(
         F.lit(1).cast("bigint").alias("task_id"),
@@ -320,7 +332,17 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"expected >= 2 micro-batches, last epoch = {last_epoch}"
         )
-    return loop.current_totals(spark)
+    # the totals are dimension-sized (|day×user×ad| click keys);
+    # materialize them so the work dir (a full copy of the click log
+    # + stream state + checkpoint) can be deleted instead of leaking
+    # a /tmp tree per invocation
+    rows = loop.current_totals(spark).collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day string, user_id long, ad_id long, click_count long"
+    )
 
 
 @query("ad_stat")

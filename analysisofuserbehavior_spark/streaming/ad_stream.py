@@ -310,10 +310,14 @@ class BlacklistLoop:
         self.threshold = threshold
 
     def _state(self, spark: SparkSession) -> DataFrame:
-        try:
-            return spark.read.schema(self._STATE_SCHEMA).parquet(self.totals_dir)
-        except Exception:  # noqa: BLE001 - first batch: no state yet
-            return spark.createDataFrame([], self._STATE_SCHEMA)
+        # crash-safe shared loader (sources/upsert.py): recovers from
+        # the committed `_next` staging copy after a mid-finalize
+        # crash and refuses to silently reinitialize over a corrupt
+        # main dir — losing this state forgets every blacklisted user
+        # and double-counts replayed epochs
+        from ..sources.upsert import _load_state
+
+        return _load_state(spark, self._STATE_SCHEMA, self.totals_dir)
 
     def current_totals(self, spark: SparkSession) -> DataFrame:
         return self._state(spark).select("day", "user_id", "ad_id", "click_count")

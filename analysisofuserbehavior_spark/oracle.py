@@ -486,6 +486,29 @@ FROM sims WHERE rn <= 5
 
 _STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
 
+# run_task migration path: the task_param drives a DATE-RESTRICTED
+# scan (ts in [startDate, endDate+1d), pushed down BEFORE
+# sessionization, util/SparkUtils.java:64-90) and the session
+# predicate engine; sessions are recomputed within the range exactly
+# like the reference's interpolated-SQL scan.
+_RANGED_SESSIONIZE = SESSIONIZE_CTES.replace(
+    "FROM events e",
+    "FROM (SELECT * FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-29 00:00:00') e",
+)
+ORACLE["run_task_session_aggr"] = f"""
+WITH {_RANGED_SESSIONIZE}, {SESSION_STATS_CTE}, {USERS_CTE},
+filtered AS (
+  SELECT s.* FROM session_stats s JOIN users u USING (user_id)
+  WHERE u.age >= 10 AND u.age <= 55
+    AND u.sex = 'male'
+    AND list_has_any(string_split(s.event_types, ','), ['click', 'view'])
+    AND s.day >= '2024-01-03' AND s.day <= '2024-01-28'
+)
+{_aggr_stat_select("filtered")}
+"""
+
 # quality-proportional sampling: identical quality formula as
 # text_stats, then keep <=> lpad(md5-prefix,5) < %05x of the exact
 # integer threshold (q100*65536 div 100) — lexical == numeric in

@@ -543,6 +543,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_documents(spark, sf_dir))
 
 
+@query("run_task_session_aggr")
+def q_run_task_session_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIGRATION PATH under the hash gate: modules.run_task
+    driven by the reference's exact task_param wire format (JSON of
+    single-element string arrays, TaskDAOImpl.java:24-48 /
+    ParamUtils.java:44-50) — date-range scan pushdown, the session
+    predicate engine, and the 16-bucket aggregate, end to end.  The
+    oracle rebuilds the same restricted scan + filters in SQL."""
+    import json as _json
+
+    from .modules import run_task
+
+    task_json = _json.dumps(
+        {
+            "startDate": ["2024-01-03"],
+            "endDate": ["2024-01-28"],
+            "startAge": ["10"],
+            "endAge": ["55"],
+            "sex": ["male"],
+            "keywords": ["click,view"],
+        }
+    )
+    return run_task(spark, task_json, sf_dir, modules=("session",))[
+        "session_aggr_stat"
+    ]
+
+
 @query("leakage_safe_split")
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval split where every transitive near-dup cluster is
@@ -2587,7 +2614,13 @@ _GATE_WINDOW = [
     "error_burst_click_counts",
     "incremental_admit",
     "streaming_sliding_trend",
-    "session_filtered_aggr_stat2",
+    # round 4: run_task_session_aggr gates the whole migration path
+    # (task_param wire format → pushed-down ranged scan → predicate
+    # engine → aggregate) — strictly broader evidence than a second
+    # parameterization of the same predicate engine
+    # (session_filtered_aggr_stat2, displaced but still verified in
+    # ORACLE_FULL_r{N}.json).
+    "run_task_session_aggr",
     "tpch_q10",
     "streaming_session_rollup",
     "clean_corpus",

@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_length_quantiles",
     "quality_weighted_sample",
     "leakage_safe_split",
+    "run_task_session_aggr",
 ]
 
 

@@ -104,3 +104,59 @@ def page_transition_edges(actions: DataFrame, gap_seconds: int = 1800) -> DataFr
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over the UNDIRECTED simple graph induced
+    by `edges` — the clustering-structure metric (spam rings, bot
+    farms, navigation loops all show up as triangle anomalies).
+
+    Scale design — degree-ordered orientation (the standard
+    distributed algorithm): canonicalize to undirected simple edges,
+    then orient every edge from its lower-(degree, id) endpoint to
+    the higher one.  Each triangle is then counted EXACTLY once (at
+    its lowest-degree corner), and the wedge join fans out by the
+    ORIENTED out-degree, which is O(sqrt(|E|)) per node even on
+    power-law graphs — the u-shaped "hub joins hub" explosion a
+    naive 3-way self-join suffers never happens.  Two shuffles
+    (degree agg + wedge join) plus the closing semi-join."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))  # self-loops close no triangle
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # orient: lower (degree, id) endpoint -> higher
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "pivot").where(F.col("x") < F.col("y"))
+    closing = und.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    return wedges.join(closing, ["x", "y"], "inner").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

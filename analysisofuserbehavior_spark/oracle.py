@@ -1661,6 +1661,29 @@ r{i} AS (
   ) c USING (node)
 )"""
 
+# triangle count: the oracle uses the naive canonical 3-way join
+# (fine at oracle scale); the engine's degree-ordered orientation
+# must produce the identical count — each triangle once
+ORACLE["page_graph_triangles"] = f"""
+WITH {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, event_type,
+         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_et
+  FROM actions
+),
+edges AS (
+  SELECT prev_et AS src, event_type AS dst FROM splits WHERE prev_et IS NOT NULL
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und x
+JOIN und y ON y.a = x.b
+JOIN und z ON z.a = x.a AND z.b = y.b
+"""
+
 ORACLE["page_rank"] = (
     f"""
 WITH {SESSIONIZE_CTES},

@@ -543,6 +543,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_documents(spark, sf_dir))
 
 
+@query("page_graph_triangles")
+def q_page_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected page-transition graph via
+    degree-ordered orientation (each triangle counted at its lowest-
+    degree corner; wedge fan-out bounded by oriented out-degree).
+    The oracle counts the same triangles with the naive canonical
+    3-way join — same answer, opposite plan."""
+    from .operators.graph import page_transition_edges, triangle_count
+
+    return triangle_count(page_transition_edges(_actions(spark, sf_dir)))
+
+
 @query("run_task_session_aggr")
 def q_run_task_session_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MIGRATION PATH under the hash gate: modules.run_task

@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_weighted_sample",
     "leakage_safe_split",
     "run_task_session_aggr",
+    "page_graph_triangles",
 ]
 
 

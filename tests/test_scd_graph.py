@@ -297,3 +297,20 @@ def test_sweep_line_property_vs_bruteforce(spark, day_offsets):
         day = dt.date.fromisoformat(day_s)
         brute = sum(1 for d in days if d <= day < d + dt.timedelta(days=30))
         assert n == brute, (day_s, n, brute)
+
+
+def test_triangle_count_degree_orientation(spark):
+    """K4 has exactly 4 triangles; duplicate directed edges,
+    reversed edges and self-loops must all canonicalize away; a
+    path graph has none."""
+    from analysisofuserbehavior_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]  # both directions
+    edges = spark.createDataFrame(
+        k4 + [("a", "a"), ("a", "b")], "src string, dst string"
+    )
+    assert triangle_count(edges).first()["n_triangles"] == 4
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert triangle_count(path).first()["n_triangles"] == 0

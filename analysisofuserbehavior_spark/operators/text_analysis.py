@@ -188,6 +188,106 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Unigram language-model quality score: per-doc mean token
+    surprisal, bits_per_token(d) = Σ_t tf(t,d)·(log2 T − log2 c(t)) / |d|
+    where c(t) is the corpus count of token t and T = Σ c(t).
+
+    The cheap stand-in for a KenLM-style perplexity filter (the
+    CCNet/Gopher quality signal): documents dominated by rare tokens
+    score high, boilerplate scores low.  Scale design: the corpus LM
+    is ONE map-side-combined token-count shuffle; docs contribute
+    (doc_id, token, tf) DISTINCT pairs (second combine — the join is
+    per distinct pair, not per occurrence); the pair⋈vocab join keys
+    on token, where AQE's skew split handles Zipf-head tokens.  The
+    two log2 calls and the final division are mirrored verbatim in
+    the oracle; quantized 6 dp before output."""
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = pairs.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t_total"))
+    scored = (
+        pairs.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("tf").cast("double")
+                * (F.log2(F.col("t_total")) - F.log2(F.col("c").cast("double")))
+            ).alias("bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        qround(F.col("bits") / F.col("n_tokens").cast("double"), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
+def vocab_growth(docs: DataFrame, n_checkpoints: int = 10) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-vocabulary size
+    after ingesting the corpus up to each of `n_checkpoints` doc_id
+    thresholds (thr_i = ⌊max_id·i/n⌋, exact integer math).
+
+    The "is more data still adding vocabulary" curve a tokenizer /
+    data-mixing pass wants.  Scale design: a naive cumulative
+    COUNT(DISTINCT) over doc order is a global sort + running set —
+    unbounded state.  Instead each token's FIRST occurrence doc
+    (min(doc_id), one combined shuffle) makes vocabulary growth a
+    pure counting problem: vocab_at(thr) = |{t : first_doc(t) ≤ thr}|.
+    The n-row threshold frame broadcast-joins (nested-loop over n
+    rows) against the first-occurrence frame; no global sort, no
+    running state, |output| = n."""
+    firsts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    max_id = docs.agg(F.max("doc_id").alias("max_id"))
+    spark = docs.sparkSession
+    thresholds = (
+        spark.range(1, n_checkpoints + 1)
+        .withColumnRenamed("id", "checkpoint")
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "checkpoint",
+            # exact int64 division (Spark `div` ≡ DuckDB `//`) — no
+            # float quotient can truncate a threshold off by one
+            F.expr(f"(max_id * checkpoint) div {n_checkpoints}")
+            .cast("bigint")
+            .alias("doc_id_ceiling"),
+        )
+    )
+    vocab_at = (
+        firsts.join(
+            F.broadcast(thresholds),
+            F.col("first_doc") <= F.col("doc_id_ceiling"),
+        )
+        .groupBy("checkpoint", "doc_id_ceiling")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    docs_at = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(thresholds),
+            F.col("doc_id") <= F.col("doc_id_ceiling"),
+        )
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        vocab_at.join(docs_at, "checkpoint")
+        .select("checkpoint", "doc_id_ceiling", "n_docs", "vocab_size")
+        .orderBy("checkpoint")
+    )
+
+
 def doc_length_quantiles(
     docs: DataFrame, percentiles: tuple[int, ...] = (10, 50, 90, 99)
 ) -> DataFrame:

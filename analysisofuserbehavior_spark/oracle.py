@@ -2027,3 +2027,96 @@ SELECT ad_id, count(*) AS n_touches,
        floor(CAST(sum(credit_u) AS DOUBLE) / 100000000.0 * 100.0 + 0.5) / 100.0 AS credit
 FROM credited GROUP BY ad_id ORDER BY ad_id
 """
+
+
+def _bm25_oracle(terms=("spark", "join", "window", "stream"), k=20, k1=1.5, b=0.75):
+    """Mirror of operators/retrieval.py::bm25_topk.  k1+1 and 1-b are
+    exact binary doubles by parameter choice, so the literals below
+    are bit-identical to the Spark side's Python floats."""
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = "\n       + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0} / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         {tfs}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         {dfs}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         floor(({parts}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE["bm25_topk"] = _bm25_oracle()
+
+ORACLE["unigram_surprisal"] = """
+WITH pairs AS (
+  SELECT doc_id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT token, sum(tf) AS c FROM pairs GROUP BY token
+),
+total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM vocab
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+         sum(CAST(p.tf AS DOUBLE) * (log2(t.t_total) - log2(CAST(v.c AS DOUBLE)))) AS bits
+  FROM pairs p JOIN vocab v USING (token) CROSS JOIN total t
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_tokens,
+       floor(bits / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_token
+FROM scored
+"""
+
+ORACLE["vocab_growth"] = """
+WITH firsts AS (
+  SELECT tok AS token, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+thresholds AS (
+  SELECT CAST(i AS BIGINT) AS checkpoint,
+         CAST((SELECT max(doc_id) FROM documents) * i // 10 AS BIGINT) AS doc_id_ceiling
+  FROM range(1, 11) t(i)
+),
+vocab_at AS (
+  SELECT th.checkpoint, th.doc_id_ceiling, count(*) AS vocab_size
+  FROM firsts f JOIN thresholds th ON f.first_doc <= th.doc_id_ceiling
+  GROUP BY th.checkpoint, th.doc_id_ceiling
+),
+docs_at AS (
+  SELECT th.checkpoint, count(*) AS n_docs
+  FROM documents d JOIN thresholds th ON d.doc_id <= th.doc_id_ceiling
+  GROUP BY th.checkpoint
+)
+SELECT v.checkpoint, v.doc_id_ceiling, a.n_docs, v.vocab_size
+FROM vocab_at v JOIN docs_at a USING (checkpoint)
+ORDER BY v.checkpoint
+"""

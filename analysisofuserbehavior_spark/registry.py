@@ -2569,6 +2569,41 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bm25_topk")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 4-term query — row-local tf (no
+    explode), one 1-row corpus-stats broadcast, TakeOrdered top-k.
+    The retrieval slice a relevance-targeted corpus sample starts
+    from; ranking keys on the quantized score so cross-engine float
+    ULPs can't flip ranks (same discipline as doc_tfidf_top_terms)."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(_documents(spark, sf_dir))
+
+
+@query("unigram_surprisal")
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean surprisal per doc (bits/token) — the cheap
+    perplexity-style quality filter.  Corpus LM = one combined
+    token-count shuffle; docs contribute distinct (doc, token, tf)
+    pairs, so the vocab join is per distinct pair, not per
+    occurrence."""
+    from .operators.text_analysis import unigram_surprisal
+
+    return unigram_surprisal(_documents(spark, sf_dir))
+
+
+@query("vocab_growth")
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve at 10 doc_id checkpoints —
+    first-occurrence counting (min doc_id per token) instead of a
+    cumulative COUNT(DISTINCT) global sort; broadcast 10-row
+    threshold join, |output| = 10."""
+    from .operators.text_analysis import vocab_growth
+
+    return vocab_growth(_documents(spark, sf_dir))
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order

@@ -120,6 +120,9 @@ HEADLINE = [
     "leakage_safe_split",
     "run_task_session_aggr",
     "page_graph_triangles",
+    "bm25_topk",
+    "unigram_surprisal",
+    "vocab_growth",
 ]
 
 

@@ -1,0 +1,102 @@
+"""BM25 / unigram-surprisal / vocab-growth: model-based checks
+against straight-line Python reimplementations on tiny corpora, plus
+plan shape (no explode in the BM25 scoring path)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.operators.retrieval import bm25_topk
+from analysisofuserbehavior_spark.operators.text_analysis import (
+    unigram_surprisal,
+    vocab_growth,
+)
+
+DOCS = [
+    (0, "spark join window stream spark"),
+    (1, "the quick brown fox"),
+    (2, "spark spark spark spark spark spark"),
+    (3, "join the window"),
+    (4, "completely unrelated words here"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _bm25_model(docs, terms, k1=1.5, b=0.75):
+    toks = {d: t.split(" ") for d, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: float(sum(1 for v in toks.values() if t in v)) for t in terms}
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = float(v.count(t))
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(v) / avgdl))
+        out[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    return out
+
+
+def test_bm25_matches_python_model(spark):
+    terms = ("spark", "join", "window", "stream")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(_docs_df(spark), terms, k=10).collect()
+    }
+    want = {d: s for d, s in _bm25_model(DOCS, terms).items() if s > 0.0}
+    assert got == want
+    # doc 0 hits all four terms — it must outrank the single-term docs
+    assert got[0] == max(got.values())
+    # doc 4 shares no query term → filtered out entirely
+    assert 4 not in got
+
+
+def test_bm25_term_saturation(spark):
+    """tf saturation: 6 repeats of one term must NOT outrank a doc
+    matching all four distinct terms (the k1 saturation property that
+    distinguishes BM25 from raw tf)."""
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(_docs_df(spark), ("spark", "join", "window", "stream"), k=10).collect()
+    }
+    assert got[0] > got[2]
+
+
+def test_bm25_plan_has_no_explode(spark):
+    plan = bm25_topk(_docs_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # row-local tf — no explode stage
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    df = unigram_surprisal(_docs_df(spark))
+    got = {r["doc_id"]: r["bits_per_token"] for r in df.collect()}
+    # doc 2 is six copies of the single most common token; doc 4 is
+    # all hapaxes — the rare-token doc must carry more bits/token
+    assert got[4] > got[2]
+    # exact model: -sum(tf * log2(c/T)) / n
+    toks = [t for _, s in DOCS for t in s.split(" ")]
+    total = float(len(toks))
+    counts = {t: toks.count(t) for t in set(toks)}
+    for d, s in DOCS:
+        v = s.split(" ")
+        bits = sum(math.log2(total) - math.log2(counts[t]) for t in v)
+        want = math.floor(bits / len(v) * 1e6 + 0.5) / 1e6
+        assert abs(got[d] - want) < 1e-9, d
+
+
+def test_vocab_growth_monotone_and_complete(spark):
+    rows = vocab_growth(_docs_df(spark)).collect()
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)  # vocabulary never shrinks
+    all_toks = {t for _, s in DOCS for t in s.split(" ")}
+    assert sizes[-1] == len(all_toks)  # final checkpoint = full vocab
+    assert rows[-1]["n_docs"] == len(DOCS)
+    # doc_id ceilings follow exact integer division of max_id=4
+    assert [r["doc_id_ceiling"] for r in rows] == [4 * i // 10 for i in range(1, 11)]

@@ -2120,3 +2120,7 @@ SELECT v.checkpoint, v.doc_id_ceiling, a.n_docs, v.vocab_size
 FROM vocab_at v JOIN docs_at a USING (checkpoint)
 ORDER BY v.checkpoint
 """
+
+ORACLE["streaming_dedup_keys"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""

@@ -2569,6 +2569,52 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_dedup_keys")
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the ingestion-side `dropDuplicates`
+    state operator every at-least-once pipeline needs in front of a
+    training corpus: first sighting of a key is emitted (append
+    mode), every later sighting — in the SAME or any LATER
+    micro-batch — is suppressed by the state store.
+
+    Replays the click log as two deterministic micro-batches split at
+    min(ts)+14 days (file mtimes pin the order).  Keys (user_id,
+    event_type) recur heavily across the split, so a green hash row
+    PROVES cross-batch state: without it batch 2 would re-emit its
+    recurring keys and the memory sink would hold duplicates the
+    DISTINCT oracle doesn't.  At scale this is the canonical unbounded
+    dedup state — production bounds it with
+    dropDuplicatesWithinWatermark (unit-pinned in
+    tests/test_streaming.py); semantics over bounded replay are
+    identical."""
+    import os as _os
+    import tempfile
+    from datetime import timedelta
+
+    from .streaming.ad_stream import run_to_completion
+
+    work = tempfile.mkdtemp(prefix="sdedup_q_")
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    split_ts = ev.agg(F.min("ts")).first()[0] + timedelta(days=14)
+    in_dir = _os.path.join(work, "in")
+    _os.makedirs(in_dir)
+    for i, pred in enumerate([F.col("ts") <= split_ts, F.col("ts") > split_ts]):
+        pdf = src.where(pred).select("user_id", "event_type").toPandas()
+        pdf["user_id"] = pdf["user_id"].astype("Int64")
+        fp = _os.path.join(in_dir, f"phase_{i}.parquet")
+        pdf.to_parquet(fp)
+        _os.utime(fp, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    name = "stream_dedup_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(deduped, name, mode="append")
+
+
 @query("bm25_topk")
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for a fixed 4-term query — row-local tf (no

@@ -120,6 +120,7 @@ HEADLINE = [
     "leakage_safe_split",
     "run_task_session_aggr",
     "page_graph_triangles",
+    "streaming_dedup_keys",
     "bm25_topk",
     "unigram_surprisal",
     "vocab_growth",

@@ -579,3 +579,43 @@ def test_running_totals_tws_matches_v1(spark, tmp_path):
         )
     ).collect()
     assert sorted(map(tuple, v2)) == sorted(map(tuple, v1))
+
+
+def test_dropduplicates_state_survives_micro_batches(spark, tmp_path):
+    """`dropDuplicates` (no watermark) must suppress keys first seen
+    in an EARLIER micro-batch — the mechanism behind the gated
+    streaming_dedup_keys query.  Batch 2 replays batch 1's key; the
+    append-mode sink must hold each key exactly once."""
+    import os
+
+    base = str(tmp_path / "sdk")
+    batches = [
+        [(1, "click"), (1, "view"), (1, "click")],  # in-batch dup too
+        [(1, "click"), (2, "click")],  # (1, click) is a cross-batch dup
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        os.utime(os.path.join(base, f"b{i}"), (1_000_000 + i, 1_000_000 + i))
+    raw = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/b*")
+    )
+    q = (
+        raw.dropDuplicates(["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdk_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"]) for r in spark.table("sdk_test").collect()
+    )
+    assert got == [(1, "click"), (1, "view"), (2, "click")]
+    assert n_batches >= 2  # the suppression really spanned micro-batches

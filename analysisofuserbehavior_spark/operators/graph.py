@@ -106,6 +106,50 @@ def page_transition_edges(actions: DataFrame, gap_seconds: int = 1800) -> DataFr
     )
 
 
+def bfs_depths(
+    edges: DataFrame,
+    source: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, depth) — minimum-hop distance from `source` (a 1-row
+    frame with column `node`) over the DIRECTED graph, bounded by
+    `max_depth`.  The reachability/radius primitive (how far is every
+    page from the landing page; which docs are within k citation
+    hops).
+
+    Scale design — frontier expansion, the standard distributed BFS:
+    each round joins ONLY the current frontier (nodes first reached
+    last round) against the edge list, then anti-joins the visited
+    set; a node is therefore expanded exactly once, total work is
+    O(|E|) across all rounds, and no per-path state ever exists (the
+    recursive-CTE oracle enumerates paths and relies on per-step
+    dedup — fine for DuckDB on test SFs, but the path-free frontier
+    form is what survives a cyclic 100 TB graph).  `localCheckpoint`
+    pins each frontier so iteration plans don't re-derive the
+    upstream scan (same trade as pagerank/dedup_clusters; reliable
+    checkpoint at cluster scale).  The loop exits early on an empty
+    frontier — `max_depth` bounds rounds, it doesn't pad output."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct().localCheckpoint()
+    visited = source.select("node").withColumn("depth", F.lit(0).cast("bigint")).localCheckpoint()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.orderBy("node")
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count over the UNDIRECTED simple graph induced
     by `edges` — the clustering-structure metric (spam rings, bot

@@ -2124,3 +2124,62 @@ ORDER BY v.checkpoint
 ORACLE["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+ORACLE["page_bfs_depths"] = f"""
+WITH RECURSIVE {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, page_id,
+         lag(page_id) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_pg
+  FROM actions
+),
+edges AS (
+  SELECT DISTINCT prev_pg AS src, page_id AS dst
+  FROM splits WHERE prev_pg IS NOT NULL
+),
+src0 AS (SELECT min(src) AS s FROM edges),
+bfs(node, depth) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM src0
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 6
+)
+SELECT node, min(depth) AS depth FROM bfs GROUP BY node ORDER BY node
+"""
+
+ORACLE["event_type_pivot"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+ORACLE["events_cube"] = """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS BIGINT))
+ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+"""
+
+ORACLE["user_halves_setops"] = """
+WITH bounds AS (SELECT min(ts) + INTERVAL 14 DAY AS split_ts FROM events),
+first_half AS (
+  SELECT user_id FROM events, bounds WHERE ts <= split_ts
+),
+second_half AS (
+  SELECT user_id FROM events, bounds WHERE ts > split_ts
+)
+SELECT 'churned' AS segment,
+       CAST((SELECT count(*) FROM (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'new',
+       CAST((SELECT count(*) FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)) AS BIGINT)
+UNION ALL
+SELECT 'retained',
+       CAST((SELECT count(*) FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)) AS BIGINT)
+ORDER BY segment
+"""

@@ -2569,6 +2569,98 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("page_bfs_depths")
+def q_page_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from the lowest page over the 20-node page-
+    transition graph (distributed frontier expansion, O(|E|) total;
+    each node expanded once).  The oracle is a DuckDB RECURSIVE CTE
+    bounded at the same max depth — path-enumerating, fine on test
+    SFs; the engine's path-free frontier form is the 100 TB shape.
+    Multi-hop minimality + cycle termination are pinned on synthetic
+    chain/cycle graphs in tests/test_scd_graph.py."""
+    from .operators.graph import bfs_depths
+    from .operators.page_flow import page_splits
+
+    splits = page_splits(_actions(spark, sf_dir), flow_col="page_id")
+    edges = (
+        splits.where(F.col("split").isNotNull())
+        .select(
+            F.split("split", "_").getItem(0).cast("bigint").alias("src"),
+            F.split("split", "_").getItem(1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    source = edges.agg(F.min("src").alias("node"))
+    return bfs_depths(edges, source, max_depth=6)
+
+
+@query("event_type_pivot")
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix through the PIVOT surface — Spark's
+    `groupBy().pivot()` with an EXPLICIT value list (without it Spark
+    runs a distinct-scan planning job and the column set drifts with
+    the data); one shuffle, missing cells filled 0 to match the
+    conditional-aggregation SQL shape every engine lowers pivot to."""
+    from .functions import day_col
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(day_col(F.col("ts").cast("timestamp")).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+@query("events_cube")
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day-of-week) counts + value totals — all four
+    grouping combinations in ONE pass (partial aggregation expands
+    grouping sets map-side; a naive 4×-scan union pays the scan four
+    times).  NULL marks the rolled-up dimension, exactly as DuckDB's
+    GROUP BY CUBE emits it."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("dow"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("dow"))
+    )
+
+
+@query("user_halves_setops")
+def q_user_halves_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period audience segmentation through the set-op
+    surface (INTERSECT / EXCEPT, each a distinct-aggregate shuffle on
+    user_id): users active in both halves of the log (retained), only
+    the first (churned), only the second (new)."""
+    from datetime import timedelta
+
+    ev = _events(spark, sf_dir)
+    split_ts = ev.agg(F.min("ts")).first()[0] + timedelta(days=14)
+    first = ev.where(F.col("ts") <= F.lit(split_ts)).select("user_id")
+    second = ev.where(F.col("ts") > F.lit(split_ts)).select("user_id")
+    seg = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        seg("retained", first.intersect(second))
+        .unionByName(seg("churned", first.subtract(second)))
+        .unionByName(seg("new", second.subtract(first)))
+        .orderBy("segment")
+    )
+
+
 @query("streaming_dedup_keys")
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup — the ingestion-side `dropDuplicates`

@@ -124,6 +124,10 @@ HEADLINE = [
     "bm25_topk",
     "unigram_surprisal",
     "vocab_growth",
+    "page_bfs_depths",
+    "event_type_pivot",
+    "events_cube",
+    "user_halves_setops",
 ]
 
 
@@ -154,6 +158,7 @@ ACTIONS_FAMILY = [
     "ad_click_trend",
     "page_rank",
     "page_transition_probs",
+    "page_bfs_depths",
 ]
 
 

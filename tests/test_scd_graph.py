@@ -314,3 +314,33 @@ def test_triangle_count_degree_orientation(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
     )
     assert triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_bfs_min_depth_on_chain_with_shortcut(spark):
+    """BFS must report MINIMUM hop counts: a direct shortcut edge
+    beats the long path, and nodes beyond max_depth are absent."""
+    from analysisofuserbehavior_spark.operators.graph import bfs_depths
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 9)],
+        "src long, dst long",
+    )
+    source = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, source, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 9: 3}
+    # tighter bound prunes the tail
+    got2 = {r["node"]: r["depth"] for r in bfs_depths(edges, source, max_depth=2).collect()}
+    assert 9 not in got2 and got2[4] == 2
+
+
+def test_bfs_terminates_on_cycle(spark):
+    """A directed cycle must not loop or re-label visited nodes."""
+    from analysisofuserbehavior_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    source = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, source, max_depth=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -353,6 +353,43 @@ def embedding_neardup_lsh(
     )
 
 
+def embedding_cluster_profile(
+    embeddings: DataFrame, n_clusters: int = 8
+) -> DataFrame:
+    """Per-cluster corpus profile under deterministic Voronoi
+    assignment (nearest of the first `n_clusters` vectors by cosine,
+    quantized ordering + id tie-break — the same replayable
+    construction `ann_ivf_topk` gates): (cluster_id, n_members,
+    min_sim, max_sim).
+
+    The semantic-coverage report a mixture-balancing pass reads —
+    which regions of embedding space dominate the corpus, and how
+    tight each cell is.  min/max are ORDER-INDEPENDENT aggregates, so
+    the hash gate holds despite cross-engine float summation freedom
+    (an avg would re-introduce sum-order ULPs).  One broadcast
+    assignment pass + one k-row aggregate; no pair join at all."""
+    cents = _with_vec(
+        embeddings.where(F.col("vec_id") < n_clusters), "cluster_id", "c_vec", "c_norm"
+    )
+    corpus = _with_vec(embeddings, "member_id", "m_vec", "m_norm")
+    w = Window.partitionBy("member_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("m_vec", "m_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            qround(F.min("c_sim"), 3).alias("min_sim"),
+            qround(F.max("c_sim"), 3).alias("max_sim"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.4, n_blocks: int = 16
 ) -> DataFrame:

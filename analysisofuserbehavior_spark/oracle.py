@@ -2183,3 +2183,22 @@ SELECT 'retained',
        CAST((SELECT count(*) FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)) AS BIGINT)
 ORDER BY segment
 """
+
+ORACLE["embedding_cluster_profile"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT m.vec_id AS member_id, c.cluster_id,
+         list_cosine_similarity(m.v, c.v) AS c_sim,
+         row_number() OVER (
+           PARTITION BY m.vec_id
+           ORDER BY floor(list_cosine_similarity(m.v, c.v) * 1000.0 + 0.5) / 1000.0 DESC,
+                    c.cluster_id ASC) AS rn
+  FROM e m CROSS JOIN cents c
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       floor(min(c_sim) * 1000.0 + 0.5) / 1000.0 AS min_sim,
+       floor(max(c_sim) * 1000.0 + 0.5) / 1000.0 AS max_sim
+FROM assigned WHERE rn = 1
+GROUP BY cluster_id ORDER BY cluster_id
+"""

@@ -2569,6 +2569,17 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_cluster_profile")
+def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-coverage profile: deterministic Voronoi assignment
+    (first-8 centroids, quantized-cosine ordering) + order-independent
+    per-cluster min/max stats — the mixture-balancing report, fully
+    hash-replayable unlike the Lloyd-refined variant."""
+    from .operators.similarity import embedding_cluster_profile
+
+    return embedding_cluster_profile(_embeddings(spark, sf_dir))
+
+
 @query("page_bfs_depths")
 def q_page_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS from the lowest page over the 20-node page-

@@ -128,6 +128,7 @@ HEADLINE = [
     "event_type_pivot",
     "events_cube",
     "user_halves_setops",
+    "embedding_cluster_profile",
 ]
 
 

@@ -143,3 +143,18 @@ def test_quantize_embeddings_bounds_and_reconstruction(spark, sf_dir):
         if r["scale"] > 0:
             for q, x in zip(r["q_vec"], r["embedding"]):
                 assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+
+
+def test_cluster_profile_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster; centroids profile
+    their own cluster with max_sim 1.0."""
+    from analysisofuserbehavior_spark.operators.similarity import (
+        embedding_cluster_profile,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prof = embedding_cluster_profile(emb).collect()
+    assert sum(r["n_members"] for r in prof) == emb.count()
+    # each centroid's self-similarity is 1.0, so its cluster max is 1.0
+    assert all(r["max_sim"] == 1.0 for r in prof)
+    assert all(r["min_sim"] <= r["max_sim"] for r in prof)

@@ -2202,3 +2202,37 @@ SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
 FROM assigned WHERE rn = 1
 GROUP BY cluster_id ORDER BY cluster_id
 """
+
+ORACLE["clicks_rollup_calendar"] = """
+SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events WHERE event_type = 'click'
+GROUP BY ROLLUP (strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'))
+ORDER BY month NULLS FIRST, day NULLS FIRST
+"""
+
+ORACLE["daily_anomaly_zscore"] = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, c,
+         sum(c) OVER w AS s1,
+         sum(c * c) OVER w AS s2,
+         count(c) OVER w AS n_prev
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+       floor((CAST(7 * c - s1 AS DOUBLE) / 7.0)
+             / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS zscore,
+       abs((CAST(7 * c - s1 AS DOUBLE) / 7.0)
+           / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0)) > 2.0 AS is_anomaly
+FROM stats
+WHERE n_prev = 7 AND s2 * 7 > s1 * s1
+ORDER BY event_type, day
+"""

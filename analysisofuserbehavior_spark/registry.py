@@ -2569,6 +2569,81 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("clicks_rollup_calendar")
+def q_clicks_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (month → day → grand total) over
+    click events in ONE aggregation pass — grouping-set expansion is
+    map-side, so the shuffle carries each partial once per grouping
+    level instead of re-scanning per level.  NULL marks the rolled-up
+    level, exactly as DuckDB's GROUP BY ROLLUP emits it."""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    base = ev.where(F.col("event_type") == "click").select(
+        F.date_format(ts, "yyyy-MM").alias("month"),
+        F.date_format(ts, "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        base.rollup("month", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            qround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.asc_nulls_first("month"), F.asc_nulls_first("day"))
+    )
+
+
+@query("daily_anomaly_zscore")
+def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (event_type, day)
+    count z-scored against its own previous 7 days.  The monitoring
+    primitive every ingestion pipeline runs over arrival volumes.
+
+    Cross-engine float discipline: stddev_samp differs BETWEEN
+    engines (Welford vs naive sum-of-squares accumulate in different
+    orders), so the variance is hand-rolled from INTEGER window sums
+    — s1=Σc, s2=Σc² are exact int64, and
+    z = ((7c−s1)/7) / sqrt((7·s2−s1²)/42) is a fixed tree of exact-
+    int inputs and IEEE ops, bit-identical in DuckDB.  Windows are
+    partitioned per event_type and bounded by calendar days, never
+    data volume; only full 7-day windows emit (n=7 makes the
+    constants literal)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count("c").over(w).alias("n_prev"),
+    ).where(F.col("n_prev") == 7)
+    num = (F.lit(7) * F.col("c") - F.col("s1")).cast("double") / F.lit(7.0)
+    var = (F.lit(7) * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / F.lit(42.0)
+    z = num / F.sqrt(var)
+    return (
+        stats.where(F.col("s2") * 7 > F.col("s1") * F.col("s1"))
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("bigint").alias("n_events"),
+            qround(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 @query("embedding_cluster_profile")
 def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-coverage profile: deterministic Voronoi assignment

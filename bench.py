@@ -129,6 +129,8 @@ HEADLINE = [
     "events_cube",
     "user_halves_setops",
     "embedding_cluster_profile",
+    "clicks_rollup_calendar",
+    "daily_anomaly_zscore",
 ]
 
 

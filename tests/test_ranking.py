@@ -152,3 +152,45 @@ def test_hll_rollup_union_equals_rescan_and_bounds_exact(spark, sf_dir):
     }
     for m, est in rollup.items():
         assert abs(est - exact[m]) <= max(1, 0.01 * exact[m]), (m, est, exact[m])
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    """A 10x single-day spike after a flat week must flag; the flat
+    days must not (z computed from integer-sum variance)."""
+    import math
+    from analysisofuserbehavior_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # 8 flat days of 5 events, then a 50-event spike on day 9
+    for d in range(9):
+        n = 50 if d == 8 else 5
+        if d < 8:
+            n = 5 + (d % 2)  # mild alternation so variance > 0
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 12, 0, i % 60), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import analysisofuserbehavior_spark.registry as reg
+
+    # run the registry query body against this frame via monkeypatched loader
+    orig = reg._events
+    reg._events = lambda spark, sf_dir: ev
+    try:
+        out = {r["day"]: r for r in QUERIES["daily_anomaly_zscore"](spark, "ignored").collect()}
+    finally:
+        reg._events = orig
+    spike = out["2024-03-09"]
+    assert spike["is_anomaly"] and spike["zscore"] > 2
+    # python model: counts 5,6,5,6,5,6,5,6 -> prev7 for day9 = 6,5,6,5,6,5,6
+    prev = [6, 5, 6, 5, 6, 5, 6]
+    s1, s2 = sum(prev), sum(x * x for x in prev)
+    z = ((7 * 50 - s1) / 7.0) / math.sqrt((7 * s2 - s1 * s1) / 42.0)
+    assert abs(spike["zscore"] - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-12

@@ -2236,3 +2236,121 @@ FROM stats
 WHERE n_prev = 7 AND s2 * 7 > s1 * s1
 ORDER BY event_type, day
 """
+
+# DERIVED partsupp (testdata lacks the table): identical derivation to
+# registry._partsupp — dbgen-style 4-suppliers-per-part assignment and
+# deterministic availqty / integer-cent cost formulas.  Exact integer
+# arithmetic end-to-end, so both engines build the same rows.
+PARTSUPP_CTE = """
+_s_n AS (SELECT count(*) AS s_n FROM supplier),
+partsupp AS (
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey + i.i * (s.s_n // 4 + p.p_partkey // s.s_n)) % s.s_n AS ps_suppkey,
+         (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
+         (p.p_partkey + i.i * 31) % 99900 + 100 AS ps_supplycost_cents
+  FROM part p CROSS JOIN (SELECT unnest(range(4)) AS i) i CROSS JOIN _s_n s
+)
+"""
+
+ORACLE["tpch_q16_derived"] = f"""
+WITH {PARTSUPP_CTE}
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLE["tpch_q11_derived"] = f"""
+WITH {PARTSUPP_CTE},
+in_nation AS (
+  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT ps_partkey, sum(v_cents) AS value_cents FROM in_nation GROUP BY ps_partkey
+),
+total AS (SELECT sum(v_cents) AS total_cents FROM in_nation)
+SELECT ps_partkey,
+       floor(CAST(value_cents AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value
+FROM per_part CROSS JOIN total
+WHERE value_cents * 1000 > total_cents
+ORDER BY value DESC, ps_partkey
+"""
+
+ORACLE["tpch_q2_derived"] = f"""
+WITH {PARTSUPP_CTE},
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT ps_partkey, ps_supplycost_cents, s_suppkey, s_name, s_acctbal, n_name
+  FROM partsupp JOIN eu_supp ON ps_suppkey = s_suppkey
+),
+min_cost AS (
+  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+  FROM offers GROUP BY ps_partkey
+)
+SELECT floor(s_acctbal * 100.0 + 0.5) / 100.0 AS s_acctbal,
+       s_name, n_name AS nation, p_partkey, p_type,
+       floor(CAST(ps_supplycost_cents AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS ps_supplycost
+FROM offers
+JOIN min_cost USING (ps_partkey)
+JOIN part ON ps_partkey = p_partkey
+WHERE ps_supplycost_cents = min_cents AND p_size = 15
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLE["tpch_q9_derived"] = f"""
+WITH {PARTSUPP_CTE},
+profit AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount)
+           - CAST(ps_supplycost_cents AS DOUBLE) / 100.0 * l_quantity AS amount
+  FROM lineitem
+  JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%ol%'
+)
+SELECT nation, o_year,
+       floor(sum(amount) * 100.0 + 0.5) / 100.0 AS sum_profit
+FROM profit GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+ORACLE["tpch_q20_derived"] = f"""
+WITH {PARTSUPP_CTE},
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_shipped
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+qualified AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp JOIN shipped
+    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE CAST(ps_availqty AS DOUBLE) * 2.0 > qty_shipped
+)
+SELECT s_name, n_name AS nation
+FROM qualified JOIN supplier ON ps_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name
+"""

@@ -131,6 +131,11 @@ HEADLINE = [
     "embedding_cluster_profile",
     "clicks_rollup_calendar",
     "daily_anomaly_zscore",
+    "tpch_q2_derived",
+    "tpch_q9_derived",
+    "tpch_q11_derived",
+    "tpch_q16_derived",
+    "tpch_q20_derived",
 ]
 
 

@@ -67,6 +67,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"P6" and payload[2:3] in (b"\n", b" ", b"\t", b"\r"):
+        return "ppm"
     return "fake"
 
 
@@ -99,6 +101,51 @@ def _decode_bmp(payload: bytes):
         px = px[::-1]  # bottom-up storage → top-down pixels
     means = px.reshape(-1, 3).mean(axis=0)  # BGR order
     return width, abs_h, float(means[2]), float(means[1]), float(means[0])
+
+
+def _decode_ppm(payload: bytes):
+    """Decode a BINARY PPM (P6, maxval 255) with stdlib + numpy:
+    returns (width, height, mean_r, mean_g, mean_b) or None.  The
+    header is token-based — arbitrary whitespace between tokens and
+    `#` comments through end-of-line (netpbm spec); exactly ONE
+    whitespace byte separates the maxval from the pixel block.
+    Pixels are top-down RGB with no row padding (the layout
+    differences vs BMP — bottom-up BGR with 4-byte alignment — are
+    what the dual-format gate locks in)."""
+    import numpy as np
+
+    def tokens(buf: bytes):
+        """Yield (token, end_offset) skipping whitespace + comments."""
+        i = 2  # past magic
+        while i < len(buf):
+            c = buf[i : i + 1]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == b"#":
+                while i < len(buf) and buf[i : i + 1] not in b"\r\n":
+                    i += 1
+            else:
+                j = i
+                while j < len(buf) and buf[j : j + 1] not in b" \t\r\n#":
+                    j += 1
+                yield buf[i:j], j
+                i = j
+
+    try:
+        it = tokens(payload)
+        (w_tok, _), (h_tok, _), (mv_tok, end) = next(it), next(it), next(it)
+        width, height, maxval = int(w_tok), int(h_tok), int(mv_tok)
+    except (StopIteration, ValueError):
+        return None
+    if width <= 0 or height <= 0 or maxval != 255:
+        return None
+    data_off = end + 1  # single whitespace after maxval, per spec
+    need = width * height * 3
+    if len(payload) < data_off + need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=data_off)
+    means = px.reshape(height, width, 3).reshape(-1, 3).mean(axis=0)  # RGB
+    return width, height, float(means[0]), float(means[1]), float(means[2])
 
 
 def _decode_wav(payload: bytes):
@@ -148,12 +195,14 @@ def image_features(media: DataFrame) -> DataFrame:
     a real format."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders = {"bmp": _decode_bmp, "ppm": _decode_ppm}
         for pdf in batches:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["media"]):
-                if b is None or sniff_format(bytes(b)) != "bmp":
+                fmt = sniff_format(bytes(b)) if b is not None else "unknown"
+                if fmt not in decoders:
                     continue
-                got = _decode_bmp(bytes(b))
+                got = decoders[fmt](bytes(b))
                 if got is not None:
                     w, h, r, g, bl = got
                     rows.append((int(did), w, h, r, g, bl))
@@ -372,6 +421,32 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                     "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
                 )
                 rows.append((did, "image", hdr + info + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine binary
+    PPM (P6) — token header WITH a comment line, single-whitespace
+    maxval terminator, top-down RGB pixels.  Closed-form fields:
+    width = 2 + doc_id % 6, height = 1 + doc_id % 3, color =
+    (doc_id*5 % 256, doc_id*11 % 256, doc_id*13 % 256); solid color
+    makes each channel mean equal its value, so the oracle predicts
+    the decode analytically (and the comment line proves the header
+    tokenizer, not just the happy path)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 6, 1 + did % 3
+                r, g, b = (did * 5) % 256, (did * 11) % 256, (did * 13) % 256
+                hdr = b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
+                rows.append(
+                    (did, "image", hdr + struct.pack("BBB", r, g, b) * (w * h))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

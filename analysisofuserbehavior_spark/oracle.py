@@ -2354,3 +2354,13 @@ FROM qualified JOIN supplier ON ps_suppkey = s_suppkey
 WHERE n_name = 'NATION_3'
 ORDER BY s_name
 """
+
+ORACLE["image_features_ppm"] = """
+SELECT doc_id,
+       CAST(2 + doc_id % 6 AS INT) AS width,
+       CAST(1 + doc_id % 3 AS INT) AS height,
+       CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""

@@ -1198,6 +1198,17 @@ def q_image_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_bmp_media(_documents(spark, sf_dir)))
 
 
+@query("image_features_ppm")
+def q_image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image codec: binary PPM (P6) — token header with
+    comments, top-down unpadded RGB (the layout opposites of BMP's
+    bottom-up padded BGR), decoded by the same mapInPandas operator
+    via magic-byte dispatch; closed-form oracle as with BMP."""
+    from .operators.multimodal import image_features, synthesize_ppm_media
+
+    return image_features(synthesize_ppm_media(_documents(spark, sf_dir)))
+
+
 @query("audio_features_wav")
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec, end to end: documents → genuine PCM-16 WAV

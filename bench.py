@@ -136,6 +136,7 @@ HEADLINE = [
     "tpch_q11_derived",
     "tpch_q16_derived",
     "tpch_q20_derived",
+    "image_features_ppm",
 ]
 
 

@@ -147,3 +147,55 @@ def test_audio_features_decodes_real_wav(spark):
     assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 4)
     assert r.duration_sec == 4 / 8000
     assert r.rms == 1000.0
+
+
+def test_ppm_decode_handles_comments_and_rejects_malformed(spark):
+    """The P6 tokenizer must skip comments, require maxval 255, and
+    drop truncated payloads instead of emitting garbage."""
+    from analysisofuserbehavior_spark.operators.multimodal import (
+        image_features,
+        sniff_format,
+    )
+    import pandas as pd
+
+    good = b"P6\n# comment\n2 2\n255\n" + bytes([7, 9, 11]) * 4
+    trunc = b"P6\n2 2\n255\n" + bytes([7, 9, 11]) * 3
+    wide_maxval = b"P6\n2 2\n65535\n" + bytes([7, 9, 11]) * 8
+    assert sniff_format(good) == "ppm"
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "media_type": ["image"] * 3,
+                "media": [good, trunc, wide_maxval],
+            }
+        )
+    )
+    rows = image_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["width"], r["height"]) == (1, 2, 2)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (7.0, 9.0, 11.0)
+
+
+def test_image_features_mixed_bmp_and_ppm_corpus(spark):
+    """One operator, two real formats in the same column — magic-byte
+    dispatch decodes both, matching each generator's closed form."""
+    from analysisofuserbehavior_spark.operators.multimodal import (
+        image_features,
+        synthesize_bmp_media,
+        synthesize_ppm_media,
+    )
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    mixed = synthesize_bmp_media(docs.where("doc_id % 2 = 0")).unionByName(
+        synthesize_ppm_media(docs.where("doc_id % 2 = 1"))
+    )
+    got = {r["doc_id"]: r for r in image_features(mixed).collect()}
+    assert set(got) == set(range(6))
+    for d in range(0, 6, 2):  # BMP closed form
+        assert (got[d]["width"], got[d]["height"]) == (2 + d % 5, 1 + d % 4)
+        assert got[d]["mean_r"] == float(d % 256)
+    for d in range(1, 6, 2):  # PPM closed form
+        assert (got[d]["width"], got[d]["height"]) == (2 + d % 6, 1 + d % 3)
+        assert got[d]["mean_g"] == float((d * 11) % 256)

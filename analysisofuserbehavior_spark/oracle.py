@@ -2364,3 +2364,19 @@ SELECT doc_id,
        CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
 FROM documents
 """
+
+ORACLE["props_variant_extract"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       json_extract_string(props, '$.missing') AS missing_field
+FROM events WHERE event_id < 500 ORDER BY event_id
+"""
+
+ORACLE["user_value_locf"] = """
+SELECT event_id, user_id, event_type,
+       floor(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 100.0 + 0.5) / 100.0 AS last_purchase_value
+FROM events ORDER BY event_id
+"""

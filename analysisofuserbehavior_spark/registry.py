@@ -2580,6 +2580,51 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("props_variant_extract")
+def q_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    parse once with parse_json, extract typed paths with
+    try_variant_get — the modern replacement for per-path
+    get_json_object re-parsing (one parse per row instead of one per
+    extracted field, and malformed rows yield NULL instead of
+    failing the scan).  The oracle reads the same paths with DuckDB's
+    JSON extraction; a missing path must be NULL in both."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        ev.where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "bigint").alias("k_value"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query("user_value_locf")
+def q_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) through IGNORE NULLS window semantics:
+    each event carries the user's most recent PURCHASE amount — the
+    sessionless 'last known state' join every activity feed needs,
+    expressed as last(col, ignorenulls=True) over an unbounded-
+    preceding user window instead of a self-join.  One user-window
+    shuffle, partitions bounded per user."""
+    ev = _events(spark, sf_dir)
+    amt = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        qround(F.last(amt, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DERIVED partsupp — the testdata has no partsupp table, which
     excluded TPC-H q2/q9/q11/q16/q20.  Rather than leave the shapes

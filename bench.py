@@ -137,6 +137,8 @@ HEADLINE = [
     "tpch_q16_derived",
     "tpch_q20_derived",
     "image_features_ppm",
+    "props_variant_extract",
+    "user_value_locf",
 ]
 
 

@@ -320,3 +320,25 @@ def test_doc_length_quantiles_avoids_global_sort(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "percentile" not in plan.lower()  # no sort-everything aggregate
     assert plans.count_exchanges(df) <= 4
+
+
+def test_neardup_exact_pair_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The O(n^2) calibration twin must generate pairs through the
+    blocked EQUI join (codegen-eligible BroadcastHashJoin on the
+    (ga, gb) block keys), never a theta BroadcastNestedLoopJoin over
+    the vector frames — the 16-row counter expansions are the only
+    nested loops allowed in the plan."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["embedding_neardup_exact"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # any BNLJ present must be a Cross expansion against the 16-row
+    # Range counter, not the pair join (which would say 'Join condition:')
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line

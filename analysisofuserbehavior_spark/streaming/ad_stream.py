@@ -298,6 +298,14 @@ class BlacklistLoop:
     - The two-step overwrite (_next, then swap) stands in for a
       transactional MERGE; a production sink would MERGE into
       Delta/Iceberg, touching only files for the batch's days.
+    - SINGLE-WRITER contract (same as every foreachBatch sink
+      without a table-format lock service): one live query owns a
+      state dir at a time.  Crash-and-RESTART of that writer is safe
+      (staged finalize + epoch replay guard, recovery in
+      sources/upsert.py::_load_state); two OVERLAPPING queries are
+      not — a killed query's zombie task commits can land in the dir
+      after a successor recovered it.  Delta/Iceberg close that last
+      gap with optimistic-concurrency commits.
     """
 
     _STATE_SCHEMA = (

@@ -410,7 +410,7 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
     stream = parse_ad_click_wire(
         mock_ad_click_micro_batches(spark, rows_per_batch=40, start_ms=0)
     ).withColumn("event_type", F.lit("click"))
-    loop = BlacklistLoop(os.path.join(str(tmp_path), "state"), threshold=2)
+    loop = None
 
     def condition_met() -> bool:
         try:
@@ -423,11 +423,19 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
 
     # A busy JVM can occasionally kill the stream-execution thread at
     # startup (observed: transient StackOverflowError mid-suite, never
-    # in isolation).  Restart with a fresh checkpoint instead of
-    # polling a dead query until the deadline; the loop state itself
-    # is replay-idempotent, so retries are safe.
-    for _ in range(3):
-        ckpt = os.path.join(str(tmp_path), f"ckpt{time.time_ns()}")
+    # in isolation).  Restart instead of polling a dead query until
+    # the deadline — and give each attempt its OWN state dir +
+    # checkpoint: the sink's contract is single-writer, and a killed
+    # query's zombie task commits may land in the old state dir after
+    # a new query has recovered it (observed as a doubled totals
+    # table).  A fresh dir per attempt keeps every attempt inside the
+    # contract; state durability across RESTARTS of one writer is
+    # covered by test_blacklist_replay_is_idempotent.
+    for attempt in range(3):
+        loop = BlacklistLoop(
+            os.path.join(str(tmp_path), f"state{attempt}"), threshold=2
+        )
+        ckpt = os.path.join(str(tmp_path), f"ckpt{attempt}")
         q = (
             stream.writeStream.foreachBatch(loop.process_batch)
             .option("checkpointLocation", ckpt)
@@ -444,6 +452,7 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
                 time.sleep(0.5)
         finally:
             q.stop()
+            q.awaitTermination()  # fully dead before any retry/assert
         if condition_met():
             break
     totals = loop.current_totals(spark)

@@ -199,3 +199,23 @@ def test_image_features_mixed_bmp_and_ppm_corpus(spark):
     for d in range(1, 6, 2):  # PPM closed form
         assert (got[d]["width"], got[d]["height"]) == (2 + d % 6, 1 + d % 3)
         assert got[d]["mean_g"] == float((d * 11) % 256)
+
+
+def test_ppm_roundtrip_random_images_property(spark):
+    """Encode→decode round trip on RANDOM (non-solid) pixel data:
+    decoded channel means must equal numpy's means of the source
+    array — pinning pixel ORDER (top-down RGB), not just headers."""
+    import numpy as np
+    from analysisofuserbehavior_spark.operators.multimodal import _decode_ppm
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        w, h = int(rng.randint(1, 9)), int(rng.randint(1, 7))
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = b"P6 %d %d 255\n" % (w, h) + px.tobytes()
+        got = _decode_ppm(payload)
+        assert got is not None, (trial, w, h)
+        gw, gh, r, g, b = got
+        assert (gw, gh) == (w, h)
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert (r, g, b) == (means[0], means[1], means[2])

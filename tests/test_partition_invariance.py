@@ -19,6 +19,14 @@ CHECKED = [
     "dedup_minhash_lsh",
     "session_paths",
     "clean_corpus",
+    # round-4 second/third pass additions with float or iterative paths
+    "bm25_topk",
+    "unigram_surprisal",
+    "embedding_neardup_exact",
+    "page_bfs_depths",
+    "daily_anomaly_zscore",
+    "tpch_q9_derived",
+    "user_value_locf",
 ]
 
 

@@ -344,3 +344,41 @@ def test_bfs_terminates_on_cycle(spark):
     source = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["depth"] for r in bfs_depths(edges, source, max_depth=10).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_matches_python_model_on_random_graphs(spark):
+    """Randomized model check: frontier-expansion BFS equals a
+    straight-line Python BFS on 10 random directed graphs."""
+    import random
+    from collections import deque
+    from analysisofuserbehavior_spark.operators.graph import bfs_depths
+
+    rng = random.Random(11)
+    for trial in range(10):
+        n = rng.randint(4, 12)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        if not edges:
+            continue
+        src = min(e[0] for e in edges)
+        # python BFS
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        want, dq = {src: 0}, deque([src])
+        while dq:
+            u = dq.popleft()
+            if want[u] >= 6:
+                continue
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        s_df = spark.createDataFrame([(src,)], "node long")
+        got = {r["node"]: r["depth"] for r in bfs_depths(e_df, s_df, max_depth=6).collect()}
+        assert got == want, (trial, edges)

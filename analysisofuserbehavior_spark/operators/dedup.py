@@ -581,3 +581,49 @@ def incremental_admit(
     return incremental_neardup(
         incremental_exact_dedup(new_docs, corpus), corpus, threshold, k
     )
+
+
+def neardup_pr_report(
+    predicted: DataFrame, truth: DataFrame
+) -> DataFrame:
+    """Precision/recall of an approximate near-dup detector against
+    exact ground truth — the evaluation harness for tuning (bands,
+    rows, threshold) before a corpus-wide run: feed it e.g.
+    `minhash_lsh_pairs(docs, threshold=t)` and
+    `ngram_jaccard_pairs(docs, threshold=t, max_df=None)` on a
+    calibration SAMPLE.
+
+    Both inputs are (doc_a, doc_b, ...) pair frames with doc_a <
+    doc_b; the confusion counts come from one full-outer join on the
+    pair key (a single shuffle bounded by |pairs|, not |docs|²).
+    Precision of an exact-verified candidate generator is 1.0 BY
+    CONSTRUCTION (every emitted pair was re-checked against the real
+    sets) — pinned in tests; recall is the banding loss."""
+    p = predicted.select("doc_a", "doc_b").withColumn("_p", F.lit(1))
+    t = truth.select("doc_a", "doc_b").withColumn("_t", F.lit(1))
+    joined = p.join(t, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum(
+            (F.col("_p").isNotNull() & F.col("_t").isNotNull()).cast("long")
+        ).alias("tp"),
+        F.sum((F.col("_p").isNotNull() & F.col("_t").isNull()).cast("long")).alias(
+            "fp"
+        ),
+        F.sum((F.col("_p").isNull() & F.col("_t").isNotNull()).cast("long")).alias(
+            "fn"
+        ),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        qround(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+            4,
+        ).alias("precision"),
+        qround(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+            4,
+        ).alias("recall"),
+    )

@@ -2380,3 +2380,21 @@ SELECT event_id, user_id, event_type,
              * 100.0 + 0.5) / 100.0 AS last_purchase_value
 FROM events ORDER BY event_id
 """
+
+ORACLE["tokenizer_fertility_by_lang"] = r"""
+WITH tc AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text), '\S+')) END AS ws_tokens,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+''[A-Za-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total,
+       floor(CAST(sum(bpe_tokens) AS DOUBLE)
+             / nullif(CAST(sum(ws_tokens) AS BIGINT), 0) * 1000000.0 + 0.5) / 1000000.0 AS fertility
+FROM tc GROUP BY lang ORDER BY lang
+"""

@@ -2580,6 +2580,42 @@ def q_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tokenizer_fertility_by_lang")
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish tokens per
+    whitespace word) — the multilingual budgeting signal: languages
+    whose scripts fragment under the tokenizer cost more context per
+    word, and the mixture planner weights them accordingly.  Fertility
+    is computed from per-LANGUAGE token TOTALS (exact integer sums —
+    one combined shuffle on lang), not an average of per-doc ratios,
+    so the only float op is the final division: bit-identical
+    cross-engine without sum-order risk."""
+    from .operators.text_analysis import token_counts
+
+    docs = _documents(spark, sf_dir)
+    counts = token_counts(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_total"),
+            F.sum("bpe_tokens").alias("bpe_total"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_total",
+            "bpe_total",
+            qround(
+                F.col("bpe_total").cast("double")
+                / F.nullif(F.col("ws_total"), F.lit(0)).cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("props_variant_extract")
 def q_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props through the VARIANT type (Spark 4):

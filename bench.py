@@ -139,6 +139,7 @@ HEADLINE = [
     "image_features_ppm",
     "props_variant_extract",
     "user_value_locf",
+    "tokenizer_fertility_by_lang",
 ]
 
 

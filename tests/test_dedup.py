@@ -248,3 +248,34 @@ def test_max_df_default_caps_quadratic_boilerplate_fanout(spark):
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert got == {(1000, 1001)}  # boilerplate gone, informative pair kept
+
+
+def test_pr_report_minhash_vs_exact_precision_is_one(spark, sf_dir):
+    """Exact-verified LSH candidates can never emit a false positive:
+    precision == 1.0 against unconstrained exact jaccard at the same
+    threshold; recall is the banding loss, bounded below."""
+    from analysisofuserbehavior_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_pr_report,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = minhash_lsh_pairs(docs, threshold=0.5)
+    truth = ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
+    r = neardup_pr_report(pred, truth).first()
+    assert r["fp"] == 0 and r["precision"] == 1.0
+    assert r["tp"] + r["fn"] > 0  # the corpus has 0.5-level pairs
+    assert r["recall"] >= 0.5  # 16x4 banding at s>=0.5
+
+
+def test_pr_report_confusion_counts_exact(spark):
+    """Closed-form confusion check on hand-built pair frames."""
+    from analysisofuserbehavior_spark.operators.dedup import neardup_pr_report
+
+    pred = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], "doc_a long, doc_b long")
+    r = neardup_pr_report(pred, truth).first()
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision"] == round(2 / 3, 4) or abs(r["precision"] - 0.6667) < 1e-9
+    assert r["recall"] == round(2 / 3, 4) or abs(r["recall"] - 0.6667) < 1e-9

@@ -3175,9 +3175,15 @@ _GATE_WINDOW = [
     "ad_blacklist",
     "ad_stat",
     "ad_province_top3",
-    "ad_click_trend",
+    # round 4 (cont.): streaming_dedup_keys (cross-micro-batch dedup
+    # state proven by a DISTINCT hash) takes ad_click_trend's slot —
+    # the batch twin of the already-gated streaming_sliding_trend;
+    # displaced queries stay hash-verified in ORACLE_FULL_r{N}.json.
+    "streaming_dedup_keys",
     "tpch_q3",
-    "tpch_q5",
+    # tpch_q9_derived (5-table fact join + derived partsupp) replaces
+    # tpch_q5, whose join chain is a subset of q9's shape.
+    "tpch_q9_derived",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -3201,7 +3207,10 @@ _GATE_WINDOW = [
     # top10_visit_growth; the displaced query stays hash-verified in
     # ORACLE_FULL_r{N}.json.
     "ad_blacklist_feedback",
-    "top10_first_week_active",
+    # page_bfs_depths (iterative frontier BFS vs a recursive-CTE
+    # oracle — an evidence class no other gated row carries) replaces
+    # top10_first_week_active, third of the module-5 near-family.
+    "page_bfs_depths",
     "streaming_ad_running_totals",
     "token_counts",
     "tpch_q6",

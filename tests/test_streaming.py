@@ -628,3 +628,47 @@ def test_dropduplicates_state_survives_micro_batches(spark, tmp_path):
     )
     assert got == [(1, "click"), (1, "view"), (2, "click")]
     assert n_batches >= 2  # the suppression really spanned micro-batches
+
+
+def test_stateful_dedup_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB streaming-state lever: HDFS-backed in-memory state
+    caps at executor heap, RocksDB spills keyed state to local disk.
+    The same dropDuplicates pipeline must produce identical results
+    under spark.sql.streaming.stateStore.providerClass=RocksDB."""
+    import os
+
+    base = str(tmp_path / "rocks")
+    for i, rows in enumerate([[(1, "a"), (2, "a")], [(1, "a"), (3, "b")]]):
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        os.utime(os.path.join(base, f"b{i}"), (2_000_000 + i, 2_000_000 + i))
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        raw = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base + "/b*")
+        )
+        q = (
+            raw.dropDuplicates(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocks_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["user_id"], r["event_type"])
+            for r in spark.table("rocks_dedup").collect()
+        )
+        assert got == [(1, "a"), (2, "a"), (3, "b")]
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -177,6 +177,12 @@ ACTIONS_FAMILY = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # optional comma-separated subset for fast contract checks /
+    # single-query iteration; default runs the full HEADLINE list
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
+    )
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     # warm the JVM/parquet footer caches once with the cheapest query
@@ -193,8 +199,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    shared = [n for n in HEADLINE if n in QUERIES and n in ACTIONS_FAMILY]
-    for name in HEADLINE:
+    shared = [n for n in headline if n in QUERIES and n in ACTIONS_FAMILY]
+    for name in headline:
         if name not in QUERIES or name in ACTIONS_FAMILY:
             continue
         timings[name] = measure(name)

@@ -452,7 +452,15 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
                 time.sleep(0.5)
         finally:
             q.stop()
-            q.awaitTermination()  # fully dead before any retry/assert
+            try:
+                # join the execution thread so the attempt is fully
+                # dead before any retry/assert...
+                q.awaitTermination()
+            except Exception:
+                # ...but a crashed attempt re-raises ITS failure from
+                # awaitTermination, and retrying that crash with a
+                # fresh query is this loop's whole job
+                pass
         if condition_met():
             break
     totals = loop.current_totals(spark)

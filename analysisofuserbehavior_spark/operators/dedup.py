@@ -602,16 +602,16 @@ def neardup_pr_report(
     p = predicted.select("doc_a", "doc_b").withColumn("_p", F.lit(1))
     t = truth.select("doc_a", "doc_b").withColumn("_t", F.lit(1))
     joined = p.join(t, ["doc_a", "doc_b"], "full_outer")
+
+    def n(cond) -> F.Column:
+        # sum over ZERO rows is NULL, not 0 — the dq_report empty-
+        # table divergence class; coalesce keeps counts integral
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+
     return joined.agg(
-        F.sum(
-            (F.col("_p").isNotNull() & F.col("_t").isNotNull()).cast("long")
-        ).alias("tp"),
-        F.sum((F.col("_p").isNotNull() & F.col("_t").isNull()).cast("long")).alias(
-            "fp"
-        ),
-        F.sum((F.col("_p").isNull() & F.col("_t").isNotNull()).cast("long")).alias(
-            "fn"
-        ),
+        n(F.col("_p").isNotNull() & F.col("_t").isNotNull()).alias("tp"),
+        n(F.col("_p").isNotNull() & F.col("_t").isNull()).alias("fp"),
+        n(F.col("_p").isNull() & F.col("_t").isNotNull()).alias("fn"),
     ).select(
         "tp",
         "fp",

@@ -109,3 +109,40 @@ def test_pagerank_empty_edges(spark):
 
     edges = _empty(spark, "src string, dst string, weight long")
     assert pagerank(edges).count() == 0
+
+
+def test_round4_text_and_retrieval_ops_empty(spark):
+    from analysisofuserbehavior_spark.operators.retrieval import bm25_topk
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        unigram_surprisal,
+        vocab_growth,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert bm25_topk(docs).count() == 0  # NULL scores filtered, not crashed
+    assert unigram_surprisal(docs).count() == 0
+    assert vocab_growth(docs).count() == 0  # NULL max_id -> no thresholds
+
+
+def test_round4_graph_ops_empty(spark):
+    from analysisofuserbehavior_spark.operators.graph import bfs_depths, triangle_count
+
+    edges = _empty(spark, "src long, dst long")
+    source = _empty(spark, "node long")
+    assert bfs_depths(edges, source).count() == 0
+    assert triangle_count(edges).first()["n_triangles"] == 0
+
+
+def test_round4_cluster_profile_and_pr_report_empty(spark):
+    from analysisofuserbehavior_spark.operators.dedup import neardup_pr_report
+    from analysisofuserbehavior_spark.operators.similarity import (
+        embedding_cluster_profile,
+    )
+
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert embedding_cluster_profile(emb).count() == 0
+    pairs = _empty(spark, "doc_a long, doc_b long")
+    r = neardup_pr_report(pairs, pairs).first()
+    # no pairs anywhere: zero counts, NULL (0/0-guarded) ratios
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 0)
+    assert r["precision"] is None and r["recall"] is None

@@ -1779,28 +1779,28 @@ FROM ranked WHERE rank <= 3
 
 ORACLE["dq_report"] = """
 SELECT 'events.user_id_complete' AS constraint,
-       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+       CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+       coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
 FROM events
 UNION ALL
 SELECT 'events.event_type_accepted',
-       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT),
-       sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) = 0
+       CAST(coalesce(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END), 0) = 0
 FROM events
 UNION ALL
 SELECT 'events.value_non_negative',
-       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
-       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+       CAST(coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) = 0
 FROM events
 UNION ALL
 SELECT 'orders.o_totalprice_positive',
-       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
-       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+       CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) = 0
 FROM orders
 UNION ALL
 SELECT 'lineitem.l_quantity_range',
-       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT),
-       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) = 0
+       CAST(coalesce(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) = 0
 FROM lineitem
 UNION ALL
 SELECT 'events.event_id_unique',

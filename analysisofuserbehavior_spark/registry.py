@@ -290,7 +290,7 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same two phases as SQL CTEs."""
     import os as _os
     import tempfile
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     from .functions import day_col, json_long
     from .streaming.ad_stream import BlacklistLoop
@@ -303,9 +303,10 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         (json_long("props", "$.k") % 10).alias("ad_id"),
         "event_type",
     )
-    split_day = (ev.agg(F.min("ts")).first()[0] + timedelta(days=14)).strftime(
-        "%Y-%m-%d"
-    )
+    # empty-log guard: min(ts) over zero rows is None at plan-build
+    # time; any fixed split keeps the (empty -> empty) contract
+    t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
+    split_day = (t0 + timedelta(days=14)).strftime("%Y-%m-%d")
     in_dir = _os.path.join(work, "in")
     _os.makedirs(in_dir)
     for i, pred in enumerate(
@@ -328,7 +329,10 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loop.run(stream, _os.path.join(work, "ckpt"))
     last_epoch = loop._state(spark).agg(F.max("applied_epoch")).first()[0]
-    if last_epoch is None or last_epoch < 1:
+    # the two-phase-replay property only binds when there were clicks
+    # to replay; an empty log legitimately yields zero micro-batch
+    # folds and an empty blacklist-feedback result
+    if src.limit(1).count() > 0 and (last_epoch is None or last_epoch < 1):
         raise RuntimeError(
             f"expected >= 2 micro-batches, last epoch = {last_epoch}"
         )
@@ -3053,10 +3057,13 @@ def q_user_halves_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (INTERSECT / EXCEPT, each a distinct-aggregate shuffle on
     user_id): users active in both halves of the log (retained), only
     the first (churned), only the second (new)."""
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     ev = _events(spark, sf_dir)
-    split_ts = ev.agg(F.min("ts")).first()[0] + timedelta(days=14)
+    # empty-log guard (see ad_blacklist_feedback)
+    split_ts = (ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)) + timedelta(
+        days=14
+    )
     first = ev.where(F.col("ts") <= F.lit(split_ts)).select("user_id")
     second = ev.where(F.col("ts") > F.lit(split_ts)).select("user_id")
     seg = lambda name, df: df.agg(  # noqa: E731
@@ -3090,14 +3097,17 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     import os as _os
     import tempfile
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     from .streaming.ad_stream import run_to_completion
 
     work = tempfile.mkdtemp(prefix="sdedup_q_")
     ev = load_table(spark, sf_dir, "events")
     src = ev.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
-    split_ts = ev.agg(F.min("ts")).first()[0] + timedelta(days=14)
+    # empty-log guard (see ad_blacklist_feedback)
+    split_ts = (ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)) + timedelta(
+        days=14
+    )
     in_dir = _os.path.join(work, "in")
     _os.makedirs(in_dir)
     for i, pred in enumerate([F.col("ts") <= split_ts, F.col("ts") > split_ts]):

@@ -146,3 +146,27 @@ def test_round4_cluster_profile_and_pr_report_empty(spark):
     # no pairs anywhere: zero counts, NULL (0/0-guarded) ratios
     assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 0)
     assert r["precision"] is None and r["recall"] is None
+
+
+def test_grouping_sets_empty_input_divergence_pinned(spark):
+    """KNOWN Spark-vs-ANSI divergence, pinned deliberately: over an
+    EMPTY input, GROUP BY CUBE/ROLLUP/GROUPING SETS omits even the
+    grand-total () grouping-set row in Spark, while DuckDB (per the
+    standard's global-aggregate semantics for the empty grouping set)
+    returns one all-NULL row with count 0.  Affects the four
+    grouping-set queries (events_cube, clicks_rollup_calendar,
+    daily_type_rollup, user_type_grouping_sets) ONLY when the whole
+    input table is empty — any real partition emits identical rows in
+    both engines (gated green at every SF).  Pinned here so a future
+    Spark behavior change is noticed."""
+    import duckdb
+
+    ev = _empty(spark, EVENTS)
+    got = ev.cube("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert got == []  # Spark: no grand-total row on empty input
+    con = duckdb.connect()
+    ora = con.execute(
+        "SELECT event_type, count(*) AS n FROM (SELECT NULL AS event_type WHERE 1=0) "
+        "GROUP BY CUBE (event_type)"
+    ).fetchall()
+    assert ora == [(None, 0)]  # DuckDB: the () grouping set emits one row

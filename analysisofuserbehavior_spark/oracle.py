@@ -2159,7 +2159,7 @@ FROM events GROUP BY 1 ORDER BY day
 ORACLE["events_cube"] = """
 SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
        CAST(count(*) AS BIGINT) AS n,
-       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS BIGINT))
 ORDER BY event_type NULLS FIRST, dow NULLS FIRST
@@ -2206,7 +2206,7 @@ GROUP BY cluster_id ORDER BY cluster_id
 ORACLE["clicks_rollup_calendar"] = """
 SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
        CAST(count(*) AS BIGINT) AS n_clicks,
-       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events WHERE event_type = 'click'
 GROUP BY ROLLUP (strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'))
 ORDER BY month NULLS FIRST, day NULLS FIRST

@@ -2855,7 +2855,9 @@ def q_tpch_q9_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("tpch_q20_derived")
 def q_tpch_q20_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 potential part promotion: suppliers whose stock of a
-    name-filtered part exceeds half the 1994 shipped quantity.  The
+    name-filtered part exceeds half that part's 1996 shipped quantity
+    (the testdata's ship dates span 1995-2001, so the canonical 1994
+    window is shifted to a populated year).  The
     threshold is `2·availqty > shipped` — l_quantity is
     integral, so both sides are exact and order-independent.  One
     lineitem agg shuffle on the composite key; everything else
@@ -2910,11 +2912,13 @@ def q_clicks_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ts, "yyyy-MM-dd").alias("day"),
         "value",
     )
+    # exact integer-cents totals — same rationale as events_cube
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     return (
         base.rollup("month", "day")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            qround(F.sum("value"), 2).alias("total_value"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy(F.asc_nulls_first("month"), F.asc_nulls_first("day"))
     )
@@ -3041,11 +3045,17 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("dow"),
         "value",
     )
+    # value totals accumulate in EXACT integer cents (per-row
+    # floor(value*100+0.5), summed as BIGINT) — a raw double sum's
+    # partition-order ULPs could flip the 2-dp rounding on the
+    # grand-total row, the integer-cents discipline session_stats and
+    # the TPC-H revenue queries already follow
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     return (
         base.cube("event_type", "dow")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            qround(F.sum("value"), 2).alias("total_value"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("dow"))
     )
@@ -3123,7 +3133,14 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     name = "stream_dedup_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
-    return run_to_completion(deduped, name, mode="append")
+    result = run_to_completion(deduped, name, mode="append")
+    # the memory sink holds the rows; drop the /tmp copy of the key
+    # projection instead of leaking one per invocation (bench runs
+    # this twice per cycle)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return result
 
 
 @query("bm25_topk")

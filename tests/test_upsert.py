@@ -258,3 +258,19 @@ def test_upsert_sink_refuses_uncommitted_state_without_backup(spark, tmp_path):
     sink = ParquetUpsertSink(t, ["day", "user_id"], ["click_count"])
     with pytest.raises(RuntimeError, match="_SUCCESS"):
         sink(_keyed(spark, [("2024-01-01", 1, 2)]), 0)
+
+
+def test_load_state_tolerates_pre_created_empty_dir(spark, tmp_path):
+    """Deployment tooling often mkdir -p's the state path before the
+    first run; a dir with ZERO files has no history to lose and must
+    initialize empty rather than raise the corrupt-dir refusal."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from analysisofuserbehavior_spark.sources.upsert import _load_state
+
+    d = str(tmp_path / "pre_created")
+    os.makedirs(d)
+    schema = T.StructType().add("k", T.LongType()).add("applied_epoch", T.LongType())
+    assert _load_state(spark, schema, d).count() == 0

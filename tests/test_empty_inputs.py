@@ -155,10 +155,12 @@ def test_grouping_sets_empty_input_divergence_pinned(spark):
     standard's global-aggregate semantics for the empty grouping set)
     returns one all-NULL row with count 0.  Affects the four
     grouping-set queries (events_cube, clicks_rollup_calendar,
-    daily_type_rollup, user_type_grouping_sets) ONLY when the whole
-    input table is empty — any real partition emits identical rows in
-    both engines (gated green at every SF).  Pinned here so a future
-    Spark behavior change is noticed."""
+    daily_type_rollup, user_type_grouping_sets) ONLY when the
+    aggregate's whole input is empty — an empty table, or a filter
+    that matches nothing (clicks_rollup_calendar with a clickless
+    log).  Any non-empty input emits identical rows in both engines
+    (gated green at every SF).  Pinned here so a future Spark
+    behavior change is noticed."""
     import duckdb
 
     ev = _empty(spark, EVENTS)

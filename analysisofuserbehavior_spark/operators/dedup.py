@@ -412,9 +412,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+class ClusterConvergenceError(RuntimeError):
+    """dedup_clusters exhausted max_iterations without reaching the
+    connected-components fixpoint — labels would be WRONG (a deep
+    chain only partially collapsed), so the operator refuses to
+    return them.  Raise the iteration budget; with pointer jumping a
+    diameter-D component needs only ~log2(D) rounds, so the default
+    budget covers ~2^10-deep chains already."""
+
+
 def dedup_clusters(
     pairs: DataFrame,
-    max_iterations: int = 10,
+    max_iterations: int = 16,
     reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
@@ -422,15 +431,24 @@ def dedup_clusters(
     pairs.  Upgrades greedy pair-dropping to true transitive dup
     clusters (a~b, b~c ⇒ {a,b,c} even when a,c never pair directly).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(cluster diameter) rounds (near-dup clusters are shallow — a
-    handful of rounds in practice; `max_iterations` bounds the worst
-    case).  Each round is two shuffles (join + agg) on the label
-    frame, whose size is |nodes|, NOT |pairs| — at 100 TB the label
-    frame stays small relative to the corpus and the loop runs on
-    the driver only as orchestration (one count() per round for the
+    Iterative min-label propagation WITH POINTER JUMPING: each round
+    every node takes the min of (its label, its neighbors' labels),
+    then shortcuts label ← label(label).  The shortcut halves chain
+    depth every round, so a diameter-D component converges in
+    O(log2 D) rounds (a 10^4-deep path in ~14) instead of O(D) —
+    the difference between "always converges inside the default
+    budget" and the silent wrong answer plain propagation gives on
+    adversarially deep chains.  Each round is three shuffles
+    (neighbor join + agg, pointer self-join) on the label frame,
+    whose size is |nodes|, NOT |pairs| — at 100 TB the label frame
+    stays small relative to the corpus and the loop runs on the
+    driver only as orchestration (one count() per round for the
     convergence check; no data ever collects).
+
+    If the budget exhausts before the fixpoint the function RAISES
+    ClusterConvergenceError rather than returning partially-merged
+    labels — a silently-unconverged result would let near-dup chains
+    straddle a leakage-safe train/eval split downstream.
 
     `reliable_checkpoint_dir` switches lineage truncation from
     executor-local blocks (localCheckpoint — fast, but a lost
@@ -465,6 +483,7 @@ def dedup_clusters(
     # exponentially (a 12-round run never finished planning)
     sym = ckpt(sym)
     labels = ckpt(labels)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -480,6 +499,23 @@ def dedup_clusters(
                 ),
             )
         )
+        # pointer jumping: label ← label(label).  Every label is
+        # itself a node id (labels start as doc_id and only ever take
+        # mins over node ids), so the parent lookup is a self-join;
+        # min-monotonicity guarantees label(label(v)) ≤ label(v), the
+        # least() is belt-and-braces against the left-join null path.
+        parent = new_labels.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
         new_labels = ckpt(new_labels)
         changed = (
             new_labels.alias("n")
@@ -490,7 +526,15 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise ClusterConvergenceError(
+            f"dedup_clusters did not reach the connected-components "
+            f"fixpoint within max_iterations={max_iterations}; labels "
+            f"would be wrong for components deeper than the budget — "
+            f"raise max_iterations (log2(diameter) rounds suffice)."
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -47,14 +47,33 @@ def _decode_fake(payload: bytes) -> tuple[int, int]:
 
 
 def decode_real(payload: bytes):  # pragma: no cover - env has no codecs
-    """Real decode path — requires PIL; stubbed per environment."""
+    """Real compressed-format decode (JPEG/PNG/...) — requires PIL.
+    Auto-activates if the environment ever gains Pillow (probed by
+    tests/test_env_probes.py); returns the same
+    (width, height, mean_r, mean_g, mean_b) tuple as the built-in
+    BMP/PPM decoders so image_features can dispatch to it."""
     if not HAVE_PIL:
         raise NotImplementedError(
             "image decoding requires PIL/ffmpeg, not available in this build; "
             "the fake-header path (media_metadata) exercises the full "
             "Spark plumbing"
         )
-    raise NotImplementedError("wire PIL.Image.open here")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        arr = np.asarray(rgb, dtype=np.float64)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        return (
+            rgb.width,
+            rgb.height,
+            float(means[0]),
+            float(means[1]),
+            float(means[2]),
+        )
 
 
 def sniff_format(payload: bytes | None) -> str:
@@ -139,7 +158,13 @@ def _decode_ppm(payload: bytes):
         return None
     if width <= 0 or height <= 0 or maxval != 255:
         return None
-    data_off = end + 1  # single whitespace after maxval, per spec
+    # spec: exactly ONE whitespace byte after maxval, then the raster.
+    # VERIFY it is whitespace — a comment or extra padding there would
+    # shift the raster by N bytes and silently wrong every channel
+    # mean whenever the length check still passes.
+    if payload[end : end + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        return None
+    data_off = end + 1
     need = width * height * 3
     if len(payload) < data_off + need:
         return None

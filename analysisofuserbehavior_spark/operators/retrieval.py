@@ -66,11 +66,20 @@ def bm25_topk(
     base = docs.select(
         "doc_id", F.size(toks).cast("double").alias("dl"), *tf_cols
     )
+    # avgdl from EXACT integers — sum(dl) as BIGINT then ONE double
+    # division: a double avg() is an order-dependent partial sum, and
+    # avgdl feeds every score quantized at 6 dp, so a cross-partition
+    # ULP could flip a boundary.  df counts likewise exact BIGINTs.
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        (
+            F.sum(F.col("dl").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
         *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+            .cast("double")
+            .alias(f"df_{i}")
             for i in range(len(query_terms))
         ],
     )

@@ -2038,7 +2038,7 @@ def _bm25_oracle(terms=("spark", "join", "window", "stream"), k=20, k1=1.5, b=0.
         for i, t in enumerate(terms)
     )
     dfs = ",\n         ".join(
-        f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
         for i in range(len(terms))
     )
     parts = "\n       + ".join(
@@ -2053,7 +2053,10 @@ WITH base AS (
   FROM documents
 ),
 stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+  -- avgdl from exact integers (mirrors the Spark side): BIGINT sum,
+  -- one final double division — order-independent across engines
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
          {dfs}
   FROM base
 ),
@@ -2095,7 +2098,11 @@ SELECT doc_id, n_tokens,
 FROM scored
 """
 
-ORACLE["vocab_growth"] = """
+def _vocab_growth_oracle(n_checkpoints: int = 10) -> str:
+    """Mirror of operators/text_analysis.py::vocab_growth — generated
+    from the same n_checkpoints parameter so a non-default call (or a
+    default change) cannot silently diverge from the oracle."""
+    return f"""
 WITH firsts AS (
   SELECT tok AS token, min(doc_id) AS first_doc
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -2103,8 +2110,8 @@ WITH firsts AS (
 ),
 thresholds AS (
   SELECT CAST(i AS BIGINT) AS checkpoint,
-         CAST((SELECT max(doc_id) FROM documents) * i // 10 AS BIGINT) AS doc_id_ceiling
-  FROM range(1, 11) t(i)
+         CAST((SELECT max(doc_id) FROM documents) * i // {n_checkpoints} AS BIGINT) AS doc_id_ceiling
+  FROM range(1, {n_checkpoints + 1}) t(i)
 ),
 vocab_at AS (
   SELECT th.checkpoint, th.doc_id_ceiling, count(*) AS vocab_size
@@ -2120,6 +2127,9 @@ SELECT v.checkpoint, v.doc_id_ceiling, a.n_docs, v.vocab_size
 FROM vocab_at v JOIN docs_at a USING (checkpoint)
 ORDER BY v.checkpoint
 """
+
+
+ORACLE["vocab_growth"] = _vocab_growth_oracle()
 
 ORACLE["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
@@ -2316,8 +2326,11 @@ WITH {PARTSUPP_CTE},
 profit AS (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         l_extendedprice * (1.0 - l_discount)
-           - CAST(ps_supplycost_cents AS DOUBLE) / 100.0 * l_quantity AS amount
+         -- exact integer 1e-4-dollar units (mirrors the Spark side):
+         -- order-independent BIGINT accumulation, one division at output
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           - ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100 AS amount_1e4
   FROM lineitem
   JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
   JOIN part ON l_partkey = p_partkey
@@ -2327,7 +2340,7 @@ profit AS (
   WHERE p_name LIKE '%ol%'
 )
 SELECT nation, o_year,
-       floor(sum(amount) * 100.0 + 0.5) / 100.0 AS sum_profit
+       floor(CAST(sum(amount_1e4) AS DOUBLE) / 100.0 + 0.5) / 100.0 AS sum_profit
 FROM profit GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16 MiB thread stacks: Catalyst analysis + codegen recurse
+        # deeply, and the stream-execution thread has been observed to
+        # die with a transient StackOverflowError on a busy JVM under
+        # the JVM-default ~1 MiB stack (only ever mid-suite, never in
+        # isolation).  Applies at JVM launch, so it must be set by the
+        # FIRST session the process creates.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata parquet carries TIMESTAMP(NANOS) which Spark's

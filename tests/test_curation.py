@@ -306,6 +306,41 @@ def test_quality_weighted_sample_proportional_and_extremes(spark):
     assert by_q[0.01].rate <= 0.1         # junk kept ~1% of the time
 
 
+def test_leakage_safe_split_boundary_cluster_and_straddle(spark):
+    """Adversarial cases for the leak the operator exists to close:
+    (1) a cluster whose members' SOLO buckets land on OPPOSITE sides
+    of the threshold — the exact straddle train_eval_split produces —
+    must be assigned as a unit, to the side of its cluster-id (min
+    doc_id) bucket; (2) a cluster whose id bucket equals the
+    threshold EXACTLY pins the strict-less boundary semantics
+    (bucket < threshold → eval, so '1999' itself is train).
+    doc_id 0 hashes below the default 0x1999 threshold (eval), 1
+    above (train), 110422 to exactly '1999' (precomputed md5s)."""
+    from analysisofuserbehavior_spark.operators.curation import (
+        leakage_safe_split,
+        train_eval_split,
+    )
+
+    ids = [0, 1, 110422, 110423]
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "doc_id long, text string"
+    )
+    solo = {r.doc_id: r.split for r in train_eval_split(docs).collect()}
+    # precondition: the pair (0, 1) genuinely straddles solo
+    assert solo[0] == "eval" and solo[1] == "train"
+    pairs = spark.createDataFrame(
+        [(0, 1), (110422, 110423)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    # (1) straddling cluster unified to the min-id (=0) verdict: eval
+    assert got[0].split == got[1].split == "eval"
+    assert got[0].cluster_id == got[1].cluster_id == 0
+    # (2) exact-boundary cluster id: bucket('v1:110422') == '1999'
+    # is NOT < '1999' → the whole cluster is train
+    assert got[110422].bucket == "1999"
+    assert got[110422].split == got[110423].split == "train"
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """No near-dup pair may straddle the train/eval boundary — the
     leak `train_eval_split` can't rule out.  A chained cluster

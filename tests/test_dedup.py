@@ -106,6 +106,41 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_dedup_clusters_deep_chain_converges_under_defaults(spark):
+    """A 10^4-deep path collapses to one cluster WITHOUT raising the
+    iteration budget — pointer jumping gives O(log2 D) rounds, so the
+    default budget (16) covers it where plain propagation would need
+    10^4 rounds and silently return garbage."""
+    from analysisofuserbehavior_spark.operators.dedup import dedup_clusters
+
+    depth = 10_000
+    pairs = spark.range(depth).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = dedup_clusters(pairs)  # default max_iterations
+    assert labels.select("cluster_id").distinct().count() == 1
+    assert labels.count() == depth + 1
+
+
+def test_dedup_clusters_raises_on_exhaustion(spark):
+    """An insufficient budget must RAISE, never return partially
+    merged labels (the silent-non-convergence hole: unconverged
+    labels would let near-dup chains straddle a train/eval split)."""
+    import pytest
+
+    from analysisofuserbehavior_spark.operators.dedup import (
+        ClusterConvergenceError,
+        dedup_clusters,
+    )
+
+    # 200-deep path; 2 rounds of propagation+jumping cannot finish
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ClusterConvergenceError):
+        dedup_clusters(pairs, max_iterations=2).collect()
+
+
 def test_standalone_signatures_match_inline_path(spark):
     """minhash_signatures (the persist-and-reuse API) must agree with
     the signature expression minhash_lsh_pairs computes inline."""

@@ -178,6 +178,21 @@ def test_ppm_decode_handles_comments_and_rejects_malformed(spark):
     assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (7.0, 9.0, 11.0)
 
 
+def test_ppm_rejects_nonwhitespace_after_maxval():
+    """A comment (or any non-whitespace byte) right after the maxval
+    token must be REJECTED, not decoded with the raster shifted — a
+    shifted raster that still satisfies the length check would
+    silently produce wrong channel means."""
+    from analysisofuserbehavior_spark.operators.multimodal import _decode_ppm
+
+    # long comment after maxval: raster would be read N bytes early
+    bad = b"P6\n2 2\n255# shifted\n" + bytes([7, 9, 11]) * 4 + b"\x00" * 16
+    assert _decode_ppm(bad) is None
+    # the single-whitespace form still decodes
+    good = b"P6\n2 2\n255\n" + bytes([7, 9, 11]) * 4
+    assert _decode_ppm(good) == (2, 2, 7.0, 9.0, 11.0)
+
+
 def test_image_features_mixed_bmp_and_ppm_corpus(spark):
     """One operator, two real formats in the same column — magic-byte
     dispatch decodes both, matching each generator's closed form."""

@@ -91,6 +91,55 @@ def test_ivf_kmeans_recall_floor(spark, sf_dir):
     assert recall >= 0.3, f"kmeans-IVF recall collapsed: {recall}"
 
 
+def test_ivf_kmeans_adversarial_boundary_queries(spark):
+    """Adversarial recall case: queries sit ON Voronoi boundaries
+    between tight clusters, and the corpus contains exact-duplicate
+    vectors (a sim tie inside top-k).  Pins three properties of the
+    kmeans-IVF path that the random-corpus floor test can't:
+    (1) full probe (n_probe = n_clusters) is EXACTLY brute force —
+        any candidate-bucketing bug surfaces as a set mismatch;
+    (2) probing more cells never loses recall (monotone mitigation);
+    (3) near-threshold ties resolve identically in both paths
+        (rank order is sim desc, then neighbor_id asc)."""
+    import math
+
+    def unit(theta_deg, eps=0.0):
+        t = math.radians(theta_deg)
+        return [float(math.cos(t)) + eps, float(math.sin(t))]
+
+    rows = []
+    # vec 0..2: boundary queries between the 0°/60°/120° clusters
+    for i, th in enumerate([29.9, 90.2, 61.0]):
+        rows.append((i, unit(th)))
+    # three tight 10-point clusters
+    vid = 3
+    for base in (0.0, 60.0, 120.0):
+        for j in range(10):
+            rows.append((vid, unit(base + j * 0.7)))
+            vid += 1
+    # exact duplicates near cluster A's core: a tie inside top-k
+    rows.append((40, unit(30.5)))
+    rows.append((41, unit(30.5)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(similarity.ann_bruteforce_topk(emb, n_queries=3, k=5))
+    per_probe = {
+        p: pairs(
+            similarity.ann_ivf_topk(
+                emb, n_queries=3, k=5, n_clusters=3, n_probe=p, kmeans_iters=2
+            )
+        )
+        for p in (1, 2, 3)
+    }
+    assert per_probe[3] == exact  # full probe == brute force, ties included
+    r = {p: len(per_probe[p] & exact) / len(exact) for p in (1, 2, 3)}
+    assert r[1] <= r[2] <= r[3] == 1.0
+    assert r[2] >= 0.3  # the gated floor holds even on boundary queries
+
+
 def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
     a = similarity.kmeans_centroids(emb, k=4, iters=2)

@@ -451,7 +451,13 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
                     break  # stream died — retry with a fresh query
                 time.sleep(0.5)
         finally:
-            q.stop()
+            try:
+                # stop() on an already-dead query can rethrow its
+                # death cause — that must feed the retry, not escape
+                # the loop as a test error
+                q.stop()
+            except Exception:
+                pass
             try:
                 # join the execution thread so the attempt is fully
                 # dead before any retry/assert...

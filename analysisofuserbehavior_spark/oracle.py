@@ -1096,6 +1096,9 @@ FROM documents
 
 # the upsert sink accumulates exactly the batch per-key counts
 ORACLE["streaming_user_click_upsert"] = ORACLE["ad_user_click_count"]
+# the crash-then-recover replay must land on the SAME totals as the
+# uninterrupted batch aggregation — recovery correctness IS the diff
+ORACLE["streaming_upsert_crash_recovery"] = ORACLE["ad_user_click_count"]
 
 # the blacklist FEEDBACK replay: two micro-batches split at
 # min(ts)+14d; phase-1 offenders (any (day,user,ad) count >= 2) are

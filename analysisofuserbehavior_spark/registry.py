@@ -104,6 +104,31 @@ def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_phase_replay_dir(work: str, phases: list[DataFrame]) -> str:
+    """Write each phase frame as ONE parquet file under `<work>/in`
+    with ascending mtimes, so a maxFilesPerTrigger=1 file-source
+    stream replays them as deterministic ordered micro-batches.
+    Executor-side Spark writes — nothing materializes on the driver;
+    coalesce(1) is the replay FIXTURE's requirement (the mtime-order
+    contract needs exactly one file per phase), not a scale pattern."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    in_dir = _os.path.join(work, "in")
+    _os.makedirs(in_dir)
+    for i, df in enumerate(phases):
+        stage = _os.path.join(work, f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        fp = _os.path.join(in_dir, f"phase_{i}.parquet")
+        _os.replace(part, fp)
+        _shutil.rmtree(stage, ignore_errors=True)
+        # the file source admits oldest-mtime first; pin the order
+        _os.utime(fp, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return in_dir
+
+
 # demo param set for the predicate engine; mirrored in
 # oracle.ORACLE['session_filtered_aggr_stat']
 DEMO_PARAMS = TaskParams(
@@ -307,26 +332,10 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time; any fixed split keeps the (empty -> empty) contract
     t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
     split_day = (t0 + timedelta(days=14)).strftime("%Y-%m-%d")
-    in_dir = _os.path.join(work, "in")
-    _os.makedirs(in_dir)
-    import glob as _glob
-    import shutil as _shutil
-
-    for i, pred in enumerate(
-        [F.col("day") <= split_day, F.col("day") > split_day]
-    ):
-        # Spark write (executor-side) — the click slice never
-        # materializes on the driver.  coalesce(1) is the REPLAY
-        # FIXTURE's requirement, not a scale pattern: the mtime-order
-        # contract needs exactly one file per phase.
-        stage = _os.path.join(work, f"stage_{i}")
-        src.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        fp = _os.path.join(in_dir, f"phase_{i}.parquet")
-        _os.replace(part, fp)
-        _shutil.rmtree(stage, ignore_errors=True)
-        # the file source admits oldest-mtime first; pin the order
-        _os.utime(fp, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    in_dir = _two_phase_replay_dir(
+        work,
+        [src.where(F.col("day") <= split_day), src.where(F.col("day") > split_day)],
+    )
     loop = BlacklistLoop(_os.path.join(work, "state"))
     stream = (
         spark.readStream.schema(
@@ -1267,6 +1276,96 @@ def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return sink.current(spark)
+
+
+@query("streaming_upsert_crash_recovery")
+def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert sink's crash-recovery contract under the gate: the
+    click log replays as two deterministic micro-batches; the sink is
+    KILLED by fault injection after staging epoch 1's merge to
+    `<dir>_next` but BEFORE finalizing `<dir>` (the exact window the
+    stage-then-finalize protocol exists for, sources/upsert.py
+    `_load_state`), then the stream RESTARTS from the same
+    checkpoint.  Recovery must complete the interrupted finalize and
+    skip the replayed epoch idempotently — so the totals hash-match
+    the plain batch groupBy oracle only if the recovery path is
+    correct.  The query RAISES if the injected crash did not fire, so
+    this gate row cannot go green without traversing recovery."""
+    import os as _os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from .functions import day_col, json_long
+    from .sources.upsert import ParquetUpsertSink
+
+    work = tempfile.mkdtemp(prefix="upsert_crash_q_")
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        day_col(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+        (json_long("props", "$.k") % 10).alias("ad_id"),
+        "event_type",
+    )
+    # empty-log guard (see ad_blacklist_feedback)
+    t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
+    split_day = (t0 + timedelta(days=14)).strftime("%Y-%m-%d")
+    in_dir = _two_phase_replay_dir(
+        work,
+        [src.where(F.col("day") <= split_day), src.where(F.col("day") > split_day)],
+    )
+    sink = ParquetUpsertSink(
+        _os.path.join(work, "table"),
+        ["day", "user_id", "ad_id"],
+        ["click_count"],
+        merge="sum",
+    )
+
+    def per_batch(batch: DataFrame, epoch_id: int) -> None:
+        sink(
+            batch.where(F.col("event_type") == "click")
+            .groupBy("day", "user_id", "ad_id")
+            .agg(F.count(F.lit(1)).alias("click_count")),
+            epoch_id,
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "day string, user_id long, ad_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink.fail_after_stage_epoch = 1  # die mid-protocol on the 2nd batch
+    q1 = run()
+    crashed = False
+    try:
+        q1.awaitTermination()
+    except Exception:
+        crashed = True
+    if not crashed:
+        raise RuntimeError(
+            "injected crash did not fire — the replay no longer exercises "
+            "the staged-but-unfinalized recovery window"
+        )
+    q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
+    q2.awaitTermination()
+    # dimension-sized totals; materialize so the work dir (log copy +
+    # state + checkpoint) can be deleted instead of leaking per call
+    rows = sink.current(spark).collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day string, user_id long, ad_id long, click_count long"
+    )
 
 
 @query("tpch_q4")
@@ -3141,23 +3240,13 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_ts = (ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)) + timedelta(
         days=14
     )
-    in_dir = _os.path.join(work, "in")
-    _os.makedirs(in_dir)
-    import glob as _glob
-    import shutil as _shutil
-
-    for i, pred in enumerate([F.col("ts") <= split_ts, F.col("ts") > split_ts]):
-        # Spark write, no driver materialization (same pattern as
-        # ad_blacklist_feedback); one file per phase pins mtime order
-        stage = _os.path.join(work, f"stage_{i}")
-        src.where(pred).select("user_id", "event_type").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        fp = _os.path.join(in_dir, f"phase_{i}.parquet")
-        _os.replace(part, fp)
-        _shutil.rmtree(stage, ignore_errors=True)
-        _os.utime(fp, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    in_dir = _two_phase_replay_dir(
+        work,
+        [
+            src.where(pred).select("user_id", "event_type")
+            for pred in (F.col("ts") <= split_ts, F.col("ts") > split_ts)
+        ],
+    )
     stream = (
         spark.readStream.schema("user_id long, event_type string")
         .option("maxFilesPerTrigger", 1)
@@ -3306,7 +3395,13 @@ _GATE_WINDOW = [
     # ORACLE_FULL_r{N}.json).
     "run_task_session_aggr",
     "tpch_q10",
-    "streaming_session_rollup",
+    # round 5: streaming_upsert_crash_recovery (fault-injected
+    # crash between the upsert sink's stage and finalize, then a
+    # checkpoint restart — oracle-checked recovery, an evidence class
+    # nothing else gates) takes streaming_session_rollup's slot; its
+    # batch twin session_window_rollup stays gated and the streaming
+    # variant stays hash-verified in ORACLE_FULL_r{N}.json.
+    "streaming_upsert_crash_recovery",
     # round 5: image_features_ppm (real P6 decode through Arrow
     # mapInPandas, hash-gated vs a closed-form oracle — the only
     # multimodal evidence class) takes clean_corpus's slot, whose

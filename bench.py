@@ -140,6 +140,8 @@ HEADLINE = [
     "props_variant_extract",
     "user_value_locf",
     "tokenizer_fertility_by_lang",
+    # round 5 gate promotions
+    "streaming_upsert_crash_recovery",
 ]
 
 
@@ -208,6 +210,15 @@ def main() -> None:
         # memory-sink tables) so later queries aren't measured under
         # earlier queries' heap pressure
         spark.catalog.clearCache()
+    # cold-path twins: the shared-scan family's phase-2 numbers read
+    # the cache, so a regression in the underlying scan+sessionize
+    # plan would hide behind it.  Keep one UNCACHED measurement per
+    # family anchor (reported as <name>_cold) alongside the cached
+    # phase-2 entry.
+    for name in ("sessionize", "session_stats"):
+        if name in headline and name in QUERIES:
+            timings[name + "_cold"] = measure(name)
+            spark.catalog.clearCache()
     if shared:
         t0 = time.perf_counter()
         enable_shared_scan(spark, sf_dir)

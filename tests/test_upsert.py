@@ -245,6 +245,29 @@ def test_upsert_sink_recovers_from_next_after_crashed_finalize(spark, tmp_path):
     assert got == {("2024-01-01", 1, 115)}
 
 
+def test_fault_injection_fires_once_mid_protocol(spark, tmp_path):
+    """The fail_after_stage_epoch knob must raise AFTER `_next` is
+    committed but BEFORE the finalize — the staged-but-unfinalized
+    window — then disarm, and the replayed epoch must recover to the
+    same totals an uninterrupted run produces."""
+    import pytest
+
+    t = os.path.join(str(tmp_path), "t")
+    sink = ParquetUpsertSink(t, ["day", "user_id"], ["click_count"])
+    sink(_keyed(spark, [("2024-01-01", 1, 2)]), 0)
+    sink.fail_after_stage_epoch = 1
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink(_keyed(spark, [("2024-01-01", 1, 3)]), 1)
+    # the crash window: _next holds the merged epoch 1, main dir
+    # still holds epoch 0 — exactly what _load_state recovers from
+    assert os.path.exists(os.path.join(t + "_next", "_SUCCESS"))
+    assert sink.fail_after_stage_epoch is None  # disarmed
+    # the at-least-once replay of epoch 1 completes recovery, no re-sum
+    sink(_keyed(spark, [("2024-01-01", 1, 3)]), 1)
+    got = {tuple(r) for r in sink.current(spark).collect()}
+    assert got == {("2024-01-01", 1, 5)}
+
+
 def test_upsert_sink_refuses_uncommitted_state_without_backup(spark, tmp_path):
     """A state dir with no _SUCCESS and no committed copy anywhere is
     corruption, not 'first batch' — reinitializing would silently wipe

@@ -195,23 +195,31 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
 
     The cheap stand-in for a KenLM-style perplexity filter (the
     CCNet/Gopher quality signal): documents dominated by rare tokens
-    score high, boilerplate scores low.  Scale design: the corpus LM
-    is ONE map-side-combined token-count shuffle; docs contribute
-    (doc_id, token, tf) DISTINCT pairs (second combine — the join is
-    per distinct pair, not per occurrence); the pair⋈vocab join keys
-    on token, where AQE's skew split handles Zipf-head tokens.  The
-    two log2 calls and the final division are mirrored verbatim in
-    the oracle; quantized 6 dp before output."""
+    score high, boilerplate scores low.  Scale design: the
+    explode+aggregate pair frame is built ONCE — corpus counts c(t)
+    come from an unordered window sum over that same frame (a
+    re-derived vocab branch would replay the whole explode lineage:
+    Spark does not reuse aggregate-branch exchanges, measured on
+    dup_ngram_coverage); the global total T = Σ c(t) = Σ |d| is
+    instead a 1-row aggregate over a NO-explode, no-shuffle projection
+    of the raw scan (sum of size(tokens)) — the only second scan, and
+    a cheap one.  The two log2 calls and the final division are
+    mirrored verbatim in the oracle; quantized 6 dp before output."""
+    from pyspark.sql import Window
+
     pairs = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = pairs.groupBy("token").agg(F.sum("tf").alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("t_total"))
+    with_c = pairs.withColumn(
+        "c", F.sum("tf").over(Window.partitionBy("token"))
+    )
+    total = docs.agg(
+        F.sum(F.size(_tokens()).cast("bigint")).cast("double").alias("t_total")
+    )
     scored = (
-        pairs.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
+        with_c.crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_tokens"),
@@ -227,6 +235,122 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         qround(F.col("bits") / F.col("n_tokens").cast("double"), 6).alias(
             "bits_per_token"
         ),
+    )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Bigram language-model quality score: per-doc mean conditional
+    surprisal, bits_per_bigram(d) =
+    Σ_b tf(b,d)·(log2 c(w1·) − log2 c(w1 w2)) / n_bigrams(d), where
+    c(w1 w2) is the corpus bigram count and c(w1·) its left-context
+    total — P(w2|w1) under the maximum-likelihood bigram LM.
+
+    The next step up from `unigram_surprisal` toward a KenLM-style
+    perplexity filter: word-salad documents (plausible unigrams,
+    improbable transitions) score high here while passing the unigram
+    screen.  Scale design — ONE corpus scan: the map-side-combined
+    (doc, bigram) → tf shuffle, then the LM totals c(w1 w2) and
+    c(w1·) as unordered-unbounded window sums over that SAME frame
+    (partition by bigram, then by its first word) — Spark does not
+    reuse a re-derived aggregate branch's exchange (measured on
+    dup_ngram_coverage), so the groupBy-and-join-back formulation
+    would scan and shingle-aggregate the corpus three times.  All
+    counts are exact BIGINTs; the two log2 calls and one division are
+    the only float ops, mirrored verbatim in the oracle; quantized
+    6 dp."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    pairs = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_lm = pairs.withColumn(
+        "c", F.sum("tf").over(Window.partitionBy("bigram"))
+    ).withColumn(
+        "c_left",
+        F.sum("tf").over(
+            Window.partitionBy(F.split(F.col("bigram"), " ").getItem(0))
+        ),
+    )
+    scored = with_lm.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.col("tf").cast("double")
+            * (
+                F.log2(F.col("c_left").cast("double"))
+                - F.log2(F.col("c").cast("double"))
+            )
+        ).alias("bits"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        qround(F.col("bits") / F.col("n_bigrams").cast("double"), 6).alias(
+            "bits_per_bigram"
+        ),
+    )
+
+
+def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame:
+    """Gopher-style duplicate-n-gram coverage: per doc, the fraction
+    of n-gram POSITIONS whose n-gram occurs in ≥ `min_df` distinct
+    documents — the "fraction of text inside duplicated n-grams"
+    repetition/boilerplate filter (companion to the cross-corpus
+    `boilerplate_ngrams` candidate list, which ranks the phrases;
+    this scores the documents).
+
+    Scale design — ONE corpus scan: positional shingles keep
+    multiplicity ((doc, shingle) → position count tf, one combined
+    shuffle); document frequency is count(*) OVER (PARTITION BY
+    shingle) on that SAME pair frame (Spark does not reuse the pair
+    exchange across re-derived aggregate branches — measured, not
+    assumed — so a groupBy+join-back formulation scans and
+    shingle-aggregates the corpus three times); then one groupBy(doc)
+    with a conditional sum.  The window frame is unordered-unbounded
+    (single pass, spills per partition); a Zipf-head shingle's
+    partition is bounded by its document count.  Every count is an
+    exact BIGINT; only the final coverage division is float
+    (quantized 6 dp, mirrored in the oracle)."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    pairs = (
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_df = pairs.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_ngrams"),
+        F.sum(F.when(F.col("df") >= min_df, F.col("tf")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dup_ngrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "dup_ngrams",
+        qround(
+            F.col("dup_ngrams").cast("double") / F.col("n_ngrams").cast("double"), 6
+        ).alias("dup_frac"),
     )
 
 

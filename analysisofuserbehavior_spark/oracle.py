@@ -2134,6 +2134,79 @@ ORDER BY v.checkpoint
 
 ORACLE["vocab_growth"] = _vocab_growth_oracle()
 
+# mirror of operators/text_analysis.py::bigram_surprisal — exact
+# BIGINT counts; only the two log2 calls and one division are float
+ORACLE["bigram_surprisal"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks WHERE len(t) >= 2
+  )
+  GROUP BY doc_id, bigram
+),
+vocab AS (
+  SELECT bigram, CAST(sum(tf) AS BIGINT) AS c FROM pairs GROUP BY bigram
+),
+lefts AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_left
+  FROM vocab GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(sum(p.tf) AS BIGINT) AS n_bigrams,
+         sum(CAST(p.tf AS DOUBLE)
+             * (log2(CAST(l.c_left AS DOUBLE)) - log2(CAST(v.c AS DOUBLE)))) AS bits
+  FROM pairs p
+  JOIN vocab v USING (bigram)
+  JOIN lefts l ON string_split(p.bigram, ' ')[1] = l.w1
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(bits / CAST(n_bigrams AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS bits_per_bigram
+FROM scored
+"""
+
+# mirror of operators/text_analysis.py::dup_ngram_coverage (n=3,
+# min_df=10) — positional 3-gram counts, df over distinct docs,
+# exact integers; one final float division
+ORACLE["dup_ngram_coverage"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+  GROUP BY doc_id, shingle
+),
+heavy AS (
+  SELECT shingle FROM pairs GROUP BY shingle HAVING count(*) >= 10
+),
+dup AS (
+  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS dup_ngrams
+  FROM pairs p JOIN heavy h USING (shingle)
+  GROUP BY p.doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams FROM pairs GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(coalesce(d.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       floor(CAST(coalesce(d.dup_ngrams, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM totals t LEFT JOIN dup d USING (doc_id)
+"""
+
 ORACLE["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
 """

@@ -2222,10 +2222,13 @@ def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic distributed
     text-scoring pipeline: (doc,term) tf out of one explode+agg
-    shuffle; per-term document frequency from the SAME pair frame
-    (second small shuffle on term); N as a broadcast scalar;
-    idf = ln((N+1)/(df+1)) + 1 (smoothed).  Ranking windows are
-    PARTITIONED by doc_id (bounded partitions — never a global
+    shuffle; per-term document frequency as an unordered window count
+    over the SAME pair frame (a re-derived df branch would replay the
+    whole explode lineage — Spark does not reuse aggregate-branch
+    exchanges, measured); N is a 1-row aggregate over a no-explode
+    projection of the raw scan (the only second scan, scan+count
+    only); idf = ln((N+1)/(df+1)) + 1 (smoothed).  Ranking windows
+    are PARTITIONED by doc_id (bounded partitions — never a global
     sort) and order by the QUANTIZED score (6 dp HALF_UP, mirrored
     in the oracle) + term so cross-engine float ULPs cannot flip
     ranks."""
@@ -2235,11 +2238,12 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_df = pairs.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
-        pairs.join(df_counts, "term")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             qround(
@@ -3286,6 +3290,28 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import unigram_surprisal
 
     return unigram_surprisal(_documents(spark, sf_dir))
+
+
+@query("bigram_surprisal")
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM mean conditional surprisal per doc (bits/bigram) —
+    the transition-probability quality filter word-salad passes the
+    unigram screen on.  One bigram-count shuffle; LM join per
+    DISTINCT (doc, bigram) pair; exact-integer counts."""
+    from .operators.text_analysis import bigram_surprisal
+
+    return bigram_surprisal(_documents(spark, sf_dir))
+
+
+@query("dup_ngram_coverage")
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicated-n-gram coverage per doc: the fraction
+    of 3-gram positions whose shingle appears in >= 10 docs.  Heavy
+    set joined by equi-join (never broadcast — unbounded at scale);
+    exact BIGINT counts, one float division at output."""
+    from .operators.text_analysis import dup_ngram_coverage
+
+    return dup_ngram_coverage(_documents(spark, sf_dir))
 
 
 @query("vocab_growth")

@@ -140,8 +140,10 @@ HEADLINE = [
     "props_variant_extract",
     "user_value_locf",
     "tokenizer_fertility_by_lang",
-    # round 5 gate promotions
+    # round 5 gate promotions + new text-quality operators
     "streaming_upsert_crash_recovery",
+    "bigram_surprisal",
+    "dup_ngram_coverage",
 ]
 
 

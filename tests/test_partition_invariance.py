@@ -27,6 +27,11 @@ CHECKED = [
     "daily_anomaly_zscore",
     "tpch_q9_derived",
     "user_value_locf",
+    # round-5 additions: window-derived LM totals + the doc_tfidf
+    # rework must stay partition-count-independent
+    "bigram_surprisal",
+    "dup_ngram_coverage",
+    "doc_tfidf_top_terms",
 ]
 
 

@@ -342,3 +342,88 @@ def test_neardup_exact_pair_join_is_hash_not_nested_loop(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_q2_derived_topk_and_dim_broadcasts(spark, sf_dir):
+    """Top-100 is TakeOrderedAndProject (never Sort+CollectLimit over
+    the offers frame); the supplier/nation/region dims broadcast.
+    The one sort-merge join allowed is offers ⋈ min_cost on
+    ps_partkey — fact-vs-aggregate, correctly co-partitioned at
+    scale."""
+    df = QUERIES["tpch_q2_derived"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.has_broadcast_join(df)
+
+
+def test_q11_derived_all_joins_broadcast(spark, sf_dir):
+    """Dims broadcast and the global-total comparison is a 1-row
+    scalar cross join — no sort-merge join anywhere."""
+    df = QUERIES["tpch_q11_derived"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_events_cube_single_expand_pass_with_partial_agg(spark, sf_dir):
+    """CUBE lowers to ONE Expand + aggregate pass (4 grouping sets in
+    a single scan), with map-side partial aggregation before the
+    exchange — never one scan per grouping set."""
+    df = QUERIES["events_cube"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Expand") >= 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+    # one agg exchange + the output ordering exchange at most
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_bm25_no_explode_and_take_ordered(spark, sf_dir):
+    """Per-term tf is row-local size(filter(...)) — the token array is
+    NEVER exploded (no Generate node, so no (doc, term) pair frame
+    exists), corpus stats reach the scoring scan via broadcast, and
+    the top-k is TakeOrderedAndProject."""
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_growth_broadcasts_thresholds_no_smj(spark, sf_dir):
+    """The 10-row checkpoint-threshold frame broadcasts onto the
+    first-occurrence aggregate; nothing sort-merge joins."""
+    df = QUERIES["vocab_growth"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_image_features_ppm_pure_map_no_exchange(spark, sf_dir):
+    """The decode is mapInPandas fused onto the scan: binary payloads
+    are decoded where they are read and NEVER cross a shuffle —
+    zero exchanges in the whole plan."""
+    df = QUERIES["image_features_ppm"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "MapInPandas" in plan
+    assert plans.count_exchanges(df) == 0
+
+
+def test_lm_quality_filters_scan_corpus_once(spark, sf_dir):
+    """bigram_surprisal and dup_ngram_coverage derive all corpus
+    statistics from ONE (doc, shingle) pair frame via window totals —
+    Spark does not reuse re-derived aggregate branches' exchanges, so
+    a groupBy+join-back formulation silently scans the corpus three
+    times (measured).  Exactly one parquet scan may appear."""
+    for name in ("bigram_surprisal", "dup_ngram_coverage"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = plans.executed_plan(df)
+        assert plan.count("Scan parquet") == 1, (name, plan.count("Scan parquet"))
+
+
+def test_unigram_and_tfidf_explode_corpus_once(spark, sf_dir):
+    """unigram_surprisal and doc_tfidf_top_terms: the explode+agg pair
+    frame is built ONCE (window totals over it, never a re-derived
+    vocab/df branch); the only second scan is the no-explode 1-row
+    total/count — so exactly one Generate node and at most two scans."""
+    for name in ("unigram_surprisal", "doc_tfidf_top_terms"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = plans.executed_plan(df)
+        assert plan.count("Generate") == 1, (name, plan.count("Generate"))
+        assert plan.count("Scan parquet") <= 2, (name, plan.count("Scan parquet"))

@@ -85,3 +85,56 @@ def test_repetition_stats_flags_looping_docs(spark):
     assert loop.dup_3gram_frac == round(4 / 6, 6)  # 6 trigrams, 2 distinct
     assert (clean.dup_word_frac, clean.dup_2gram_frac, clean.dup_3gram_frac) == (0.0, 0.0, 0.0)
     assert (short.dup_2gram_frac, short.dup_3gram_frac) == (0.0, 0.0)
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """Word-salad (plausible unigrams, unique transitions) must score
+    HIGHER bits/bigram than a doc whose transitions repeat — the
+    signal unigram_surprisal cannot see.  Also pins an exact value on
+    a closed-form corpus: a doc whose every bigram is deterministic
+    (c(w1 w2) == c(w1·)) scores exactly 0."""
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # only transitions a->b, b->a
+            (2, "a b a b a b a b"),
+            (3, "b c d a c b d c"),   # scrambled: same unigram bag family
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert got[1]["n_bigrams"] == 7
+    # docs 1,2: every a is followed by b and every b by a except where
+    # doc 3 contributes competing contexts — doc 3 must score strictly
+    # higher than the deterministic-transition docs
+    assert got[3]["bits_per_bigram"] > got[1]["bits_per_bigram"]
+    assert got[1]["bits_per_bigram"] == got[2]["bits_per_bigram"]
+    # closed form: corpus of one doc with fully deterministic
+    # transitions has P(w2|w1) = 1 everywhere -> exactly 0 bits
+    solo = spark.createDataFrame([(9, "x y x y x y")], "doc_id long, text string")
+    assert bigram_surprisal(solo).collect()[0]["bits_per_bigram"] == 0.0
+
+
+def test_dup_ngram_coverage_closed_form(spark):
+    """10 docs share the 3-gram 'x y z' (df=10 >= min_df) and carry
+    unique tails; one doc has no duplicated shingle at all.  Coverage
+    counts POSITIONS (multiplicity), not distinct shingles."""
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        dup_ngram_coverage,
+    )
+
+    rows = [(i, f"x y z u{i} v{i}") for i in range(10)]  # 3 shingles each
+    rows.append((99, "p q r s"))  # 2 shingles, none duplicated
+    rows.append((100, "x y z x y z"))  # 'x y z' twice + 3 bridge shingles
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    for i in range(10):
+        assert (got[i]["n_ngrams"], got[i]["dup_ngrams"]) == (3, 1)
+        assert got[i]["dup_frac"] == 0.333333
+    assert (got[99]["dup_ngrams"], got[99]["dup_frac"]) == (0, 0.0)
+    # multiplicity: 'x y z' occurs at 2 of doc 100's 4 positions
+    assert (got[100]["n_ngrams"], got[100]["dup_ngrams"]) == (4, 2)
+    assert got[100]["dup_frac"] == 0.5

@@ -490,27 +490,29 @@ def dedup_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("n_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+        # carry the round's starting label as `prev` so the
+        # convergence check below is a filter on the checkpointed
+        # frame, not a per-round self-join against the old labels
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("prev"),
+            F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
+                "label"
+            ),
         )
         # pointer jumping: label ← label(label).  Every label is
         # itself a node id (labels start as doc_id and only ever take
         # mins over node ids), so the parent lookup is a self-join;
         # min-monotonicity guarantees label(label(v)) ≤ label(v), the
         # least() is belt-and-braces against the left-join null path.
-        parent = new_labels.select(
+        parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
         new_labels = (
-            new_labels.join(parent, new_labels.label == parent.p_id, "left")
+            stepped.join(parent, stepped.label == parent.p_id, "left")
             .select(
                 "doc_id",
+                "prev",
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
@@ -518,13 +520,9 @@ def dedup_clusters(
         )
         new_labels = ckpt(new_labels)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("prev")
         if changed == 0:
             converged = True
             break

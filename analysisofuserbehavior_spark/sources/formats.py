@@ -118,3 +118,39 @@ def write_orc(df: DataFrame, path: str, **options: str) -> None:
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+    **options: str,
+) -> DataFrame:
+    """XML scan (native in Spark 4).  Same two ingest rules as
+    CSV/JSON: a schema is MANDATORY (XML inference is an extra full
+    pass and element-vs-attribute typing is ambiguous on dirty feeds)
+    and malformed records land in the quarantine column instead of
+    failing the scan (PERMISSIVE).  `row_tag` names the repeated
+    element that delimits rows; column pruning happens at parse time
+    like JSON — unselected elements are never materialized."""
+    reader = (
+        spark.read.format("xml")
+        .schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", **options: str
+) -> None:
+    """XML sink — one element per row under `row_tag`."""
+    writer = df.write.mode("overwrite").format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

@@ -124,6 +124,23 @@ def test_round4_text_and_retrieval_ops_empty(spark):
     assert vocab_growth(docs).count() == 0  # NULL max_id -> no thresholds
 
 
+def test_round5_text_ops_empty(spark):
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        bigram_surprisal,
+        dup_ngram_coverage,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert bigram_surprisal(docs).count() == 0
+    assert dup_ngram_coverage(docs).count() == 0
+    # single-doc corpora: bigram LM degenerates cleanly (0 bits for
+    # deterministic transitions), coverage has no heavy shingles
+    one = spark.createDataFrame([(1, "a b c", "en")], "doc_id long, text string, lang string")
+    assert bigram_surprisal(one).collect()[0]["bits_per_bigram"] == 0.0
+    r = dup_ngram_coverage(one).collect()[0]
+    assert (r["n_ngrams"], r["dup_ngrams"], r["dup_frac"]) == (1, 0, 0.0)
+
+
 def test_round4_graph_ops_empty(spark):
     from analysisofuserbehavior_spark.operators.graph import bfs_depths, triangle_count
 

@@ -97,3 +97,41 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir, tmp_path):
     assert any("doc_id" in p for p in pushed), pushed
     (cols,) = plans.read_schema_columns(df)
     assert cols == {"doc_id", "lang"}, cols
+
+
+def test_xml_round_trip_and_quarantine(spark, sf_dir, tmp_path):
+    """Native Spark-4 XML: schema-pinned round trip of the documents
+    table, plus the PERMISSIVE quarantine contract on a malformed
+    feed — a broken record lands in _corrupt_record instead of
+    failing the scan."""
+    from analysisofuserbehavior_spark.sources.formats import (
+        CORRUPT_COL,
+        quarantine_split,
+        read_xml,
+        write_xml,
+    )
+    from pyspark.sql import types as T
+
+    src = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "docs_xml")
+    write_xml(src, path, row_tag="doc")
+    back = read_xml(spark, path, schema=src.schema, row_tag="doc").drop(CORRUPT_COL)
+    assert back.schema == src.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+    # malformed feed: one good row, one row whose typed field is junk
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        "<rows><r><id>1</id><s>ok</s></r>"
+        "<r><id>not_a_number</id><s>broken</s></r></rows>"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    df = read_xml(spark, str(bad), schema=schema, row_tag="r")
+    good, quarantined = quarantine_split(df)
+    assert [r["id"] for r in good.collect()] == [1]
+    # collect (not count) — counting ONLY the corrupt column from a
+    # raw scan is the documented QUERY_ONLY_CORRUPT_RECORD_COLUMN trap
+    bad_rows = quarantined.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0][CORRUPT_COL]

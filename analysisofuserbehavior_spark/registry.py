@@ -3367,12 +3367,24 @@ _GATE_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "daily_cumulative_clicks",
-    "ann_cosine_topk",
+    # round 5 (cont.): dup_ngram_coverage (Gopher duplicated-n-gram
+    # coverage — positional multiplicity + df, a repetition-filter
+    # evidence class nothing else gates) takes ann_cosine_topk's
+    # slot: the brute-force ANN's results are provably reproduced by
+    # the gated ann_ivf_topk at full probe
+    # (test_ivf_kmeans_adversarial_boundary_queries pins set
+    # equality), so the gate loses no evidence.
+    "dup_ngram_coverage",
     "ann_ivf_topk",
     "click_asof_prior_view",
     "embedding_neardup_exact",
     "text_stats",
-    "lang_id",
+    # round 5 (cont.): bigram_surprisal (transition-probability LM
+    # filter, window-derived corpus stats) takes lang_id's slot —
+    # lang_id's row-local n-gram heuristic is evidence-adjacent to
+    # the gated text_stats projections; displaced queries stay
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "bigram_surprisal",
     # round 5: bm25_topk (corpus-stats broadcast + quantized-rank
     # retrieval — an evidence class no other gated row carries) takes
     # doc_fingerprint's slot, whose rolling-hash projection is

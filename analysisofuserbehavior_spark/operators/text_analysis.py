@@ -354,6 +354,75 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
     )
 
 
+def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame:
+    """Duplicated-span REMOVAL (the transform `dup_ngram_coverage`
+    only measures): rewrite each document dropping every token
+    covered by at least one occurrence of a heavy n-gram (one
+    appearing in ≥ `min_df` DISTINCT documents) — the
+    repeated-substring scrub production pipelines run after the
+    candidate analysis.
+
+    Scale design, one corpus scan: positional n-gram starts
+    ((doc, pos, shingle), multiplicity preserved) → per-shingle
+    distinct-doc frequency via two stacked windows on the SAME sort
+    order (row_number over (shingle, doc) flags one row per
+    (doc,shingle); its sum over (shingle) is the exact distinct-doc
+    df — no collect_set buffering, no re-derived aggregate branch) →
+    heavy starts explode to covered token indexes → per-doc covered
+    set (bounded by doc length) joins back onto the raw text and a
+    single indexed `filter` rebuilds the token array in place.
+    Exact integer counts throughout; output text is
+    position-deterministic, so the whole transform hash-gates."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    starts = docs.where(F.size(toks) >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("pos", "shingle"),
+    )
+    # exact distinct-doc df from one sort: rn==1 marks each
+    # (shingle, doc) once; summing the marks over (shingle) counts
+    # distinct docs.  Both windows share the (shingle, doc_id, pos)
+    # sort order, so no second exchange materializes.
+    w_first = Window.partitionBy("shingle", "doc_id").orderBy("pos")
+    w_sh = Window.partitionBy("shingle")
+    flagged = starts.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("bigint")
+    ).withColumn("df", F.sum("is_first").over(w_sh))
+    covered = (
+        flagged.where(F.col("df") >= min_df)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tok_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok_idx").alias("covered"))
+    )
+    rebuilt = docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                toks,
+                lambda t, i: ~F.coalesce(
+                    F.array_contains(F.col("covered"), i), F.lit(False)
+                ),
+            ),
+        ).alias("text"),
+        F.coalesce(F.size("covered"), F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+    return rebuilt
+
+
 def vocab_growth(docs: DataFrame, n_checkpoints: int = 10) -> DataFrame:
     """Heaps-law vocabulary-growth curve: distinct-vocabulary size
     after ingesting the corpus up to each of `n_checkpoints` doc_id

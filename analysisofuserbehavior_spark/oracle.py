@@ -2172,6 +2172,48 @@ SELECT doc_id, n_bigrams,
 FROM scored
 """
 
+# mirror of operators/text_analysis.py::remove_dup_spans (n=3,
+# min_df=10): heavy = n-grams in >= 10 distinct docs; every token
+# position covered by a heavy occurrence is dropped from the text
+ORACLE["remove_dup_spans"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, pos, t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS pos
+    FROM toks WHERE len(t) >= 3
+  )
+),
+heavy AS (
+  SELECT shingle FROM starts GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 10
+),
+covered AS (
+  SELECT DISTINCT doc_id, tok_i
+  FROM (
+    SELECT s.doc_id, unnest(range(s.pos, s.pos + 3)) AS tok_i
+    FROM starts s JOIN heavy h USING (shingle)
+  )
+),
+cov_lists AS (
+  SELECT doc_id, array_agg(tok_i) AS cov FROM covered GROUP BY doc_id
+)
+SELECT k.doc_id,
+       -- coalesce: DuckDB array_to_string([]) is NULL, but a fully
+       -- scrubbed doc has EMPTY text (matches Spark concat_ws)
+       coalesce(array_to_string(
+         list_filter(
+           list_transform(range(1, len(k.t) + 1),
+             i -> CASE WHEN list_contains(coalesce(c.cov, []), i)
+                       THEN NULL ELSE k.t[i] END),
+           x -> x IS NOT NULL),
+         ' '), '') AS text,
+       CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
+FROM toks k LEFT JOIN cov_lists c USING (doc_id)
+"""
+
 # mirror of operators/text_analysis.py::dup_ngram_coverage (n=3,
 # min_df=10) — positional 3-gram counts, df over distinct docs,
 # exact integers; one final float division

@@ -3314,6 +3314,18 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(_documents(spark, sf_dir))
 
 
+@query("remove_dup_spans")
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal: rewrite documents dropping every
+    token covered by a cross-document heavy 3-gram (df >= 10) — the
+    repeated-substring scrub, transform twin of dup_ngram_coverage.
+    One corpus scan; exact distinct-doc df from stacked windows; the
+    rebuilt text hash-gates position-for-position."""
+    from .operators.text_analysis import remove_dup_spans
+
+    return remove_dup_spans(_documents(spark, sf_dir))
+
+
 @query("vocab_growth")
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve at 10 doc_id checkpoints —

@@ -144,6 +144,7 @@ HEADLINE = [
     "streaming_upsert_crash_recovery",
     "bigram_surprisal",
     "dup_ngram_coverage",
+    "remove_dup_spans",
 ]
 
 

@@ -32,6 +32,7 @@ CHECKED = [
     "bigram_surprisal",
     "dup_ngram_coverage",
     "doc_tfidf_top_terms",
+    "remove_dup_spans",
 ]
 
 

@@ -138,3 +138,23 @@ def test_dup_ngram_coverage_closed_form(spark):
     # multiplicity: 'x y z' occurs at 2 of doc 100's 4 positions
     assert (got[100]["n_ngrams"], got[100]["dup_ngrams"]) == (4, 2)
     assert got[100]["dup_frac"] == 0.5
+
+
+def test_remove_dup_spans_scrubs_only_covered_tokens(spark):
+    """The transform twin of dup_ngram_coverage: every token covered
+    by a heavy 3-gram occurrence is dropped, order of survivors is
+    preserved, untouched docs pass through byte-identical, and a doc
+    made entirely of heavy spans empties."""
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        remove_dup_spans,
+    )
+
+    rows = [(i, f"x y z tail{i} a") for i in range(10)]
+    rows += [(99, "p q r s"), (100, "x y z x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    for i in range(10):  # 'x y z' df=11 >= 10: scrubbed, tail kept in order
+        assert (got[i]["text"], got[i]["n_removed"]) == (f"tail{i} a", 3)
+    assert (got[99]["text"], got[99]["n_removed"]) == ("p q r s", 0)
+    # overlapping heavy starts (0 and 3) cover all six tokens
+    assert (got[100]["text"], got[100]["n_removed"]) == ("", 6)

@@ -505,6 +505,11 @@ def dedup_clusters(
         # mins over node ids), so the parent lookup is a self-join;
         # min-monotonicity guarantees label(label(v)) ≤ label(v), the
         # least() is belt-and-braces against the left-join null path.
+        # `stepped` is checkpointed first: both sides of the self-join
+        # re-derive it, and Spark does not reuse a re-derived branch's
+        # exchange — uncheckpointed, the neighbor join+agg above would
+        # execute twice per round.
+        stepped = ckpt(stepped)
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )

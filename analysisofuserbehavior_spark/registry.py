@@ -120,7 +120,17 @@ def _two_phase_replay_dir(work: str, phases: list[DataFrame]) -> str:
     for i, df in enumerate(phases):
         stage = _os.path.join(work, f"stage_{i}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        parts = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        if not parts:
+            # a phase frame that resolved to ZERO partitions (e.g. an
+            # empty scan after pruning) writes only _SUCCESS; fail
+            # legibly instead of IndexError-ing on the glob
+            raise ValueError(
+                f"replay phase {i} produced no parquet part file "
+                f"(empty/zero-partition frame?) under {stage}; every "
+                f"phase must contribute exactly one file"
+            )
+        part = parts[0]
         fp = _os.path.join(in_dir, f"phase_{i}.parquet")
         _os.replace(part, fp)
         _shutil.rmtree(stage, ignore_errors=True)

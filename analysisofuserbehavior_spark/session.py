@@ -29,6 +29,14 @@ def get_spark(
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """Create (or fetch) the process SparkSession.
+
+    JVM-launch-scoped configs (driver memory, extraJavaOptions incl.
+    the -Xss16m stack size, UI) only take effect for the FIRST session
+    the process creates — getOrCreate() on a live JVM silently keeps
+    the original values.  Extra driver Java options can be supplied
+    via SPARK_GRAFT_DRIVER_JAVA_OPTS; they are merged after -Xss16m.
+    """
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -45,8 +53,13 @@ def get_spark(
         # die with a transient StackOverflowError on a busy JVM under
         # the JVM-default ~1 MiB stack (only ever mid-suite, never in
         # isolation).  Applies at JVM launch, so it must be set by the
-        # FIRST session the process creates.
-        .config("spark.driver.extraJavaOptions", "-Xss16m")
+        # FIRST session the process creates.  Merged with (not
+        # clobbering) any caller-supplied driver Java options so GC /
+        # proxy flags passed via SPARK_GRAFT_DRIVER_JAVA_OPTS survive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            ("-Xss16m " + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip(),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata parquet carries TIMESTAMP(NANOS) which Spark's

@@ -20,6 +20,28 @@ def _tokens() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def _ckpt_pairs(df: DataFrame) -> DataFrame:
+    """Materialize a (doc, token/shingle) pair frame exactly once.
+
+    Lazy localCheckpoint truncates the lineage to ONE concrete RDD, so
+    every downstream branch (corpus totals via groupBy, the join-back)
+    consumes the SAME shuffle dependency — the map-side corpus scan +
+    explode + partial agg runs once, guaranteed at the RDD layer.
+    Plan-level exchange reuse does NOT give this to re-derived
+    DataFrame branches (measured, round 5), which is what originally
+    pushed the LM family onto key-partitioned window sums.  Those
+    windows put each token/shingle's total into one unsplittable
+    WindowExec task — a Zipf-head key ("the", a universal boilerplate
+    shingle) becomes a single straggler at corpus scale, and AQE skew
+    handling covers joins, not window exchanges.  The checkpoint +
+    groupBy(key) partial agg + join-back shape here has no single-task
+    hot key: partial aggregation combines map-side, and the join-back
+    is AQE-skew-join eligible.  Blocks persist MEMORY_AND_DISK on
+    executors and are released by the ContextCleaner when the frame is
+    garbage-collected."""
+    return df.localCheckpoint(eager=False)
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token/char counts, stopword ratio, quality score.
 
@@ -196,25 +218,23 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     The cheap stand-in for a KenLM-style perplexity filter (the
     CCNet/Gopher quality signal): documents dominated by rare tokens
     score high, boilerplate scores low.  Scale design: the
-    explode+aggregate pair frame is built ONCE — corpus counts c(t)
-    come from an unordered window sum over that same frame (a
-    re-derived vocab branch would replay the whole explode lineage:
-    Spark does not reuse aggregate-branch exchanges, measured on
-    dup_ngram_coverage); the global total T = Σ c(t) = Σ |d| is
-    instead a 1-row aggregate over a NO-explode, no-shuffle projection
-    of the raw scan (sum of size(tokens)) — the only second scan, and
-    a cheap one.  The two log2 calls and the final division are
-    mirrored verbatim in the oracle; quantized 6 dp before output."""
-    from pyspark.sql import Window
-
-    pairs = (
+    explode+aggregate pair frame is built ONCE (localCheckpoint — see
+    `_ckpt_pairs` for why lineage truncation, not window sums, is the
+    scale-safe way to reuse it); corpus counts c(t) are a
+    map-side-combined groupBy over that frame joined back onto it
+    (AQE-skew eligible — no Zipf-head single-task window partition);
+    the global total T = Σ c(t) = Σ |d| is a 1-row aggregate over a
+    NO-explode, no-shuffle projection of the raw scan (sum of
+    size(tokens)) — the only second scan, and a cheap one.  The two
+    log2 calls and the final division are mirrored verbatim in the
+    oracle; quantized 6 dp before output."""
+    pairs = _ckpt_pairs(
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_c = pairs.withColumn(
-        "c", F.sum("tf").over(Window.partitionBy("token"))
-    )
+    counts = pairs.groupBy("token").agg(F.sum("tf").alias("c"))
+    with_c = pairs.join(counts, "token")
     total = docs.agg(
         F.sum(F.size(_tokens()).cast("bigint")).cast("double").alias("t_total")
     )
@@ -249,17 +269,17 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
     perplexity filter: word-salad documents (plausible unigrams,
     improbable transitions) score high here while passing the unigram
     screen.  Scale design — ONE corpus scan: the map-side-combined
-    (doc, bigram) → tf shuffle, then the LM totals c(w1 w2) and
-    c(w1·) as unordered-unbounded window sums over that SAME frame
-    (partition by bigram, then by its first word) — Spark does not
-    reuse a re-derived aggregate branch's exchange (measured on
-    dup_ngram_coverage), so the groupBy-and-join-back formulation
-    would scan and shingle-aggregate the corpus three times.  All
-    counts are exact BIGINTs; the two log2 calls and one division are
-    the only float ops, mirrored verbatim in the oracle; quantized
-    6 dp."""
-    from pyspark.sql import Window
-
+    (doc, bigram) → tf shuffle is localCheckpointed (`_ckpt_pairs`:
+    why lineage truncation beats both re-derived branches and
+    key-partitioned windows); the LM totals are then pure
+    aggregations — c(w1 w2) is a groupBy over the pair frame, and the
+    left-context total c(w1·) = Σ_w2 c(w1 w2) is derived from that
+    distinct-bigram frame (vocab²-bounded, tiny next to the pair
+    frame), so the worst Zipf key ("the …") is map-side-combined
+    everywhere and the single join back onto the pair frame is
+    AQE-skew eligible.  All counts are exact BIGINTs; the two log2
+    calls and one division are the only float ops, mirrored verbatim
+    in the oracle; quantized 6 dp."""
     toks = _tokens()
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -267,20 +287,20 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    pairs = (
+    pairs = _ckpt_pairs(
         docs.where(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_lm = pairs.withColumn(
-        "c", F.sum("tf").over(Window.partitionBy("bigram"))
-    ).withColumn(
-        "c_left",
-        F.sum("tf").over(
-            Window.partitionBy(F.split(F.col("bigram"), " ").getItem(0))
-        ),
+    counts = _ckpt_pairs(
+        pairs.groupBy("bigram")
+        .agg(F.sum("tf").alias("c"))
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
     )
+    left = counts.groupBy("w1").agg(F.sum("c").alias("c_left"))
+    lm = counts.join(left, "w1").select("bigram", "c", "c_left")
+    with_lm = pairs.join(lm, "bigram")
     scored = with_lm.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
         F.sum(
@@ -310,18 +330,16 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
 
     Scale design — ONE corpus scan: positional shingles keep
     multiplicity ((doc, shingle) → position count tf, one combined
-    shuffle); document frequency is count(*) OVER (PARTITION BY
-    shingle) on that SAME pair frame (Spark does not reuse the pair
-    exchange across re-derived aggregate branches — measured, not
-    assumed — so a groupBy+join-back formulation scans and
-    shingle-aggregates the corpus three times); then one groupBy(doc)
-    with a conditional sum.  The window frame is unordered-unbounded
-    (single pass, spills per partition); a Zipf-head shingle's
-    partition is bounded by its document count.  Every count is an
-    exact BIGINT; only the final coverage division is float
-    (quantized 6 dp, mirrored in the oracle)."""
-    from pyspark.sql import Window
-
+    shuffle), localCheckpointed (`_ckpt_pairs`: lineage truncation is
+    what lets two branches reuse one exchange — Spark does not reuse
+    re-derived aggregate branches' exchanges, measured); document
+    frequency is a map-side-combined groupBy(shingle) count over that
+    SAME frame joined back (AQE-skew eligible — a universal
+    boilerplate shingle is partial-aggregated per map task, never a
+    single-task window partition); then one groupBy(doc) with a
+    conditional sum.  Every count is an exact BIGINT; only the final
+    coverage division is float (quantized 6 dp, mirrored in the
+    oracle)."""
     toks = _tokens()
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -329,15 +347,14 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
             " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
         ),
     )
-    pairs = (
+    pairs = _ckpt_pairs(
         docs.where(F.size(toks) >= n)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_df = pairs.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    )
+    dfs = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    with_df = pairs.join(dfs, "shingle")
     per_doc = with_df.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_ngrams"),
         F.sum(F.when(F.col("df") >= min_df, F.col("tf")).otherwise(F.lit(0)))
@@ -363,41 +380,43 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
     candidate analysis.
 
     Scale design, one corpus scan: positional n-gram starts
-    ((doc, pos, shingle), multiplicity preserved) → per-shingle
-    distinct-doc frequency via two stacked windows on the SAME sort
-    order (row_number over (shingle, doc) flags one row per
-    (doc,shingle); its sum over (shingle) is the exact distinct-doc
-    df — no collect_set buffering, no re-derived aggregate branch) →
-    heavy starts explode to covered token indexes → per-doc covered
-    set (bounded by doc length) joins back onto the raw text and a
-    single indexed `filter` rebuilds the token array in place.
-    Exact integer counts throughout; output text is
-    position-deterministic, so the whole transform hash-gates."""
-    from pyspark.sql import Window
-
+    ((doc, pos, shingle), multiplicity preserved) are
+    localCheckpointed (`_ckpt_pairs`) so both consumers read one
+    materialized frame → per-shingle distinct-doc frequency via two
+    stacked map-side-combined aggregations (groupBy(shingle, doc)
+    collapses occurrences, groupBy(shingle) counts docs — exact df,
+    no collect_set buffering, no key-partitioned window whose
+    Zipf-head shingle would serialize onto one task) → heavy shingles
+    join back onto the positional frame (AQE-skew eligible) and
+    explode to covered token indexes → per-doc covered set (bounded
+    by doc length) joins back onto the raw text and a single indexed
+    `filter` rebuilds the token array in place.  Exact integer counts
+    throughout; output text is position-deterministic, so the whole
+    transform hash-gates."""
     toks = _tokens()
-    starts = docs.where(F.size(toks) >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
-            )
-        ).alias("pos", "shingle"),
+    starts = _ckpt_pairs(
+        docs.where(F.size(toks) >= n).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ),
+                )
+            ).alias("pos", "shingle"),
+        )
     )
-    # exact distinct-doc df from one sort: rn==1 marks each
-    # (shingle, doc) once; summing the marks over (shingle) counts
-    # distinct docs.  Both windows share the (shingle, doc_id, pos)
-    # sort order, so no second exchange materializes.
-    w_first = Window.partitionBy("shingle", "doc_id").orderBy("pos")
-    w_sh = Window.partitionBy("shingle")
-    flagged = starts.withColumn(
-        "is_first", (F.row_number().over(w_first) == 1).cast("bigint")
-    ).withColumn("df", F.sum("is_first").over(w_sh))
+    heavy = (
+        starts.groupBy("shingle", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
     covered = (
-        flagged.where(F.col("df") >= min_df)
+        starts.join(heavy, "shingle")
         .select(
             "doc_id",
             F.explode(

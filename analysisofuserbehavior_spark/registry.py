@@ -2232,25 +2232,28 @@ def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic distributed
     text-scoring pipeline: (doc,term) tf out of one explode+agg
-    shuffle; per-term document frequency as an unordered window count
-    over the SAME pair frame (a re-derived df branch would replay the
-    whole explode lineage — Spark does not reuse aggregate-branch
-    exchanges, measured); N is a 1-row aggregate over a no-explode
+    shuffle, localCheckpointed (text_analysis._ckpt_pairs — lineage
+    truncation lets the df branch and the join-back reuse one
+    exchange; a key-partitioned window count would put a Zipf-head
+    term's total on a single task); per-term document frequency is a
+    map-side-combined groupBy over that frame joined back
+    (AQE-skew eligible); N is a 1-row aggregate over a no-explode
     projection of the raw scan (the only second scan, scan+count
     only); idf = ln((N+1)/(df+1)) + 1 (smoothed).  Ranking windows
     are PARTITIONED by doc_id (bounded partitions — never a global
     sort) and order by the QUANTIZED score (6 dp HALF_UP, mirrored
     in the oracle) + term so cross-engine float ULPs cannot flip
     ranks."""
+    from .operators.text_analysis import _ckpt_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
+    pairs = _ckpt_pairs(
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_df = pairs.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    dfs = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_df = pairs.join(dfs, "term")
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
         with_df.crossJoin(F.broadcast(n_docs))

@@ -405,25 +405,52 @@ def test_image_features_ppm_pure_map_no_exchange(spark, sf_dir):
     assert plans.count_exchanges(df) == 0
 
 
-def test_lm_quality_filters_scan_corpus_once(spark, sf_dir):
-    """bigram_surprisal and dup_ngram_coverage derive all corpus
-    statistics from ONE (doc, shingle) pair frame via window totals —
-    Spark does not reuse re-derived aggregate branches' exchanges, so
-    a groupBy+join-back formulation silently scans the corpus three
-    times (measured).  Exactly one parquet scan may appear."""
-    for name in ("bigram_surprisal", "dup_ngram_coverage"):
-        df = QUERIES[name](spark, sf_dir)
-        plan = plans.executed_plan(df)
-        assert plan.count("Scan parquet") == 1, (name, plan.count("Scan parquet"))
+def test_lm_family_single_build_no_key_partitioned_windows(
+    spark, sf_dir, monkeypatch
+):
+    """Round-6 de-skew of the text-quality family: each operator
+    builds its (doc, token/shingle) pair frame ONCE — captured here
+    pre-localCheckpoint to pin exactly one Generate and one corpus
+    scan in the build lineage — and computes corpus totals with
+    map-side-combined groupBy + join-back onto the truncated frame.
+    NO window may be partitioned by a raw token/shingle/term key: a
+    Zipf-head key ("the", a universal boilerplate shingle) would put
+    its whole partition on one unsplittable WindowExec task at corpus
+    scale (AQE splits skewed joins, not window exchanges).  The only
+    windows allowed downstream are doc_id-partitioned ranking windows
+    (bounded by doc length); the only parquet rescan allowed is the
+    no-explode 1-row total / raw-text rebuild join."""
+    from analysisofuserbehavior_spark.operators import text_analysis as ta
 
+    captured: list = []
+    real_ckpt = ta._ckpt_pairs
 
-def test_unigram_and_tfidf_explode_corpus_once(spark, sf_dir):
-    """unigram_surprisal and doc_tfidf_top_terms: the explode+agg pair
-    frame is built ONCE (window totals over it, never a re-derived
-    vocab/df branch); the only second scan is the no-explode 1-row
-    total/count — so exactly one Generate node and at most two scans."""
-    for name in ("unigram_surprisal", "doc_tfidf_top_terms"):
+    def capturing(df):
+        captured.append(df)
+        return real_ckpt(df)
+
+    monkeypatch.setattr(ta, "_ckpt_pairs", capturing)
+    for name in (
+        "unigram_surprisal",
+        "bigram_surprisal",
+        "dup_ngram_coverage",
+        "remove_dup_spans",
+        "doc_tfidf_top_terms",
+    ):
+        captured.clear()
         df = QUERIES[name](spark, sf_dir)
-        plan = plans.executed_plan(df)
-        assert plan.count("Generate") == 1, (name, plan.count("Generate"))
-        assert plan.count("Scan parquet") <= 2, (name, plan.count("Scan parquet"))
+        assert captured, name  # operator went through the checkpoint
+        # an executed AdaptiveSparkPlan prints Final AND Initial plan
+        # sections — count nodes in the final section only
+        build = plans.executed_plan(captured[0]).split("== Initial Plan ==")[0]
+        assert build.count("Generate") == 1, (name, build.count("Generate"))
+        assert build.count("Scan parquet") == 1, (name, build)
+        plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
+        # checkpoint in effect: downstream reads the truncated RDD
+        assert "Scan ExistingRDD" in plan, name
+        # at most one raw rescan (no-explode total / rebuild join),
+        # and the pair-frame explode is never replayed against it
+        assert plan.count("Scan parquet") <= 1, (name, plan)
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln:
+                assert "doc_id" in ln, (name, ln)

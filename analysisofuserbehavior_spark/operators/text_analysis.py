@@ -38,7 +38,19 @@ def _ckpt_pairs(df: DataFrame) -> DataFrame:
     hot key: partial aggregation combines map-side, and the join-back
     is AQE-skew-join eligible.  Blocks persist MEMORY_AND_DISK on
     executors and are released by the ContextCleaner when the frame is
-    garbage-collected."""
+    garbage-collected.
+
+    The CORPUS-TOTALS frame each operator derives (counts/df per key)
+    is checkpointed too, for a subtler reason: AQE's
+    OptimizeSkewedJoin only matches SortMergeJoin(Sort(Shuffle),
+    Sort(Shuffle)) — an aggregate left between the shuffle and the
+    sort disqualifies the rule (verified empirically on this plan
+    shape), so an un-truncated groupBy feeding the join-back would
+    silently lose skew splitting exactly when the totals frame grows
+    past broadcast size.  Truncated, both join inputs are pure
+    shuffles over materialized RDDs: AQE broadcasts the totals when
+    they are small (exact post-materialization stats) and skew-splits
+    the pair side when they are not."""
     return df.localCheckpoint(eager=False)
 
 
@@ -233,7 +245,7 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    counts = pairs.groupBy("token").agg(F.sum("tf").alias("c"))
+    counts = _ckpt_pairs(pairs.groupBy("token").agg(F.sum("tf").alias("c")))
     with_c = pairs.join(counts, "token")
     total = docs.agg(
         F.sum(F.size(_tokens()).cast("bigint")).cast("double").alias("t_total")
@@ -299,7 +311,7 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
     )
     left = counts.groupBy("w1").agg(F.sum("c").alias("c_left"))
-    lm = counts.join(left, "w1").select("bigram", "c", "c_left")
+    lm = _ckpt_pairs(counts.join(left, "w1").select("bigram", "c", "c_left"))
     with_lm = pairs.join(lm, "bigram")
     scored = with_lm.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
@@ -353,7 +365,7 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfs = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfs = _ckpt_pairs(pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")))
     with_df = pairs.join(dfs, "shingle")
     per_doc = with_df.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_ngrams"),
@@ -407,7 +419,7 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
             ).alias("pos", "shingle"),
         )
     )
-    heavy = (
+    heavy = _ckpt_pairs(
         starts.groupBy("shingle", "doc_id")
         .agg(F.count(F.lit(1)).alias("_occ"))
         .groupBy("shingle")

@@ -2252,7 +2252,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfs = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfs = _ckpt_pairs(pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     with_df = pairs.join(dfs, "term")
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (

@@ -332,6 +332,108 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
     )
 
 
+def backoff_surprisal(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Trigram stupid-backoff LM score: per-doc mean surprisal
+    -log2 S(w3 | w1 w2) over trigram positions, with
+
+        S = c3(w1 w2 w3) / ctx3(w1 w2 ·)      if c3 >= min_count
+        S = 0.25 * suf2(· w2 w3) / mid1(· w2 ·)   otherwise
+
+    where every count is over corpus TRIGRAM POSITIONS: c3 the
+    trigram's own count, ctx3 the positions sharing its first two
+    words, suf2 the positions sharing its last two words, mid1 the
+    positions sharing its middle word — the Brants et al. "stupid
+    backoff" scheme with the backoff weight fixed at 0.25 so its
+    log2 is EXACTLY -2 (0.4 is conventional, but log2(0.4) is an
+    irrational float whose last-ULP could flip the 6 dp quantization
+    between engines; 2 bits keeps the whole score exact-integer +
+    log2 arithmetic, the same cross-engine discipline as the rest of
+    the LM family).  Rare trigrams (c3 < min_count, default 2 — i.e.
+    singletons) back off to the bigram estimate; both branches are
+    exercised on any corpus with repeated phrases.
+
+    The KenLM-style filter `bigram_surprisal`'s docstring promises:
+    word salads score high on transitions a unigram screen passes;
+    backoff keeps singleton trigrams from all scoring alike.
+
+    Scale design — ONE corpus scan, same shape as the rest of the
+    de-skewed family (`_ckpt_pairs`): the (doc, trigram) → tf pair
+    frame is checkpointed; ALL four LM statistics derive from the
+    distinct-trigram counts frame (vocab³-bounded, tiny next to the
+    pair frame) by splitting the trigram string and re-aggregating —
+    never a second pass over the corpus, never a key-partitioned
+    window; the per-trigram bits are precomputed on that small frame
+    and the single join back onto the pair frame is AQE-skew
+    eligible.  Exact BIGINT counts; log2 and one final division are
+    the only float ops, mirrored verbatim in the oracle; quantized
+    6 dp."""
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    pairs = _ckpt_pairs(
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("trigram"))
+        .groupBy("doc_id", "trigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = F.split(F.col("trigram"), " ")
+    c3 = _ckpt_pairs(
+        pairs.groupBy("trigram")
+        .agg(F.sum("tf").alias("c"))
+        .select(
+            "trigram",
+            "c",
+            w.getItem(0).alias("w1"),
+            w.getItem(1).alias("w2"),
+            w.getItem(2).alias("w3"),
+        )
+    )
+    ctx = c3.groupBy("w1", "w2").agg(F.sum("c").alias("ctx3"))
+    suf = c3.groupBy("w2", "w3").agg(F.sum("c").alias("suf2"))
+    mid = c3.groupBy("w2").agg(F.sum("c").alias("mid1"))
+    lm = _ckpt_pairs(
+        c3.join(ctx, ["w1", "w2"])
+        .join(suf, ["w2", "w3"])
+        .join(mid, ["w2"])
+        .select(
+            "trigram",
+            F.when(
+                F.col("c") >= min_count,
+                F.log2(F.col("ctx3").cast("double"))
+                - F.log2(F.col("c").cast("double")),
+            )
+            .otherwise(
+                F.lit(2.0)
+                + F.log2(F.col("mid1").cast("double"))
+                - F.log2(F.col("suf2").cast("double"))
+            )
+            .alias("bits1"),
+        )
+    )
+    scored = (
+        pairs.join(lm, "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("tf").cast("double") * F.col("bits1")).alias("bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        qround(F.col("bits") / F.col("n_trigrams").cast("double"), 6).alias(
+            "bits_per_trigram"
+        ),
+    )
+
+
 def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame:
     """Gopher-style duplicate-n-gram coverage: per doc, the fraction
     of n-gram POSITIONS whose n-gram occurs in ≥ `min_df` distinct

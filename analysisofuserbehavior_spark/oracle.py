@@ -2172,6 +2172,65 @@ SELECT doc_id, n_bigrams,
 FROM scored
 """
 
+# mirror of operators/text_analysis.py::backoff_surprisal
+# (min_count=2, backoff weight 0.25 => +2 bits): every count is an
+# exact BIGINT over corpus trigram positions; log2 + one division are
+# the only float ops
+ORACLE["backoff_surprisal"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, trigram, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+    FROM toks WHERE len(t) >= 3
+  )
+  GROUP BY doc_id, trigram
+),
+c3 AS (
+  SELECT trigram, CAST(sum(tf) AS BIGINT) AS c,
+         string_split(trigram, ' ') AS w
+  FROM pairs GROUP BY trigram
+),
+ctx AS (
+  SELECT w[1] AS w1, w[2] AS w2, CAST(sum(c) AS BIGINT) AS ctx3
+  FROM c3 GROUP BY 1, 2
+),
+suf AS (
+  SELECT w[2] AS w2, w[3] AS w3, CAST(sum(c) AS BIGINT) AS suf2
+  FROM c3 GROUP BY 1, 2
+),
+mid AS (
+  SELECT w[2] AS w2, CAST(sum(c) AS BIGINT) AS mid1
+  FROM c3 GROUP BY 1
+),
+lm AS (
+  SELECT p.trigram,
+         CASE WHEN p.c >= 2
+              THEN log2(CAST(x.ctx3 AS DOUBLE)) - log2(CAST(p.c AS DOUBLE))
+              ELSE 2.0 + log2(CAST(m.mid1 AS DOUBLE)) - log2(CAST(s.suf2 AS DOUBLE))
+         END AS bits1
+  FROM c3 p
+  JOIN ctx x ON p.w[1] = x.w1 AND p.w[2] = x.w2
+  JOIN suf s ON p.w[2] = s.w2 AND p.w[3] = s.w3
+  JOIN mid m ON p.w[2] = m.w2
+),
+scored AS (
+  SELECT pr.doc_id,
+         CAST(sum(pr.tf) AS BIGINT) AS n_trigrams,
+         sum(CAST(pr.tf AS DOUBLE) * lm.bits1) AS bits
+  FROM pairs pr JOIN lm USING (trigram)
+  GROUP BY pr.doc_id
+)
+SELECT doc_id, n_trigrams,
+       floor(bits / CAST(n_trigrams AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS bits_per_trigram
+FROM scored
+"""
+
 # mirror of operators/text_analysis.py::remove_dup_spans (n=3,
 # min_df=10): heavy = n-grams in >= 10 distinct docs; every token
 # position covered by a heavy occurrence is dropped from the text

@@ -3316,6 +3316,19 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(_documents(spark, sf_dir))
 
 
+@query("backoff_surprisal")
+def q_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM surprisal per doc (bits/trigram) —
+    the next LM step after bigram_surprisal toward a KenLM-style
+    perplexity filter; rare trigrams back off to the bigram estimate
+    with weight 0.25 (log2 exactly -2, cross-engine exact).  One
+    trigram-count shuffle; all four LM statistics from the
+    distinct-trigram frame; AQE-skew-eligible join back."""
+    from .operators.text_analysis import backoff_surprisal
+
+    return backoff_surprisal(_documents(spark, sf_dir))
+
+
 @query("dup_ngram_coverage")
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicated-n-gram coverage per doc: the fraction

@@ -143,6 +143,7 @@ HEADLINE = [
     # round 5 gate promotions + new text-quality operators
     "streaming_upsert_crash_recovery",
     "bigram_surprisal",
+    "backoff_surprisal",
     "dup_ngram_coverage",
     "remove_dup_spans",
 ]

@@ -433,6 +433,7 @@ def test_lm_family_single_build_no_key_partitioned_windows(
     for name in (
         "unigram_surprisal",
         "bigram_surprisal",
+        "backoff_surprisal",
         "dup_ngram_coverage",
         "remove_dup_spans",
         "doc_tfidf_top_terms",

@@ -118,6 +118,51 @@ def test_bigram_surprisal_flags_word_salad(spark):
     assert bigram_surprisal(solo).collect()[0]["bits_per_bigram"] == 0.0
 
 
+def test_backoff_surprisal_closed_form_both_branches(spark):
+    """Pins exact values on a hand-computed corpus exercising BOTH
+    branches: repeated trigrams take the main MLE branch (a
+    deterministic-transition doc scores exactly 0 bits), singleton
+    trigrams take the 0.25-weight backoff (exactly +2 bits plus the
+    bigram term).  All counts hand-derived:
+
+      doc 1 "a b c a b c a b c": trigrams (a b c)x3, (b c a)x2,
+        (c a b)x2 — each c3 equals its ctx3 -> 0 bits.
+      doc 2 "x y z q": both trigrams singletons; their suffix
+        bigrams and middle words are unique -> 2 + 0 - 0 = 2 bits.
+      doc 3 "q b c": singleton; mid1(b)=5 (3 from doc 1's 'a b c',
+        1 here, 1 from doc 4), suf2(b,c)=4 -> 2 + log2(5) - log2(4).
+      doc 4 "z b q": singleton; suf2(b,q)=1 -> 2 + log2(5)."""
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        backoff_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "x y z q"),
+            (3, "q b c"),
+            (4, "z b q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in backoff_surprisal(docs).collect()}
+    assert got[1]["n_trigrams"] == 7
+    assert got[1]["bits_per_trigram"] == 0.0
+    assert got[2]["n_trigrams"] == 2
+    assert got[2]["bits_per_trigram"] == 2.0
+    import math
+
+    assert got[3]["bits_per_trigram"] == round(
+        math.floor((2 + math.log2(5) - math.log2(4)) * 1e6 + 0.5) / 1e6, 6
+    )
+    assert got[4]["bits_per_trigram"] == round(
+        math.floor((2 + math.log2(5)) * 1e6 + 0.5) / 1e6, 6
+    )
+    # backoff scores strictly above the deterministic main branch and
+    # the unsupported-suffix doc scores highest
+    assert got[4]["bits_per_trigram"] > got[3]["bits_per_trigram"] > got[1]["bits_per_trigram"]
+
+
 def test_dup_ngram_coverage_closed_form(spark):
     """10 docs share the 3-gram 'x y z' (df=10 >= min_df) and carry
     unique tails; one doc has no duplicated shingle at all.  Coverage

@@ -1100,6 +1100,40 @@ ORACLE["streaming_user_click_upsert"] = ORACLE["ad_user_click_count"]
 # uninterrupted batch aggregation — recovery correctness IS the diff
 ORACLE["streaming_upsert_crash_recovery"] = ORACLE["ad_user_click_count"]
 
+# the SCD2 crash-then-recover CDC replay lands on a closed-form
+# history: phase 1 opens one version per customer at 2024-01-01;
+# phase 2 (custkey % 3 == 0, segment prefixed 'X-') closes that
+# version at 2024-02-01 and opens the new one — recovery correctness
+# IS the diff vs this batch truth
+ORACLE["streaming_scd2_crash_recovery"] = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       '2024-01-01' AS valid_from,
+       CASE WHEN c_custkey % 3 = 0 THEN '2024-02-01' ELSE NULL END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey AS custkey, 'X-' || c_mktsegment AS segment,
+       '2024-02-01' AS valid_from, NULL AS valid_to
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+# the watermark late-drop replay: append mode emits exactly the hour
+# windows whose END the final watermark (max ts - 1 h) passed, and
+# the phase-2 replay of the corpus's OLDEST event is dropped before
+# aggregation — so counting the events table itself (late duplicate
+# excluded by construction) over the closed windows is the full
+# contract; a wrongly-merged late row would append a duplicate
+# hour_start row and break the hash
+ORACLE["streaming_late_event_drop"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour_start, n
+FROM agg, wm
+WHERE h + INTERVAL 1 HOUR <= wm.w
+"""
+
 # the blacklist FEEDBACK replay: two micro-batches split at
 # min(ts)+14d; phase-1 offenders (any (day,user,ad) count >= 2) are
 # blacklisted before phase 2, so their phase-2 clicks never reach the

@@ -1378,6 +1378,151 @@ def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query("streaming_scd2_crash_recovery")
+def q_streaming_scd2_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scd2Sink crash recovery, gated: a CDC replay where phase 1
+    opens an SCD2 version per customer and phase 2 changes the
+    segment for custkey % 3 == 0; the injected fault kills the sink
+    AFTER staging phase 2's fold but BEFORE finalizing, the stream
+    restarts from the SAME checkpoint, `_load_state` must discard the
+    stale staging dir and the replayed epoch must re-fold
+    idempotently — so the history hash-matches the closed-form batch
+    oracle only if the recovery path is correct.  RAISES if the
+    injected crash did not fire (same discipline as
+    streaming_upsert_crash_recovery).  Complements the unit-only
+    fold-idempotency coverage flagged in round 5 (tests/test_upsert.py)."""
+    import os as _os
+    import tempfile
+
+    from .sources.upsert import Scd2Sink
+
+    work = tempfile.mkdtemp(prefix="scd2_crash_q_")
+    cust = load_table(spark, sf_dir, "customer")
+    phase1 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("eff"),
+    )
+    phase2 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("X-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("2024-02-01").alias("eff"),
+    )
+    in_dir = _two_phase_replay_dir(work, [phase1, phase2])
+    sink = Scd2Sink(
+        _os.path.join(work, "table"), "custkey", ["segment"], eff_col="eff"
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("custkey long, segment string, eff string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink.fail_after_stage_epoch = 1  # die mid-protocol on the CDC batch
+    q1 = run()
+    crashed = False
+    try:
+        q1.awaitTermination()
+    except Exception:
+        crashed = True
+    if not crashed:
+        raise RuntimeError(
+            "injected crash did not fire — the replay no longer exercises "
+            "the staged-but-unfinalized SCD2 recovery window"
+        )
+    q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
+    q2.awaitTermination()
+    rows = sink.history(spark).collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "custkey long, segment string, valid_from string, valid_to string",
+    )
+
+
+@query("streaming_late_event_drop")
+def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, gated: phase 1 streams the
+    older half of the events table through a watermarked (1 h) hourly
+    window in APPEND mode; the run ends with the watermark
+    CHECKPOINTED at max(phase-1 ts) - 1 h.  Phase 2 — made visible
+    only for a SECOND run on the same checkpoint — carries the
+    corpus's oldest event again (now far below the persisted
+    watermark) plus the newer half.  A correct engine drops the late
+    row before aggregation; a wrong one re-opens the long-closed
+    window and append-emits a duplicate hour row, changing the hash.
+    The oracle counts every event EXCEPT the late duplicate and
+    emits exactly the windows whose end the final watermark passed —
+    the full append-mode contract in ANSI SQL."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="late_drop_q_")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    t0, t1 = ev.agg(F.min("ts"), F.max("ts")).first()
+    split = t0 + (t1 - t0) / 2
+    late = ev.orderBy("ts", "event_id").limit(1)  # oldest event, replayed late
+    in_dir = _two_phase_replay_dir(
+        work,
+        [
+            ev.where(F.col("ts") <= split),
+            ev.where(F.col("ts") > split).unionByName(late),
+        ],
+    )
+    # hold phase 2 back so run 1 checkpoints a watermark WITHOUT it
+    (p2,) = _glob.glob(_os.path.join(in_dir, "phase_1.parquet"))
+    held = _os.path.join(work, "phase_1.held")
+    _os.replace(p2, held)
+    out_dir = _os.path.join(work, "out")
+
+    def run():
+        raw = (
+            spark.readStream.schema("ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            raw.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    _os.replace(held, p2)  # phase 2 appears; same checkpoint
+    run()
+    rows = spark.read.parquet(out_dir).collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "hour_start string, n long")
+
+
 @query("tpch_q4")
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 order-priority checking, adapted to the trimmed

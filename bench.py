@@ -142,6 +142,8 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     # round 5 gate promotions + new text-quality operators
     "streaming_upsert_crash_recovery",
+    "streaming_scd2_crash_recovery",
+    "streaming_late_event_drop",
     "bigram_surprisal",
     "backoff_surprisal",
     "dup_ngram_coverage",

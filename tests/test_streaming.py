@@ -244,6 +244,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got.get("09:00") == 1, got
 
 
+def test_streaming_late_event_drop_gate_is_hash_sensitive(spark, sf_dir):
+    """The gated replay re-sends the corpus's OLDEST event in phase 2,
+    after its hour window was emitted and the watermark checkpointed
+    past it.  Pin the two ways a wrong engine would change the hash:
+    (a) the oldest emitted hour's count equals the plain batch count
+    (the duplicate was NOT merged), and (b) no hour appears twice
+    (the closed window was NOT re-emitted)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from analysisofuserbehavior_spark.registry import QUERIES
+    from analysisofuserbehavior_spark.sources import load_table
+
+    rows = QUERIES["streaming_late_event_drop"](spark, sf_dir).collect()
+    hours = Counter(r["hour_start"] for r in rows)
+    assert hours and max(hours.values()) == 1, hours.most_common(3)
+    oldest = min(hours)
+    batch = {
+        r["h"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts").cast("timestamp")),
+                "yyyy-MM-dd HH:mm",
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_oldest = next(r["n"] for r in rows if r["hour_start"] == oldest)
+    assert got_oldest == batch[oldest], (got_oldest, batch[oldest])
+
+
 def test_run_ad_module_end_to_end(spark, sf_dir, tmp_path):
     """Module-4 runner: all four ad tables materialize over the
     bounded stream, and the stateful running totals agree exactly

@@ -3519,13 +3519,26 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_WINDOW = [
     "sessionize",
     "session_stats",
-    "session_aggr_stat",
+    # round 6: unigram_surprisal (de-skewed corpus-LM stats — the
+    # driver now gates the checkpointed groupBy+join-back plan) takes
+    # session_aggr_stat's slot, whose 16-bucket conditional sums stay
+    # exercised by the gated session_filtered_aggr_stat; displaced
+    # rows stay hash-verified in ORACLE_FULL_r{N}.json.
+    "unigram_surprisal",
     "session_filtered_aggr_stat",
     "session_random_extract",
-    "session_detail",
+    # round 6: doc_tfidf_top_terms (de-skewed df + quantized ranking
+    # windows) takes session_detail's slot — the semi-join extract
+    # shape is plan-asserted (test_q4) and gated via tpch_q18's
+    # IN-subquery left-semi.
+    "doc_tfidf_top_terms",
     "top10_categories",
     "top10_category_sessions",
-    "tpch_q1",
+    # round 6: backoff_surprisal (trigram stupid-backoff LM — new
+    # operator, both branches exercised) takes tpch_q1's slot: q1's
+    # pushdown/codegen evidence is pinned by dedicated plan tests and
+    # its scan-agg algebra by the gated q18/q2/q9/q11 rows.
+    "backoff_surprisal",
     "page_convert_rate",
     "area_top3_products",
     "ad_user_click_count",
@@ -3549,7 +3562,11 @@ _GATE_WINDOW = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "daily_cumulative_clicks",
+    # round 6: remove_dup_spans (de-skewed duplicated-span removal —
+    # the rebuilt TEXT hash-gates) takes daily_cumulative_clicks's
+    # slot, whose running-total algebra the gated
+    # streaming_ad_running_totals carries.
+    "remove_dup_spans",
     # round 5 (cont.): dup_ngram_coverage (Gopher duplicated-n-gram
     # coverage — positional multiplicity + df, a repetition-filter
     # evidence class nothing else gates) takes ann_cosine_topk's
@@ -3573,7 +3590,12 @@ _GATE_WINDOW = [
     # doc_fingerprint's slot, whose rolling-hash projection is
     # evidence-adjacent to the gated dedup_exact/token_counts rows.
     "bm25_topk",
-    "session_window_rollup",
+    # round 6: streaming_scd2_crash_recovery (fault-injected CDC
+    # crash between Scd2Sink's stage and finalize + checkpoint
+    # restart vs a closed-form history oracle) takes
+    # session_window_rollup's slot — its session-rollup algebra is
+    # the gated sessionize/session_stats pair's.
+    "streaming_scd2_crash_recovery",
     # round 5: vocab_growth (first-occurrence Heaps-law curve; 10-row
     # broadcast threshold join) replaces streaming_hourly_clicks,
     # whose per-batch agg evidence is a subset of the gated
@@ -3599,13 +3621,20 @@ _GATE_WINDOW = [
     # top10_first_week_active, third of the module-5 near-family.
     "page_bfs_depths",
     "streaming_ad_running_totals",
-    "token_counts",
+    # round 6: ad_click_trend (module-4 trend table, the last ad
+    # output not under gate) takes token_counts's slot — its
+    # row-local projections are the gated text_stats's class.
+    "ad_click_trend",
     # round 5: tpch_q11_derived (integer-cents HAVING-vs-global-total
     # two-agg shape) replaces tpch_q6, whose scan-agg pushdown
-    # evidence the gated tpch_q1 plus the tests/test_plans.py
-    # PushedFilters assertion already carry.
+    # evidence the tests/test_plans.py PushedFilters assertion
+    # carries (tpch_q1 itself rotated out in round 6).
     "tpch_q11_derived",
-    "error_burst_click_counts",
+    # round 6: pack_sequences (two-pass distributed prefix-sum
+    # sequence packing — an evidence class nothing else gates) takes
+    # error_burst_click_counts's slot, whose gap-based burst
+    # sessionization is the gated sessionize's algebra.
+    "pack_sequences",
     "incremental_admit",
     "streaming_sliding_trend",
     # round 4: run_task_session_aggr gates the whole migration path
@@ -3615,7 +3644,12 @@ _GATE_WINDOW = [
     # (session_filtered_aggr_stat2, displaced but still verified in
     # ORACLE_FULL_r{N}.json).
     "run_task_session_aggr",
-    "tpch_q10",
+    # round 6: streaming_late_event_drop (append-mode watermark drop
+    # across a checkpoint restart, hash-sensitive to a wrongly-merged
+    # late row — an evidence class nothing else gates) takes
+    # tpch_q10's slot, whose join+agg+top-k shape the gated
+    # q18/q2_derived rows carry.
+    "streaming_late_event_drop",
     # round 5: streaming_upsert_crash_recovery (fault-injected
     # crash between the upsert sink's stage and finalize, then a
     # checkpoint restart — oracle-checked recovery, an evidence class
@@ -3629,8 +3663,16 @@ _GATE_WINDOW = [
     # dedup+filter composition the gated dedup_exact/text_stats rows
     # cover.
     "image_features_ppm",
-    "session_paths",
-    "cohort_retention",
+    # round 6: streaming_click_attribution (watermarked stream-stream
+    # interval join — the only stream-stream join class) takes
+    # session_paths's slot; lag-adjacency stays gated via
+    # page_convert_rate.
+    "streaming_click_attribution",
+    # round 6: snapshot_diff_customer (snapshot diff —
+    # added/removed/changed classification) takes cohort_retention's
+    # slot, whose self-join + conditional-agg shape the gated
+    # q18/q9_derived and events_cube rows carry.
+    "snapshot_diff_customer",
     "tpch_q18",
 ]
 

@@ -141,6 +141,28 @@ def test_round5_text_ops_empty(spark):
     assert (r["n_ngrams"], r["dup_ngrams"], r["dup_frac"]) == (1, 0, 0.0)
 
 
+def test_round6_backoff_surprisal_empty_and_one_doc(spark):
+    """Empty corpus -> empty; a single 3-token doc has one singleton
+    trigram whose suffix/middle stats are all 1 -> exactly the +2-bit
+    backoff constant (no division by zero, no dropped row)."""
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        backoff_surprisal,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert backoff_surprisal(docs).count() == 0
+    one = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    r = backoff_surprisal(one).collect()[0]
+    assert (r["n_trigrams"], r["bits_per_trigram"]) == (1, 2.0)
+    # docs shorter than a trigram vanish rather than crash
+    short = spark.createDataFrame(
+        [(1, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    assert backoff_surprisal(short).count() == 0
+
+
 def test_round4_graph_ops_empty(spark):
     from analysisofuserbehavior_spark.operators.graph import bfs_depths, triangle_count
 

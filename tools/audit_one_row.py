@@ -1,0 +1,112 @@
+"""One-row-table audit: run the given queries (default: the current
+round's touched set) against a temp SF dir where EVERY table holds
+exactly one row, and compare with the DuckDB oracle on the same dir.
+
+Degenerate inputs are where operators crash at scale (empty
+post-filter frames, single-partition layouts); the audit pins that
+each query either oracle-agrees on the one-row corpus or fails
+LEGIBLY (the two-phase replay fixtures refuse zero-partition phases
+with an explicit ValueError by design — those queries report
+`legible-error` here, not a crash).
+
+Usage: python tools/audit_one_row.py [src_sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from check_oracle import compare, load_duckdb  # noqa: E402 - same dir
+
+from analysisofuserbehavior_spark.oracle import ORACLE  # noqa: E402
+from analysisofuserbehavior_spark.registry import QUERIES  # noqa: E402
+from analysisofuserbehavior_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+ROUND6_TOUCHED = [
+    "unigram_surprisal",
+    "bigram_surprisal",
+    "backoff_surprisal",
+    "dup_ngram_coverage",
+    "remove_dup_spans",
+    "doc_tfidf_top_terms",
+    "streaming_scd2_crash_recovery",
+    "streaming_late_event_drop",
+    "streaming_click_attribution",
+    "snapshot_diff_customer",
+    "pack_sequences",
+    "ad_click_trend",
+]
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or ROUND6_TOUCHED
+    spark = get_spark("audit_one_row", cpus=8)
+    work = tempfile.mkdtemp(prefix="one_row_sf_")
+    import glob as _glob
+
+    for t in TABLES:
+        stage = os.path.join(work, f"_stage_{t}")
+        spark.read.parquet(f"{src}/{t}.parquet").limit(1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        # DuckDB's views (and the driver's fixtures) expect a single
+        # FILE per table, not a Spark part-file directory
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.replace(part, os.path.join(work, f"{t}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    con = load_duckdb(work)
+    agree = legible = 0
+    failed = []
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, work).toPandas()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "no parquet part file" in msg or "injected crash did not fire" in msg:
+                # the replay fixture's designed refusal on degenerate
+                # phases — legible, not a crash
+                print(f"LEGIBLE {name}: {msg.splitlines()[0][:100]}")
+                legible += 1
+                continue
+            print(f"FAIL {name}: spark error: {msg.splitlines()[0][:200]}")
+            failed.append(name)
+            continue
+        if name not in ORACLE:
+            print(f"ROWS {name}: rows-only query, rows={len(sdf)}")
+            agree += 1
+            continue
+        try:
+            odf = con.execute(ORACLE[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+            agree += 1
+    print(
+        f"AUDIT one-row: {agree} agree, {legible} legible-error, "
+        f"{len(failed)} failures"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

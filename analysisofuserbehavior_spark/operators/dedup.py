@@ -505,11 +505,13 @@ def dedup_clusters(
         # mins over node ids), so the parent lookup is a self-join;
         # min-monotonicity guarantees label(label(v)) ≤ label(v), the
         # least() is belt-and-braces against the left-join null path.
-        # `stepped` is checkpointed first: both sides of the self-join
-        # re-derive it, and Spark does not reuse a re-derived branch's
-        # exchange — uncheckpointed, the neighbor join+agg above would
-        # execute twice per round.
-        stepped = ckpt(stepped)
+        # `stepped` is deliberately NOT checkpointed: both self-join
+        # sides sit in ONE plan, where ReuseExchange dedupes the
+        # re-derived subtree (measured: 2 ReusedExchange nodes, one
+        # neighbor join+agg execution) — the cross-ACTION reuse
+        # failure that forces checkpoints elsewhere does not apply
+        # within a single QueryExecution, and an extra per-round
+        # materialization measurably slowed the CC loop ~35%.
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )

@@ -10,6 +10,7 @@ the interesting work).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -214,8 +215,13 @@ def main() -> None:
         timings[name] = measure(name)
         # drop any lingering per-query JVM state (broadcast refs,
         # memory-sink tables) so later queries aren't measured under
-        # earlier queries' heap pressure
+        # earlier queries' heap pressure.  clearCache() covers the SQL
+        # cache only — the LM family's localCheckpoint blocks are
+        # RDD-level and free via the ContextCleaner once Python drops
+        # the DataFrame refs, so force a collection here or those
+        # blocks pile up across the 120-entry run
         spark.catalog.clearCache()
+        gc.collect()
     # cold-path twins: the shared-scan family's phase-2 numbers read
     # the cache, so a regression in the underlying scan+sessionize
     # plan would hide behind it.  Keep one UNCACHED measurement per

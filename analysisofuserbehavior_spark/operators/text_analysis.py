@@ -50,7 +50,36 @@ def _ckpt_pairs(df: DataFrame) -> DataFrame:
     past broadcast size.  Truncated, both join inputs are pure
     shuffles over materialized RDDs: AQE broadcasts the totals when
     they are small (exact post-materialization stats) and skew-splits
-    the pair side when they are not."""
+    the pair side when they are not.
+
+    Cluster-scale lifecycle knob (SPARK_GRAFT_PAIR_CKPT):
+    * ``local`` (default) — localCheckpoint: fastest, blocks live on
+      executors; an executor loss mid-query kills the job (it is
+      retried from the source).  Right for local mode and short jobs.
+    * ``reliable`` — rdd checkpoint to ``spark.sparkContext.
+      setCheckpointDir`` (HDFS/object store): survives executor loss,
+      costs a distributed write+read; right for 1000-executor runs
+      where a lost executor would waste hours of recompute.  Requires
+      the caller to have set a checkpoint dir (raises with a clear
+      message otherwise).
+    Both strategies truncate lineage to a LogicalRDD, so every plan
+    property above (single build, skew-split eligibility) holds
+    identically."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_PAIR_CKPT", "local")
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "SPARK_GRAFT_PAIR_CKPT=reliable requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set first"
+            )
+        return df.checkpoint(eager=False)
+    if mode != "local":
+        raise ValueError(
+            f"SPARK_GRAFT_PAIR_CKPT must be 'local' or 'reliable', got {mode!r}"
+        )
     return df.localCheckpoint(eager=False)
 
 

@@ -203,3 +203,113 @@ def test_remove_dup_spans_scrubs_only_covered_tokens(spark):
     assert (got[99]["text"], got[99]["n_removed"]) == ("p q r s", 0)
     # overlapping heavy starts (0 and 3) cover all six tokens
     assert (got[100]["text"], got[100]["n_removed"]) == ("", 6)
+
+
+def test_pair_ckpt_reliable_mode_same_results(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_PAIR_CKPT=reliable swaps localCheckpoint (executor
+    blocks — lost with an executor) for a reliable checkpoint to the
+    configured dir (survives executor loss at cluster scale).  Both
+    truncate lineage identically, so every LM-family result must be
+    bit-identical; with no checkpoint dir set the mode must refuse
+    with a clear message instead of Py4J-erroring mid-job."""
+    import pytest
+
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        backoff_surprisal,
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z q"), (3, "q b c")],
+        "doc_id long, text string",
+    )
+    base_bg = sorted(map(tuple, bigram_surprisal(docs).collect()))
+    base_bo = sorted(map(tuple, backoff_surprisal(docs).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_CKPT", "reliable")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        bigram_surprisal(docs).collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    assert sorted(map(tuple, bigram_surprisal(docs).collect())) == base_bg
+    assert sorted(map(tuple, backoff_surprisal(docs).collect())) == base_bo
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_CKPT", "bogus")
+    with pytest.raises(ValueError, match="local.*reliable"):
+        bigram_surprisal(docs).collect()
+
+
+def _backoff_reference(texts, min_count=2):
+    """Pure-Python mirror of backoff_surprisal for property testing."""
+    import math
+    from collections import Counter
+
+    c3, ctx, suf, mid = Counter(), Counter(), Counter(), Counter()
+    doc_tris = {}
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        tris = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if not tris:
+            continue
+        doc_tris[doc_id] = tris
+        for t in tris:
+            c3[t] += 1
+            ctx[t[:2]] += 1
+            suf[t[1:]] += 1
+            mid[t[1]] += 1
+    out = {}
+    for doc_id, tris in doc_tris.items():
+        bits = 0.0
+        for t in tris:
+            if c3[t] >= min_count:
+                bits += math.log2(ctx[t[:2]]) - math.log2(c3[t])
+            else:
+                bits += 2.0 + math.log2(mid[t[1]]) - math.log2(suf[t[1:]])
+        q = math.floor(bits / len(tris) * 1e6 + 0.5) / 1e6
+        out[doc_id] = (len(tris), q)
+    return out
+
+
+def test_backoff_surprisal_matches_python_reference_random_corpora(spark):
+    """Property check over randomized small-alphabet corpora
+    (hypothesis): the distributed checkpoint+join-back pipeline must
+    agree exactly (post-quantization) with a direct Counter-based
+    implementation of the same stupid-backoff definition.  Small
+    alphabet forces heavy trigram collisions, so both branches and
+    all four LM statistics are exercised across examples."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        backoff_surprisal,
+    )
+
+    @st.composite
+    def corpora(draw):
+        n_docs = draw(st.integers(min_value=1, max_value=6))
+        rows = []
+        for d in range(n_docs):
+            n_tok = draw(st.integers(min_value=0, max_value=12))
+            toks = [
+                draw(st.sampled_from(["a", "b", "c", "d"]))
+                for _ in range(n_tok)
+            ]
+            rows.append((d, " ".join(toks)))
+        return rows
+
+    @given(corpora())
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["bits_per_trigram"])
+            for r in backoff_surprisal(docs).collect()
+        }
+        assert got == _backoff_reference(rows)
+
+    check()

@@ -77,6 +77,88 @@ def clean_corpus(
     )
 
 
+def quality_gate_report(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    max_dup3: float = 0.2,
+    max_bits: float = 6.0,
+) -> DataFrame:
+    """Quality gate WITH PROVENANCE: one row per document carrying the
+    signals, the accept/reject verdict, and the ordered list of
+    reject reasons — the audit view production corpus pipelines keep
+    next to the survivor set (`clean_corpus` only emits survivors;
+    FineWeb/Gopher-style pipelines also need "why was this dropped").
+
+    Reasons, evaluated on the same QUANTIZED values the canonical
+    operators emit (cross-engine-exact thresholds):
+      * short       — n_tokens < min_tokens
+      * low_quality — quality_score (2 dp) < min_quality
+      * repetitive  — dup_3gram_frac (6 dp) > max_dup3
+      * salad       — bits_per_bigram (6 dp, corpus bigram LM) >
+                      max_bits; docs with <2 tokens have no LM row
+                      and score 0 (cannot be salad)
+
+    Scale shape: the three row-local signals are computed in ONE
+    fused projection over the scan (the formulas are verbatim from
+    text_analysis.text_stats / repetition_stats — pinned equal by
+    tests/test_text_analysis.py::test_quality_gate_signals_match_
+    canonical_operators); the only shuffles are the de-skewed
+    bigram-LM pipeline and one doc_id equi join back (AQE).  Reason
+    strings are concat_ws-joined in fixed order, so the whole report
+    hash-gates."""
+    from ..functions import qround
+    from .text_analysis import STOPWORDS, _tokens, bigram_surprisal
+
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    quality = qround(
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4,
+        2,
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 2),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(3)]
+        ),
+    )
+    dup3 = F.when(
+        F.size(F.col("toks")) >= 3,
+        (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
+        / F.size(tri).cast("double"),
+    ).otherwise(F.lit(0.0))
+    sig = docs.select("doc_id", toks.alias("toks"), F.col("text")).select(
+        "doc_id",
+        F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
+        quality.alias("quality_score"),
+        qround(dup3, 6).alias("dup_3gram_frac"),
+    )
+    # quality formula references toks via _tokens() on `text`; the
+    # fused select above keeps both available in one projection
+    lm = bigram_surprisal(docs).select("doc_id", "bits_per_bigram")
+    j = sig.join(lm, "doc_id", "left")
+    bits = F.coalesce(F.col("bits_per_bigram"), F.lit(0.0))
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < min_tokens, F.lit("short")),
+        F.when(F.col("quality_score") < min_quality, F.lit("low_quality")),
+        F.when(F.col("dup_3gram_frac") > max_dup3, F.lit("repetitive")),
+        F.when(bits > max_bits, F.lit("salad")),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "dup_3gram_frac",
+        bits.alias("bits_per_bigram"),
+        (reasons == F.lit("")).alias("accepted"),
+        reasons.alias("reject_reasons"),
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench_pred,

@@ -2206,6 +2206,75 @@ SELECT doc_id, n_bigrams,
 FROM scored
 """
 
+# mirror of operators/corpus_pipeline.py::quality_gate_report
+# (min_tokens=10, min_quality=0.5, max_dup3=0.2, max_bits=6.0):
+# row-local signal formulas verbatim from the text_stats /
+# repetition_stats oracles; the LM term is the bigram_surprisal
+# oracle left-joined (docs with <2 tokens score 0); reasons are
+# concat_ws in fixed order, CASE-null-skipped exactly like Spark
+ORACLE["quality_gate_report"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'], x))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score,
+         floor((CASE WHEN len(toks) >= 3
+                     THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac
+  FROM (
+    SELECT doc_id, text, toks,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+  )
+),
+pairs AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+  )
+  GROUP BY doc_id, bigram
+),
+vocab AS (
+  SELECT bigram, CAST(sum(tf) AS BIGINT) AS c FROM pairs GROUP BY bigram
+),
+lefts AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_left
+  FROM vocab GROUP BY 1
+),
+lm AS (
+  SELECT p.doc_id,
+         floor(sum(CAST(p.tf AS DOUBLE)
+                   * (log2(CAST(l.c_left AS DOUBLE)) - log2(CAST(v.c AS DOUBLE))))
+               / CAST(sum(p.tf) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_bigram
+  FROM pairs p
+  JOIN vocab v USING (bigram)
+  JOIN lefts l ON string_split(p.bigram, ' ')[1] = l.w1
+  GROUP BY p.doc_id
+),
+labeled AS (
+  SELECT s.doc_id, s.n_tokens, s.quality_score, s.dup_3gram_frac,
+         coalesce(lm.bits_per_bigram, 0.0) AS bits_per_bigram,
+         concat_ws(',',
+           CASE WHEN s.n_tokens < 10 THEN 'short' END,
+           CASE WHEN s.quality_score < 0.5 THEN 'low_quality' END,
+           CASE WHEN s.dup_3gram_frac > 0.2 THEN 'repetitive' END,
+           CASE WHEN coalesce(lm.bits_per_bigram, 0.0) > 6.0 THEN 'salad' END
+         ) AS reject_reasons
+  FROM sig s LEFT JOIN lm USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality_score, dup_3gram_frac, bits_per_bigram,
+       reject_reasons = '' AS accepted, reject_reasons
+FROM labeled
+"""
+
 # mirror of operators/text_analysis.py::backoff_surprisal
 # (min_count=2, backoff weight 0.25 => +2 bits): every count is an
 # exact BIGINT over corpus trigram positions; log2 + one division are

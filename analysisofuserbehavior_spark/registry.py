@@ -968,6 +968,18 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(_documents(spark, sf_dir))
 
 
+@query("quality_gate_report")
+def q_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with provenance: every doc labeled
+    accepted/rejected with the ordered reason list (short /
+    low_quality / repetitive / salad) and the underlying quantized
+    signals — the audit view next to clean_corpus's survivor set.
+    One fused row-local projection + the de-skewed bigram-LM join."""
+    from .operators.corpus_pipeline import quality_gate_report
+
+    return quality_gate_report(_documents(spark, sf_dir))
+
+
 @query("session_paths")
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 event-type paths: the ordered action sequence of each

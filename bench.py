@@ -147,6 +147,7 @@ HEADLINE = [
     "streaming_late_event_drop",
     "bigram_surprisal",
     "backoff_surprisal",
+    "quality_gate_report",
     "dup_ngram_coverage",
     "remove_dup_spans",
 ]

@@ -313,3 +313,44 @@ def test_backoff_surprisal_matches_python_reference_random_corpora(spark):
         assert got == _backoff_reference(rows)
 
     check()
+
+
+def test_quality_gate_signals_match_canonical_operators(spark, sf_dir):
+    """quality_gate_report fuses the row-local signal formulas into
+    one projection for scan-efficiency; this pins them EQUAL to the
+    canonical operators (text_stats.quality_score/n_tokens,
+    repetition_stats.dup_3gram_frac, bigram_surprisal) on real data,
+    so the duplication cannot drift."""
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import (
+        quality_gate_report,
+    )
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        bigram_surprisal,
+        repetition_stats,
+        text_stats,
+    )
+    from analysisofuserbehavior_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = {r["doc_id"]: r for r in quality_gate_report(docs).collect()}
+    ts = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    lm = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert set(got) == set(ts)
+    for d, r in got.items():
+        assert r["n_tokens"] == ts[d]["n_tokens"]
+        assert r["quality_score"] == ts[d]["quality_score"]
+        assert r["dup_3gram_frac"] == rep[d]["dup_3gram_frac"]
+        expected_bits = lm[d]["bits_per_bigram"] if d in lm else 0.0
+        assert r["bits_per_bigram"] == expected_bits
+        expected = []
+        if r["n_tokens"] < 10:
+            expected.append("short")
+        if r["quality_score"] < 0.5:
+            expected.append("low_quality")
+        if r["dup_3gram_frac"] > 0.2:
+            expected.append("repetitive")
+        if expected_bits > 6.0:
+            expected.append("salad")
+        assert r["reject_reasons"] == ",".join(expected)
+        assert r["accepted"] == (not expected)

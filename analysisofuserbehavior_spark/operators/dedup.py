@@ -90,6 +90,48 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Normalized-exact dedup with QUALITY-AWARE canonical selection:
+    duplicates are grouped by the md5 of the NORMALIZED text
+    (casefold, whitespace collapsed, trimmed — so formatting variants
+    of one document land in one group), and the group keeps its
+    highest-quality RAW document (ties → lowest doc_id) — the keeper
+    rule production corpora use, where plain exact-dedup's min-id
+    pick would happily keep the ALL-CAPS double-spaced variant.
+    Quality over identical raw text is constant, which is why this
+    selection only becomes meaningful on a normalized key.  Returns
+    (keep_id, n_copies, quality_score).
+
+    Scale shape: one md5-keyed window whose partitions are bounded by
+    the duplicate-group size (never corpus-scale — the Zipf-head
+    window caveat does not apply to hash groups), ordering by the
+    QUANTIZED quality score + doc_id so cross-engine float ULPs
+    cannot flip the keeper."""
+    from pyspark.sql import Window
+
+    from .text_analysis import text_stats
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    scored = docs.select("doc_id", F.md5(norm).alias("text_hash")).join(
+        text_stats(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            "quality_score",
+        )
+    )
+
+
 def _jaccard_from_pairs(
     pairs: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:

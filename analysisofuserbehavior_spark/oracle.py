@@ -2206,6 +2206,34 @@ SELECT doc_id, n_bigrams,
 FROM scored
 """
 
+# mirror of operators/dedup.py::exact_dedup_canonical — group by md5
+# of NORMALIZED text (lower, \\s+ collapsed, trimmed); keeper =
+# highest 2-dp RAW-text quality then min doc_id per group
+ORACLE["dedup_exact_canonical"] = """
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'], x))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score
+  FROM t
+),
+g AS (
+  SELECT doc_id, quality_score,
+         row_number() OVER (PARTITION BY h ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS n_copies
+  FROM s
+)
+SELECT doc_id AS keep_id, CAST(n_copies AS BIGINT) AS n_copies, quality_score
+FROM g WHERE rn = 1
+"""
+
 # mirror of operators/corpus_pipeline.py::quality_gate_report
 # (min_tokens=10, min_quality=0.5, max_dup3=0.2, max_bits=6.0):
 # row-local signal formulas verbatim from the text_stats /

@@ -477,6 +477,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_documents(spark, sf_dir))
 
 
+@query("dedup_exact_canonical")
+def q_dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup keeping the highest-quality RAW doc per
+    group (ties → min id) — canonical selection over formatting
+    variants; md5(normalized)-bounded window ordered by the quantized
+    score."""
+    from .operators.dedup import exact_dedup_canonical
+
+    return exact_dedup_canonical(_documents(spark, sf_dir))
+
+
 @query("dedup_ngram_jaccard")
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs

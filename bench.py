@@ -148,6 +148,7 @@ HEADLINE = [
     "bigram_surprisal",
     "backoff_surprisal",
     "quality_gate_report",
+    "dedup_exact_canonical",
     "dup_ngram_coverage",
     "remove_dup_spans",
 ]

@@ -314,3 +314,39 @@ def test_pr_report_confusion_counts_exact(spark):
     assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
     assert r["precision"] == round(2 / 3, 4) or abs(r["precision"] - 0.6667) < 1e-9
     assert r["recall"] == round(2 / 3, 4) or abs(r["recall"] - 0.6667) < 1e-9
+
+
+def test_exact_dedup_canonical_picks_highest_quality_variant(spark):
+    """Formatting variants of one doc share a normalized group; the
+    keeper is the highest-quality RAW variant (here: the long
+    stopword-bearing lowercase one), not the min doc_id — plain
+    exact_dedup would keep doc 1.  Distinct docs stay singletons."""
+    from analysisofuserbehavior_spark.operators.dedup import (
+        exact_dedup_canonical,
+    )
+
+    # 100 tokens, 12 stopwords (ratio 0.12): clean scores the full
+    # 1.0; the CAPS variant loses every (case-sensitive) stopword hit
+    # (0.6); double-spacing injects 99 empty tokens, diluting the
+    # ratio to 12/199 < 0.1 (0.84).  Clean has the HIGHEST id, so a
+    # min-id keeper rule would pick wrong.
+    base = " ".join((["the", "in", "of"] + [f"w{i}" for i in range(22)]) * 4)
+    docs = spark.createDataFrame(
+        [
+            (1, base.upper()),
+            (2, base.replace(" ", "  ")),
+            (3, base),
+            (4, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["keep_id"]: r for r in exact_dedup_canonical(docs).collect()}
+    assert set(got) == {3, 4}
+    assert got[3]["n_copies"] == 3
+    assert got[3]["quality_score"] == 1.0
+    assert got[4]["n_copies"] == 1
+    # same corpus through plain exact_dedup: all four texts differ
+    # raw, so nothing merges — the normalized key is what groups them
+    from analysisofuserbehavior_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(docs).count() == 4

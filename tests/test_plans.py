@@ -455,3 +455,25 @@ def test_lm_family_single_build_no_key_partitioned_windows(
         for ln in plan.splitlines():
             if "windowspecdefinition" in ln:
                 assert "doc_id" in ln, (name, ln)
+
+
+def test_quality_gate_report_two_scans_no_key_windows(spark, sf_dir):
+    """The gate's row-local signals are ONE fused projection over the
+    scan; the only other corpus read is the LM pair-frame build
+    (checkpointed) — so at most two parquet scans, and no window
+    partitioned by a token/shingle key anywhere."""
+    df = QUERIES["quality_gate_report"](spark, sf_dir)
+    plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") <= 2, plan
+    for ln in plan.splitlines():
+        assert "windowspecdefinition" not in ln, ln
+
+
+def test_dedup_canonical_window_bounded_by_hash_group(spark, sf_dir):
+    """Canonical selection's windows partition by the normalized-text
+    md5 — bounded by duplicate-group size, never a corpus-scale key;
+    assert every window in the plan is hash-partitioned."""
+    df = QUERIES["dedup_exact_canonical"](spark, sf_dir)
+    plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins and all("text_hash" in ln for ln in wins), wins

@@ -227,6 +227,11 @@ def test_pair_ckpt_reliable_mode_same_results(spark, tmp_path, monkeypatch):
     base_bo = sorted(map(tuple, backoff_surprisal(docs).collect()))
 
     monkeypatch.setenv("SPARK_GRAFT_PAIR_CKPT", "reliable")
+    # another test in the shared session may have set a checkpoint
+    # dir already — clear it so the refusal branch is deterministic
+    getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+        spark._jvm.scala.Option.empty()
+    )
     with pytest.raises(ValueError, match="setCheckpointDir"):
         bigram_surprisal(docs).collect()
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))

@@ -467,6 +467,69 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
 # with p < 3e-7, so the exact-jaccard oracle is the correct target.
 ORACLE["dedup_minhash_lsh"] = _JACCARD_BODY
 
+# connected components as SQL: DuckDB's recursive CTE computes the
+# transitive closure over the (symmetric, self-looped) >=0.8-jaccard
+# pair graph — cluster_id = min reachable doc_id, exactly the
+# fixpoint the Spark pointer-jumping loop converges to.  Closure size
+# is Σ|component|², fine for the near-dup cliques in this corpus;
+# the engine-side loop stays the scale path.  This upgrades the
+# "iterative ⇒ rows-only" claim from rounds 3-5: the fixpoint IS
+# ANSI-SQL-expressible, so the driver can hash-gate it.
+_CLUSTERS_CTES = f"""
+{SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cl AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+)
+"""
+
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM cl
+"""
+
+# leakage-safe split = the same closure, every doc labeled by its
+# cluster (singletons label themselves), bucket = first 4 hex of
+# md5('v1:' || cluster_id), eval iff bucket < '1999'
+ORACLE["leakage_safe_split"] = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+lab AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl USING (doc_id)
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         substring(md5('v1:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS bucket
+  FROM lab
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, bucket,
+       CASE WHEN bucket < '1999' THEN 'eval' ELSE 'train' END AS split
+FROM b
+"""
+
 # ranks order by the QUANTIZED similarity (3 dp, mirroring qround in
 # the engine) so cross-engine last-ULP differences can't flip ranks
 ORACLE["ann_cosine_topk"] = """

@@ -628,9 +628,10 @@ def q_run_task_session_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval split where every transitive near-dup cluster is
     assigned as a unit (no eval leakage through near-duplicates).
-    Rows-only BY DESIGN: cluster labels come from the iterative
-    connected-components fixpoint; the no-straddling property is
-    pinned by tests/test_curation.py::test_leakage_safe_split_keeps_clusters_together."""
+    HASH-GATED since round 6 via the recursive-CTE closure oracle
+    (cluster label + md5 bucket + split all mirrored exactly); the
+    no-straddling property stays pinned by
+    tests/test_curation.py::test_leakage_safe_split_keeps_clusters_together."""
     from .operators.curation import leakage_safe_split
     from .operators.dedup import minhash_lsh_pairs
 
@@ -1082,10 +1083,11 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters (connected components by
-    iterative min-label propagation over minhash pairs) — the
-    iterative-algorithm path; rows-only check (per the driver
-    contract, iterative fixpoints are non-SQL-expressible), cluster
-    semantics unit-tested on chain graphs."""
+    iterative min-label propagation with pointer jumping over minhash
+    pairs).  HASH-GATED since round 6: the fixpoint is expressible as
+    a DuckDB recursive-CTE transitive closure (min reachable id), so
+    the old "iterative ⇒ rows-only" classification was retired;
+    chain-graph semantics stay unit-tested."""
     from .operators.dedup import dedup_clusters, minhash_lsh_pairs
 
     return dedup_clusters(minhash_lsh_pairs(_documents(spark, sf_dir)))

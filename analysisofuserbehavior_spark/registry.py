@@ -3584,9 +3584,20 @@ _GATE_WINDOW = [
     # tpch_q9_derived (5-table fact join + derived partsupp) replaces
     # tpch_q5, whose join chain is a subset of q9's shape.
     "tpch_q9_derived",
-    "dedup_exact",
+    # round 6 (second pass): dedup_exact_canonical (normalized-key
+    # grouping + quality-aware keeper selection) takes dedup_exact's
+    # slot — it strictly subsumes the raw md5-grouping evidence and
+    # adds the canonical-selection window; displaced rows stay
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "dedup_exact_canonical",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # round 6 (second pass): dedup_clusters (recursive-CTE closure
+    # oracle — newly hash-gated) takes dedup_minhash_lsh's slot: the
+    # clusters query CONSUMES minhash_lsh_pairs and its oracle embeds
+    # the exact-jaccard pair target, so an LSH-path divergence still
+    # breaks this hash — the evidence is preserved and extended to
+    # the transitive fixpoint.
+    "dedup_clusters",
     # round 6: remove_dup_spans (de-skewed duplicated-span removal —
     # the rebuilt TEXT hash-gates) takes daily_cumulative_clicks's
     # slot, whose running-total algebra the gated
@@ -3603,7 +3614,12 @@ _GATE_WINDOW = [
     "ann_ivf_topk",
     "click_asof_prior_view",
     "embedding_neardup_exact",
-    "text_stats",
+    # round 6 (second pass): quality_gate_report takes text_stats's
+    # slot — the gate's fused signals are pinned equal to text_stats'
+    # formulas (test_quality_gate_signals_match_canonical_operators),
+    # so the projection evidence survives while the verdict/reasons
+    # layer and the LM join are added.
+    "quality_gate_report",
     # round 5 (cont.): bigram_surprisal (transition-probability LM
     # filter, window-derived corpus stats) takes lang_id's slot —
     # lang_id's row-local n-gram heuristic is evidence-adjacent to

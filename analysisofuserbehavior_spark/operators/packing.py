@@ -34,6 +34,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 128, stride: int = 96
+) -> DataFrame:
+    """Overlapping context-window chunking of long documents — the
+    complement of `pack_sequences` (which merges SHORT docs): every
+    document is split into fixed-size token windows starting at
+    0, stride, 2·stride, … < n_tokens, each window carrying up to
+    `chunk_tokens` tokens (the HF-style `return_overflowing_tokens`
+    + stride rule; the last window may be shorter).  chunk_idx =
+    start / stride, so output identity is deterministic and
+    SQL-mirrorable.
+
+    Scale shape: pure row-local array expressions (sequence + slice +
+    posexplode) fused into the scan — no shuffle at any corpus size;
+    output row count is Σ ceil(n_tokens/stride).  Exact integer
+    arithmetic throughout, so the whole transform hash-gates."""
+    toks_col = F.split(F.col("text"), " ")
+    with_toks = docs.select("doc_id", toks_col.alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = with_toks.where(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(starts).alias("start"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame, budget: int = 512, n_buckets: int = 32
 ) -> DataFrame:

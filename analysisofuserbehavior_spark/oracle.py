@@ -2269,6 +2269,25 @@ SELECT doc_id, n_bigrams,
 FROM scored
 """
 
+# mirror of operators/packing.py::chunk_documents (chunk=128,
+# stride=96): starts at range(0, n, 96) (exclusive stop == Spark's
+# sequence(0, n-1, 96)); chunk_idx = start/stride exactly;
+# list_slice end is INCLUSIVE in DuckDB, so end = start + 128
+ORACLE["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 96)) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start / 96 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, start + 1, start + 128), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 128)) AS BIGINT) AS n_tokens
+FROM e
+"""
+
 # mirror of operators/dedup.py::exact_dedup_canonical — group by md5
 # of NORMALIZED text (lower, \\s+ collapsed, trimmed); keeper =
 # highest 2-dp RAW-text quality then min doc_id per group

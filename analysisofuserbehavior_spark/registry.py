@@ -1706,6 +1706,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_documents(spark, sf_dir))
 
 
+@query("chunk_documents")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (HF stride rule) — the
+    long-doc complement of pack_sequences; pure row-local array
+    expressions, zero shuffle."""
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(_documents(spark, sf_dir))
+
+
 @query("pack_bin_manifest")
 def q_pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-context-window fill manifest: which docs feed each window

@@ -149,6 +149,7 @@ HEADLINE = [
     "backoff_surprisal",
     "quality_gate_report",
     "dedup_exact_canonical",
+    "chunk_documents",
     "dup_ngram_coverage",
     "remove_dup_spans",
 ]

@@ -33,3 +33,34 @@ def test_manifest_conserves_tokens_and_respects_budget(spark, sf_dir):
     full_bins = [r for r in man if r["bin_id"] < max(m["bin_id"] for m in man)]
     assert all(r["tokens_used"] == 512 for r in full_bins)  # stream chunking fills
     assert all(r["tokens_used"] <= 512 for r in man)
+
+
+def test_chunk_documents_stride_rule_closed_form(spark):
+    """Pins the HF stride rule exactly: starts at 0, stride, … < n;
+    each chunk is ≤ chunk_tokens tokens; consecutive chunks overlap
+    by chunk-stride; short docs yield one whole-doc chunk; empty-ish
+    docs (single empty token after split) still produce one chunk."""
+    from analysisofuserbehavior_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),   # n=10: starts 0,4,8 (chunk=5, stride=4)
+            (2, "a b"),            # n=2 < chunk: one chunk
+            (3, ""),               # splits to [""]: n=1, one chunk of ""
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(docs, chunk_tokens=5, stride=4).collect()
+        )
+    )
+    assert got == [
+        (1, 0, "t0 t1 t2 t3 t4", 5),
+        (1, 1, "t4 t5 t6 t7 t8", 5),   # overlap of chunk-stride = 1 token
+        (1, 2, "t8 t9", 2),            # trailing short window
+        (2, 0, "a b", 2),
+        (3, 0, "", 1),
+    ]

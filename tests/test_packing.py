@@ -64,3 +64,44 @@ def test_chunk_documents_stride_rule_closed_form(spark):
         (2, 0, "a b", 2),
         (3, 0, "", 1),
     ]
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property (hypothesis): for any doc and any (chunk, stride)
+    with stride <= chunk, every token position is covered by at least
+    one chunk, chunk k starts exactly at k*stride, and concatenating
+    each chunk's tokens reproduces the corresponding slice."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from analysisofuserbehavior_spark.operators.packing import chunk_documents
+
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        chunk=st.integers(min_value=1, max_value=8),
+        stride_off=st.integers(min_value=0, max_value=7),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(n, chunk, stride_off):
+        stride = max(1, chunk - stride_off)
+        toks = [f"t{i}" for i in range(n)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id long, text string"
+        )
+        rows = chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+        covered = set()
+        for r in rows:
+            start = r["chunk_idx"] * stride
+            expect = toks[start : start + chunk]
+            assert r["chunk_text"] == " ".join(expect)
+            assert r["n_tokens"] == len(expect)
+            covered.update(range(start, start + len(expect)))
+        assert covered == set(range(n))
+
+    check()

@@ -102,32 +102,41 @@ def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
     selection only becomes meaningful on a normalized key.  Returns
     (keep_id, n_copies, quality_score).
 
-    Scale shape: one md5-keyed window whose partitions are bounded by
-    the duplicate-group size (never corpus-scale — the Zipf-head
-    window caveat does not apply to hash groups), ordering by the
-    QUANTIZED quality score + doc_id so cross-engine float ULPs
-    cannot flip the keeper."""
-    from pyspark.sql import Window
+    Scale shape: the keeper is an ALGEBRAIC aggregate —
+    max_by(struct(doc_id, score), struct(score, -doc_id)) over
+    groupBy(text_hash) — so a boilerplate-dominated corpus where ONE
+    normalized text has 10^7+ copies still reduces as per-map-task
+    partials (HashAggregate partial_max_by before the exchange); the
+    earlier Window.partitionBy(text_hash) form executed each group in
+    one task, i.e. corpus-scale for exactly the input this operator
+    exists for.  Ordering compares the QUANTIZED quality score then
+    -doc_id, so the argmax is unique per group (no nondeterminism)
+    and cross-engine float ULPs cannot flip the keeper.
 
+    Whitespace is collapsed with the explicit class [ \\t\\n\\r\\f\\x0B]+
+    (== Java's \\s) rather than the regex shorthand: RE2/DuckDB's \\s
+    omits \\x0B, so the shorthand would group such docs differently in
+    engine vs oracle."""
     from .text_analysis import text_stats
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r\f\x0B]+", " ")
+    )
     scored = docs.select("doc_id", F.md5(norm).alias("text_hash")).join(
         text_stats(docs).select("doc_id", "quality_score"), "doc_id"
     )
-    w = Window.partitionBy("text_hash").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    # argmax key: highest quality, then lowest doc_id (-doc_id max)
+    best = F.max_by(
+        F.struct("doc_id", "quality_score"),
+        F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")),
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash"))
-        )
-        .where(F.col("rn") == 1)
+        scored.groupBy("text_hash")
+        .agg(best.alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
         .select(
-            F.col("doc_id").alias("keep_id"),
+            F.col("keeper.doc_id").alias("keep_id"),
             F.col("n_copies").cast("bigint").alias("n_copies"),
-            "quality_score",
+            F.col("keeper.quality_score").alias("quality_score"),
         )
     )
 

@@ -2289,12 +2289,15 @@ FROM e
 """
 
 # mirror of operators/dedup.py::exact_dedup_canonical — group by md5
-# of NORMALIZED text (lower, \\s+ collapsed, trimmed); keeper =
-# highest 2-dp RAW-text quality then min doc_id per group
+# of NORMALIZED text (lower, explicit whitespace class collapsed,
+# trimmed); keeper = highest 2-dp RAW-text quality then min doc_id
+# per group.  The class [ \\t\\n\\r\\f\\x0B]+ is spelled out because
+# RE2's \\s omits \\x0B while Java's includes it — both engines now
+# run the identical class.
 ORACLE["dedup_exact_canonical"] = """
 WITH t AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS h,
          string_split(text, ' ') AS toks
   FROM documents
 ),

@@ -350,3 +350,32 @@ def test_exact_dedup_canonical_picks_highest_quality_variant(spark):
     from analysisofuserbehavior_spark.operators.dedup import exact_dedup
 
     assert exact_dedup(docs).count() == 4
+
+
+def test_exact_dedup_canonical_boilerplate_hot_group_is_partial_agg(spark):
+    """The operator's own target input — a boilerplate-dominated
+    corpus where ONE normalized text has most of the copies — must
+    reach the reduce as per-map-task partials, not as one
+    corpus-scale window partition executing in a single task
+    (round-6 VERDICT).  5 000 formatting variants of one text across
+    many input partitions: (a) the result is still exactly one keeper
+    carrying n_copies=5 000 and the highest-quality variant wins, and
+    (b) the physical plan has a partial max_by HashAggregate and zero
+    windows."""
+    from analysisofuserbehavior_spark.operators.dedup import (
+        exact_dedup_canonical,
+    )
+    from analysisofuserbehavior_spark import plans
+
+    base = " ".join((["the", "in", "of"] + [f"w{i}" for i in range(22)]) * 4)
+    rows = [(i, base.upper()) for i in range(5000)]
+    rows[4321] = (4321, base)  # the sole clean (quality-1.0) variant
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = exact_dedup_canonical(docs)
+    plan = plans.executed_plan(out).split("== Initial Plan ==")[0]
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_max_by" in plan.lower(), plan
+    got = out.collect()
+    assert len(got) == 1
+    assert (got[0]["keep_id"], got[0]["n_copies"]) == (4321, 5000)
+    assert got[0]["quality_score"] == 1.0

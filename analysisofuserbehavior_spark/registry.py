@@ -992,6 +992,19 @@ def q_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate_report(_documents(spark, sf_dir))
 
 
+@query("corpus_pipeline_e2e")
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus lifecycle, docs in → packed chunks out:
+    quality gate → canonical dedup → duplicated-span scrub →
+    overlapping chunking → two-pass prefix-sum packing, with each
+    stage's corpus-level statistics computed over its own input.
+    Gates the composition itself — schema handoffs and survivor
+    propagation — not just the stages."""
+    from .operators.corpus_pipeline import corpus_pipeline_e2e
+
+    return corpus_pipeline_e2e(_documents(spark, sf_dir))
+
+
 @query("session_paths")
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 event-type paths: the ordered action sequence of each
@@ -3681,11 +3694,15 @@ _GATE_WINDOW = [
     # evidence the tests/test_plans.py PushedFilters assertion
     # carries (tpch_q1 itself rotated out in round 6).
     "tpch_q11_derived",
-    # round 6: pack_sequences (two-pass distributed prefix-sum
-    # sequence packing — an evidence class nothing else gates) takes
-    # error_burst_click_counts's slot, whose gap-based burst
-    # sessionization is the gated sessionize's algebra.
-    "pack_sequences",
+    # round 7: corpus_pipeline_e2e (the COMPOSED lifecycle — quality
+    # gate → canonical dedup → span scrub → chunking → packing, with
+    # per-stage corpus statistics over each stage's own input) takes
+    # pack_sequences's slot: the e2e runs pack_sequences as its final
+    # stage over the chunk stream, so the two-pass prefix-sum
+    # evidence is preserved while the composition (schema handoffs,
+    # survivor propagation) becomes gated; pack_sequences stays
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "corpus_pipeline_e2e",
     "incremental_admit",
     "streaming_sliding_trend",
     # round 4: run_task_session_aggr gates the whole migration path

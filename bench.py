@@ -152,6 +152,8 @@ HEADLINE = [
     "chunk_documents",
     "dup_ngram_coverage",
     "remove_dup_spans",
+    # round 7: the composed lifecycle
+    "corpus_pipeline_e2e",
 ]
 
 

@@ -105,3 +105,51 @@ def test_chunk_documents_coverage_property(spark):
         assert covered == set(range(n))
 
     check()
+
+
+def test_corpus_pipeline_e2e_survivor_propagation(spark):
+    """The composition's load-bearing semantics, unreachable by the
+    per-stage gates: (a) gate-rejected docs never reach chunking;
+    (b) only the canonical keeper of a normalized-dup group survives;
+    (c) heavy-shingle df for the scrub stage is counted over the KEPT
+    set — boilerplate whose copies dedup removed falls below min_df
+    and is NOT scrubbed; (d) offsets pack the chunk stream in
+    (doc_id, chunk_idx) order with no gaps."""
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import (
+        corpus_pipeline_e2e,
+    )
+
+    # gate-passing shape: 100 mostly-unique tokens (quality = 0.60 via
+    # the length term alone), zero repeated trigrams, globally-unique
+    # or uniformly-shared bigrams (bits_per_bigram ~ 0 — no salad)
+    good = " ".join(f"a{i}" for i in range(100))
+    rows = [(1, good)]                    # keeper (min id of the pair)
+    rows += [(2, good.upper())]           # normalized dup — dedup drops
+    rows += [(3, "tiny")]                 # gate-rejected: short
+    # 12 gate-passing docs opening with one shared 3-gram: raw df=12
+    # >= 10, but docs 20..25 are identical (one keeper), so df over
+    # the KEPT set = 1 + 6 = 7 < 10 and the shingle must NOT scrub
+    shared = "alpha beta gamma"
+    dup_body = " ".join(f"p{i}" for i in range(97))
+    for k in range(6):
+        rows.append((20 + k, f"{shared} {dup_body}"))
+    for k in range(6):
+        rows.append((40 + k, f"{shared} " + " ".join(f"q{k}x{i}" for i in range(97))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16, budget=32)
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    ids = {d for d, _ in got}
+    assert 3 not in ids                       # (a) gate rejection
+    assert 2 not in ids and 1 in ids          # (b) canonical keeper
+    assert 20 in ids and all(21 + k not in ids for k in range(5))
+    assert all(40 + k in ids for k in range(6))
+    # (c) nothing scrubbed: every surviving doc keeps ALL its tokens
+    n_tok = {d: len(t.split(" ")) for d, t in rows}
+    for d in ids:
+        assert sum(r["n_tokens"] for (dd, _), r in got.items() if dd == d) == n_tok[d]
+    # (d) contiguous offsets over (doc_id, chunk_idx) order
+    ordered = [got[k] for k in sorted(got)]
+    run = 0
+    for r in ordered:
+        assert r["offset"] == run, (r, run)
+        run += r["n_tokens"]

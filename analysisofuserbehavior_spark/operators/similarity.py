@@ -213,6 +213,106 @@ def ann_ivf_topk(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    kmeans_iters: int = 0,
+) -> None:
+    """Materialize the IVF inverted file as a cluster-partitioned
+    parquet layout — the 100 TB shape `ann_ivf_topk`'s docstring
+    promises: corpus vectors land under `cluster_id=<c>/` directories
+    (plus centroids in the `_`-hidden `_centroids` subdir, invisible
+    to the corpus scan), so a probe touches only its n_probe
+    partitions via partition PRUNING instead of scanning the corpus
+    and filtering.  Assignment is the same deterministic
+    first-`n_clusters`-centroid rule as `ann_ivf_topk`, so the
+    indexed query's results hash-match the inline operator's."""
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(embeddings, k=n_clusters, iters=kmeans_iters)
+    else:
+        cents = _with_vec(
+            embeddings.where(F.col("vec_id") < n_clusters),
+            "cluster_id",
+            "c_vec",
+            "c_norm",
+        )
+    corpus = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        *_sim_order("c_sim", "cluster_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("n_vec", "n_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "n_vec", "n_norm", "cluster_id")
+    )
+    # repartition on the partition key so each cell writes as one
+    # file per reducer instead of every task opening every cell
+    assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 2,
+    prune: str = "static",
+) -> DataFrame:
+    """IVF top-k over a `write_ivf_index` layout with the corpus scan
+    partition-PRUNED to the probed cells.
+
+    prune="static": the probed cluster ids (≤ n_queries·n_probe
+    values — a deliberately driver-sized list) are collected and
+    pushed as an IN literal, so pruning happens at PLANNING time
+    (PartitionFilters + PartitionCount show only the probed cells;
+    unprobed directories are never listed).  prune="dynamic" keeps
+    the whole plan lazy and relies on Dynamic Partition Pruning from
+    the broadcast probe join (DynamicPruningExpression on the scan) —
+    the shape for when probes are themselves a big frame.  Both
+    return results identical to `ann_ivf_topk` at the same
+    parameters (same expressions over the same doubles)."""
+    cents = spark.read.parquet(index_path + "/_centroids")
+    queries = _with_vec(
+        embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("q_vec", "q_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cluster_id")
+    )
+    corpus = spark.read.parquet(index_path)
+    if prune == "static":
+        probe_cells = sorted(
+            r["cluster_id"]
+            for r in probes.select("cluster_id").distinct().collect()
+        )
+        corpus = corpus.where(F.col("cluster_id").isin(probe_cells))
+    w_rank = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            qround(F.col("sim"), 3).alias("sim"),
+        )
+    )
+
+
 def ann_bruteforce_topk_np(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

@@ -1096,6 +1096,11 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
+# the indexed (cluster-partition-pruned) IVF path runs the identical
+# deterministic construction over the materialized layout, so its
+# oracle IS ann_ivf_topk's
+ORACLE["ann_ivf_topk_indexed"] = ORACLE["ann_ivf_topk"]
+
 
 # --- multimodal plumbing (synthetic wire format; see operators/multimodal.py) ---
 # width/height/type are closed-form over doc_id; payload = 8-byte

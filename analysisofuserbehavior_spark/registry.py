@@ -529,6 +529,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(_embeddings(spark, sf_dir))
 
 
+@query("ann_ivf_topk_indexed")
+def q_ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over the MATERIALIZED cluster-partitioned index
+    layout (write_ivf_index): the corpus scan is partition-pruned to
+    the probed cells (PartitionFilters IN-literal — plan-asserted in
+    tests/test_plans.py), proving the 100 TB claim in ann_ivf_topk's
+    docstring.  Same deterministic construction, so the hash oracle
+    is ann_ivf_topk's."""
+    import tempfile
+
+    from .operators.similarity import ann_ivf_topk_indexed, write_ivf_index
+
+    path = tempfile.mkdtemp(prefix="ivfidx_q_") + "/idx"
+    emb = _embeddings(spark, sf_dir)
+    write_ivf_index(emb, path)
+    return ann_ivf_topk_indexed(spark, path, emb)
+
+
 @query("ann_ivf_kmeans_topk")
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined centroids (kmeans_iters=2) — the

@@ -102,6 +102,7 @@ HEADLINE = [
     "ad_click_trend",
     "daily_cumulative_clicks",
     "ann_ivf_topk",
+    "ann_ivf_topk_indexed",
     "embedding_neardup_exact",
     "lang_id",
     "doc_fingerprint",

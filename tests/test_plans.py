@@ -481,3 +481,31 @@ def test_dedup_canonical_no_window_partial_maxby(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     low = plan.lower()
     assert "partial_max_by" in low, plan
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The 100 TB claim in ann_ivf_topk's docstring, demonstrated:
+    over a write_ivf_index cluster-partitioned layout, a single
+    query's probe reads ONLY its n_probe cells.  Static mode pins the
+    planning-time IN-literal in PartitionFilters with exactly n_probe
+    cells; dynamic mode pins DynamicPruningExpression from the
+    broadcast probe join.  (inputFiles() ignores filters, so the scan
+    node's PartitionFilters metadata is the ground truth here.)"""
+    import re
+
+    from analysisofuserbehavior_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path)
+    static = ann_ivf_topk_indexed(spark, path, emb, n_queries=1, n_probe=2)
+    splan = plans.executed_plan(static)
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN \(([^)]*)\)", splan)
+    assert m, splan
+    assert len(m.group(1).split(",")) == 2, m.group(0)  # exactly n_probe cells
+    dyn = ann_ivf_topk_indexed(spark, path, emb, n_queries=1, n_probe=2, prune="dynamic")
+    dplan = plans.executed_plan(dyn)
+    assert "dynamicpruning" in dplan.lower(), dplan

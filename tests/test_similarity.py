@@ -207,3 +207,25 @@ def test_cluster_profile_partitions_corpus(spark, sf_dir):
     # each centroid's self-similarity is 1.0, so its cluster max is 1.0
     assert all(r["max_sim"] == 1.0 for r in prof)
     assert all(r["min_sim"] <= r["max_sim"] for r in prof)
+
+
+def test_ivf_indexed_matches_inline_operator(spark, sf_dir, tmp_path):
+    """Both pruning modes over the materialized index reproduce the
+    inline ann_ivf_topk exactly (same deterministic centroids, same
+    double arithmetic) — the layout changes WHERE the corpus lives,
+    never the answer."""
+    from analysisofuserbehavior_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path)
+    inline = sorted(map(tuple, ann_ivf_topk(emb).collect()))
+    for mode in ("static", "dynamic"):
+        got = sorted(
+            map(tuple, ann_ivf_topk_indexed(spark, path, emb, prune=mode).collect())
+        )
+        assert got == inline, mode

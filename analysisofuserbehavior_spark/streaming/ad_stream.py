@@ -219,18 +219,61 @@ def sliding_click_trend(
     )
 
 
-def run_to_completion(agg: DataFrame, query_name: str, mode: str = "complete") -> DataFrame:
+def run_to_completion(
+    agg: DataFrame,
+    query_name: str,
+    mode: str = "complete",
+    state_provider: str | None = None,
+) -> DataFrame:
     """Drive a bounded stream to completion (availableNow) into a
-    memory sink and return the final result as a batch DataFrame."""
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(query_name)
+    memory sink and return the final result as a batch DataFrame.
+
+    `state_provider` ("rocksdb" or a full provider class) pins the
+    state-store provider for THIS query (set before start, restored
+    after) and asserts from the finished query's progress that the
+    stateful operators really executed on it — the 100 TB shape,
+    where HDFS-backed in-memory state caps at executor heap and
+    RocksDB spills keyed state to local disk with changelog
+    checkpointing."""
+    spark = agg.sparkSession
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    if state_provider == "rocksdb":
+        state_provider = (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+    prev = spark.conf.get(conf_key, None) if state_provider else None
+    if state_provider:
+        spark.conf.set(conf_key, state_provider)
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state_provider and "RocksDB" in state_provider:
+            import json
+
+            progresses = [
+                json.loads(p if isinstance(p, str) else p.json)
+                for p in q.recentProgress
+            ]
+            state_ops = [
+                op for p in progresses for op in p.get("stateOperators", [])
+            ]
+            assert state_ops and any(
+                any("rocksdb" in k.lower() for k in op.get("customMetrics", {}))
+                for op in state_ops
+            ), "query did not execute on the RocksDB state store"
+    finally:
+        if state_provider:
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+    return spark.table(query_name)
 
 
 def province_top3_per_batch(

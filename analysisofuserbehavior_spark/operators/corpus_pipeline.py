@@ -108,36 +108,23 @@ def quality_gate_report(
     strings are concat_ws-joined in fixed order, so the whole report
     hash-gates."""
     from ..functions import qround
-    from .text_analysis import STOPWORDS, _tokens, bigram_surprisal
+    from .text_analysis import (
+        _tokens,
+        bigram_surprisal,
+        dup_kgram_frac_raw,
+        quality_score_raw,
+    )
 
-    toks = _tokens()
-    n_tokens = F.size(toks).cast("bigint")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
-    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
-    quality = qround(
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
-        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4,
-        2,
-    )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("toks")) - 2),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j) for j in range(3)]
-        ),
-    )
-    dup3 = F.when(
-        F.size(F.col("toks")) >= 3,
-        (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
-        / F.size(tri).cast("double"),
-    ).otherwise(F.lit(0.0))
-    sig = docs.select("doc_id", toks.alias("toks"), F.col("text")).select(
+    # signals via the SAME Column builders text_stats /
+    # repetition_stats use (round-6 ADVICE: the inline re-derivation
+    # could silently desynchronize; now divergence is impossible by
+    # construction), still one fused projection over the scan
+    sig = docs.select("doc_id", _tokens().alias("toks")).select(
         "doc_id",
         F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
-        quality.alias("quality_score"),
-        qround(dup3, 6).alias("dup_3gram_frac"),
+        qround(quality_score_raw(F.col("toks")), 2).alias("quality_score"),
+        qround(dup_kgram_frac_raw(F.col("toks"), 3), 6).alias("dup_3gram_frac"),
     )
-    # quality formula references toks via _tokens() on `text`; the
-    # fused select above keeps both available in one projection
     lm = bigram_surprisal(docs).select("doc_id", "bits_per_bigram")
     j = sig.join(lm, "doc_id", "left")
     bits = F.coalesce(F.col("bits_per_bigram"), F.lit(0.0))

@@ -41,10 +41,15 @@ def chunk_documents(
     complement of `pack_sequences` (which merges SHORT docs): every
     document is split into fixed-size token windows starting at
     0, stride, 2·stride, … < n_tokens, each window carrying up to
-    `chunk_tokens` tokens (the HF-style `return_overflowing_tokens`
-    + stride rule; the last window may be shorter).  chunk_idx =
-    start / stride, so output identity is deterministic and
-    SQL-mirrorable.
+    `chunk_tokens` tokens (the last window may be shorter).
+
+    NAMING CAVEAT: `stride` here is the STEP between window starts —
+    consecutive windows overlap by `chunk_tokens - stride` tokens
+    (128/96 defaults → 32-token overlap).  HuggingFace tokenizers use
+    `stride` for the OVERLAP (their step = max_length - stride), so a
+    1:1 port of an HF config must pass `stride = max_length -
+    hf_stride`.  chunk_idx = start / stride, so output identity is
+    deterministic and SQL-mirrorable.
 
     Scale shape: pure row-local array expressions (sequence + slice +
     posexplode) fused into the scan — no shuffle at any corpus size;

@@ -83,21 +83,58 @@ def _ckpt_pairs(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def quality_score_raw(toks: Column) -> Column:
+    """UNQUANTIZED quality heuristic — the ONE definition shared by
+    `text_stats` and `corpus_pipeline.quality_gate_report` (extracted
+    per round-6 ADVICE: the gate used to re-implement the formula
+    inline, pinned equal only by a test — now a change here changes
+    both consumers by construction):
+
+        0.6 · min(n_tokens/100, 1) + 0.4 · min(stop_ratio/0.1, 1)
+
+    Callers quantize with qround(·, 2)."""
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4
+    )
+
+
+def dup_kgram_frac_raw(toks_col: Column, k: int) -> Column:
+    """UNQUANTIZED duplicated-k-gram fraction (Gopher repetition
+    signal) shared by `repetition_stats` and
+    `corpus_pipeline.quality_gate_report`.  `toks_col` MUST be a
+    MATERIALIZED array column, not an inline split(text) — referenced
+    from the transform lambda, an inline split re-splits the whole
+    text per element (O(n²) on long docs).  Short docs short-circuit
+    BEFORE the gram expression: Spark's sequence(1, n) runs
+    DESCENDING when n < 1.  Callers quantize with qround(·, 6)."""
+    idx = F.sequence(F.lit(1), F.size(toks_col) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_col, i + j) for j in range(k)]
+        ),
+    )
+    n = F.size(grams)
+    frac = (n - F.size(F.array_distinct(grams))).cast("double") / n.cast("double")
+    return F.when(F.size(toks_col) >= k, frac).otherwise(F.lit(0.0))
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token/char counts, stopword ratio, quality score.
 
-    quality = 0.6 * min(n_tokens/100, 1) + 0.4 * min(stop_ratio/0.1, 1)
-    — a length/stopword heuristic in the spirit of C4-style quality
-    filters, expressed as deterministic double arithmetic."""
+    quality = `quality_score_raw` — a length/stopword heuristic in
+    the spirit of C4-style quality filters, expressed as
+    deterministic double arithmetic."""
     toks = _tokens()
     n_tokens = F.size(toks).cast("bigint")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
     n_alpha = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
-    quality = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.6
-        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.4
-    )
+    quality = quality_score_raw(toks)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -215,15 +252,6 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     to 6 dp like every other cross-engine ratio."""
     toks = _tokens()
 
-    def ngrams(k: int) -> Column:
-        idx = F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
-            ),
-        )
-
     def dup_frac(arr: Column) -> Column:
         n = F.size(arr)
         return F.when(
@@ -237,16 +265,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.size(F.col("toks")).cast("bigint").alias("n_words"),
             qround(dup_frac(F.col("toks")), 6).alias("dup_word_frac"),
-            # guard: Spark's sequence(1, n) runs DESCENDING when n < 1,
-            # so short docs must short-circuit before the ngram expr
-            qround(
-                F.when(F.size(F.col("toks")) >= 2, dup_frac(ngrams(2))).otherwise(0.0),
-                6,
-            ).alias("dup_2gram_frac"),
-            qround(
-                F.when(F.size(F.col("toks")) >= 3, dup_frac(ngrams(3))).otherwise(0.0),
-                6,
-            ).alias("dup_3gram_frac"),
+            # k-gram fractions via the shared builder (short docs
+            # short-circuit inside it)
+            qround(dup_kgram_frac_raw(F.col("toks"), 2), 6).alias("dup_2gram_frac"),
+            qround(dup_kgram_frac_raw(F.col("toks"), 3), 6).alias("dup_3gram_frac"),
         )
     )
 

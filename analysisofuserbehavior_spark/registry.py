@@ -1743,7 +1743,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("chunk_documents")
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping context-window chunking (HF stride rule) — the
+    """Overlapping context-window chunking (stride = STEP between window starts, i.e. overlap = chunk - stride; note HF tokenizers call the OVERLAP "stride") — the
     long-doc complement of pack_sequences; pure row-local array
     expressions, zero shuffle."""
     from .operators.packing import chunk_documents

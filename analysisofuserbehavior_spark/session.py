@@ -72,3 +72,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_query_resources(spark: SparkSession) -> None:
+    """Drop lingering per-query JVM state between queries in a
+    long-lived driver (bench / oracle / sweep runners, notebook
+    loops).  clearCache() covers the SQL cache only — the LM family's
+    lazy localCheckpoint blocks are RDD-level MEMORY_AND_DISK blocks
+    that the ContextCleaner reclaims only after Python drops the
+    DataFrame refs, so a forced collection here is what actually
+    frees executor storage.  Centralized (round-6 ADVICE) so every
+    runner shares the one correct lifecycle instead of each knowing
+    the localCheckpoint subtlety."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()

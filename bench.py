@@ -10,7 +10,6 @@ the interesting work).
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -23,7 +22,10 @@ from analysisofuserbehavior_spark.registry import (
     disable_shared_scan,
     enable_shared_scan,
 )
-from analysisofuserbehavior_spark.session import get_spark
+from analysisofuserbehavior_spark.session import (
+    get_spark,
+    release_query_resources,
+)
 
 HEADLINE = [
     "sessionize",
@@ -226,8 +228,7 @@ def main() -> None:
         # RDD-level and free via the ContextCleaner once Python drops
         # the DataFrame refs, so force a collection here or those
         # blocks pile up across the 120-entry run
-        spark.catalog.clearCache()
-        gc.collect()
+        release_query_resources(spark)
     # cold-path twins: the shared-scan family's phase-2 numbers read
     # the cache, so a regression in the underlying scan+sessionize
     # plan would hide behind it.  Keep one UNCACHED measurement per

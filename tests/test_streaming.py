@@ -719,3 +719,42 @@ def test_stateful_dedup_runs_on_rocksdb_state_store(spark, tmp_path):
         assert got == [(1, "a"), (2, "a"), (3, "b")]
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_append_eviction_inclusive_at_exact_watermark_boundary(spark, tmp_path):
+    """Round-6 ADVICE: streaming_late_event_drop's oracle emits
+    windows with end <= final watermark; if max(ts) lands EXACTLY on
+    an hour boundary, the last emitted window's end EQUALS the
+    watermark, and a strict-vs-inclusive eviction disagreement would
+    flip one row.  Pin the boundary empirically: max ts 13:00 sharp →
+    watermark 12:00 → the [11:00,12:00) window (end == watermark)
+    MUST be append-emitted, the [13:00,14:00) window must not."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (2, datetime(2024, 1, 1, 10, 30)),
+        (3, datetime(2024, 1, 1, 11, 15)),
+        (4, datetime(2024, 1, 1, 13, 0)),  # max EXACTLY on the hour
+    ]
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(d)
+    raw = spark.readStream.schema("event_id long, ts timestamp").parquet(d)
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_boundary")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["h"], r["n"]) for r in spark.table("wm_boundary").collect())
+    assert got == [("10:00", 2), ("11:00", 1)], got

@@ -79,7 +79,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from analysisofuserbehavior_spark.oracle import ORACLE
     from analysisofuserbehavior_spark.registry import QUERIES
-    from analysisofuserbehavior_spark.session import get_spark
+    from analysisofuserbehavior_spark.session import (
+        get_spark,
+        release_query_resources,
+    )
 
     only = set(sys.argv[2:])
     spark = get_spark("check_oracle", cpus=8)
@@ -94,6 +97,9 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # frees the LM family's localCheckpoint RDD blocks
+            release_query_resources(spark)
         if name not in ORACLE:
             print(f"SKIP {name}: no oracle (rows={len(sdf)})")
             continue

@@ -19,7 +19,10 @@ from check_oracle import compare, load_duckdb  # noqa: E402 - same dir
 
 from analysisofuserbehavior_spark.oracle import ORACLE  # noqa: E402
 from analysisofuserbehavior_spark.registry import QUERIES  # noqa: E402
-from analysisofuserbehavior_spark.session import get_spark  # noqa: E402
+from analysisofuserbehavior_spark.session import (  # noqa: E402
+    get_spark,
+    release_query_resources,
+)
 
 
 def run_sf(spark, sf_dir: str) -> dict:
@@ -32,6 +35,9 @@ def run_sf(spark, sf_dir: str) -> dict:
         except Exception as e:  # noqa: BLE001
             out[name] = {"status": "error", "err": str(e)[:300]}
             continue
+        finally:
+            # frees the LM family's localCheckpoint RDD blocks
+            release_query_resources(spark)
         if name not in ORACLE:
             out[name] = {"status": "rows_only", "rows": len(sdf)}
             continue

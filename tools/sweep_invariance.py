@@ -19,7 +19,10 @@ from check_oracle import compare, load_duckdb  # noqa: E402 - same dir
 
 from analysisofuserbehavior_spark.oracle import ORACLE  # noqa: E402
 from analysisofuserbehavior_spark.registry import QUERIES  # noqa: E402
-from analysisofuserbehavior_spark.session import get_spark  # noqa: E402
+from analysisofuserbehavior_spark.session import (  # noqa: E402
+    get_spark,
+    release_query_resources,
+)
 
 
 def main() -> None:
@@ -42,6 +45,8 @@ def main() -> None:
             problems = compare(name, sdf, odf)
         except Exception as e:  # noqa: BLE001
             problems = [f"error: {e}"]
+        finally:
+            release_query_resources(spark)
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -313,6 +313,96 @@ def ann_ivf_topk_indexed(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, find intra-cluster
+    pairs above a cosine threshold, and keep from each duplicate
+    neighborhood the vector FARTHEST from its centroid (the paper's
+    keep-low-centroid-similarity rule — the most "extreme" exemplar
+    carries the most training signal).  Returns the full audit frame
+    (vec_id, cluster_id, c_sim, kept).
+
+    Keep rule, made deterministic and closure-free: v is dropped iff
+    some same-cluster neighbor u with qround(sim(u,v),3) >= threshold
+    precedes it in (qround(c_sim,3) ASC, vec_id ASC) order — i.e.
+    only local minima of centroid-similarity survive their
+    neighborhood.  Each pairwise-similar component keeps at least its
+    global minimum (it precedes all its neighbors), and the rule is
+    one self-join + one anti-join — no iterative transitive closure,
+    so the whole operator hash-gates against a plain-SQL oracle
+    (full-closure grouping is `dedup_clusters`' job if needed).
+    Comparisons happen on QUANTIZED values (3 dp, the `_sim_order`
+    discipline), so cross-engine float ULPs cannot flip a keep.
+
+    Scale shape: centroids broadcast (k rows); assignment is one
+    broadcast pass with a per-vector window bounded by k; the pair
+    join is an EQUI join on cluster_id (codegen-eligible, blocked by
+    cluster — the SemDeDup design point: k grows with the corpus so
+    per-cluster pair counts stay bounded, the paper runs k ≈ 11k for
+    600M docs); the drop set is a broadcastable anti-join when dups
+    are sparse.  Centroids default to the first-k deterministic rule
+    so the oracle replays construction exactly."""
+    cents = _with_vec(
+        embeddings.where(F.col("vec_id") < n_clusters),
+        "cluster_id",
+        "c_vec",
+        "c_norm",
+    )
+    corpus = _with_vec(embeddings, "vec_id", "v", "nv")
+    w_assign = Window.partitionBy("vec_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("v", "nv", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nv", "cluster_id", qround(F.col("c_sim"), 3).alias("c_sim"))
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nv").alias("nv_a"),
+        F.col("c_sim").alias("cs_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nv").alias("nv_b"),
+        F.col("c_sim").alias("cs_b"),
+    )
+    pair_sim = qround(_paired_sim("v_a", "nv_a", "v_b", "nv_b"), 3)
+    # drop id_b when a similar neighbor id_a precedes it in
+    # (c_sim ASC, vec_id ASC) — both sides quantized
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                (F.col("cs_a") < F.col("cs_b"))
+                | ((F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+        )
+        .where(pair_sim >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "c_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ann_bruteforce_topk_np(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

@@ -1101,6 +1101,35 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 # oracle IS ann_ivf_topk's
 ORACLE["ann_ivf_topk_indexed"] = ORACLE["ann_ivf_topk"]
 
+# mirror of operators/similarity.py::semantic_dedup (n_clusters=8,
+# threshold=0.85): first-8 centroids, quantized (3 dp) assignment and
+# pair similarities, drop rule = a same-cluster neighbor >= threshold
+# precedes in (c_sim ASC, vec_id ASC)
+ORACLE["semantic_dedup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cluster_id, c_sim FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5) / 1000.0 AS c_sim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5) / 1000.0 DESC,
+                                       c.cluster_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b USING (cluster_id)
+  WHERE a.vec_id <> b.vec_id
+    AND (a.c_sim < b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id))
+    AND floor(list_cosine_similarity(a.v, b.v) * 1000.0 + 0.5) / 1000.0 >= 0.85
+)
+SELECT a.vec_id, a.cluster_id, a.c_sim,
+       d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+"""
+
 
 # --- multimodal plumbing (synthetic wire format; see operators/multimodal.py) ---
 # width/height/type are closed-form over doc_id; payload = 8-byte

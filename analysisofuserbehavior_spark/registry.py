@@ -547,6 +547,18 @@ def q_ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_indexed(spark, path, emb)
 
 
+@query("semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings, drop
+    intra-cluster near-duplicates keeping the vector farthest from
+    its centroid (deterministic closure-free local-min rule, 3-dp
+    quantized comparisons) — the embedding-space complement of the
+    text-hash/MinHash dedup family."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embeddings(spark, sf_dir))
+
+
 @query("ann_ivf_kmeans_topk")
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined centroids (kmeans_iters=2) — the

@@ -155,8 +155,9 @@ HEADLINE = [
     "chunk_documents",
     "dup_ngram_coverage",
     "remove_dup_spans",
-    # round 7: the composed lifecycle
+    # round 7: the composed lifecycle + embedding-space dedup
     "corpus_pipeline_e2e",
+    "semantic_dedup",
 ]
 
 

@@ -229,3 +229,28 @@ def test_ivf_indexed_matches_inline_operator(spark, sf_dir, tmp_path):
             map(tuple, ann_ivf_topk_indexed(spark, path, emb, prune=mode).collect())
         )
         assert got == inline, mode
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep rule on a crafted 2-D corpus: within each
+    duplicate neighborhood only the vector FARTHEST from its centroid
+    survives; isolated vectors and sub-threshold neighbors are kept.
+    Centroid vectors themselves get dropped when a more-extreme
+    near-dup exists (they maximize c_sim by construction)."""
+    from analysisofuserbehavior_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),    # centroid A — dup of 2/3, max c_sim → dropped
+        (1, [0.0, 1.0]),    # centroid B — dup of 5 → dropped
+        (2, [0.9, 0.1]),    # cluster A near-dup, middle c_sim → dropped
+        (3, [0.89, 0.11]),  # cluster A near-dup, lowest c_sim → KEPT
+        (4, [0.7, 0.7]),    # equidistant → cluster 0 by tie-break; no
+                            # neighbor above 0.85 → KEPT
+        (5, [0.1, 0.95]),   # cluster B near-dup, lower c_sim → KEPT
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in semantic_dedup(emb, n_clusters=2).collect()}
+    assert {i for i, r in got.items() if r["kept"]} == {3, 4, 5}
+    assert got[4]["cluster_id"] == 0  # quantized tie → min cluster id
+    for i in (0, 1):  # centroids assign to themselves with c_sim 1.0
+        assert (got[i]["cluster_id"], got[i]["c_sim"]) == (i, 1.0)

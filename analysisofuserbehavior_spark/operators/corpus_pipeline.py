@@ -176,20 +176,31 @@ def corpus_pipeline_e2e(
     Scale shape: the composition inherits each stage's shape — no new
     shuffles beyond the stages' own; the survivor handoffs are
     left-semi equi joins on doc_id (AQE-eligible, broadcastable when
-    a stage prunes hard)."""
+    a stage prunes hard).  Each stage's survivor frame is
+    lineage-truncated (`_ckpt_pairs` — lazy localCheckpoint, or a
+    reliable checkpoint under SPARK_GRAFT_PAIR_CKPT=reliable):
+    downstream stages consume each survivor set through SEVERAL
+    branches (canonical dedup re-derives its input for scoring and
+    keeping; the scrub joins its input back for the rebuild), and
+    plan-level exchange reuse does NOT deduplicate re-derived
+    branches — uncheckpointed, the composed plan scanned the corpus
+    24× (measured at sf0.01); truncated, each stage reads the
+    previous stage's materialized RDD exactly once."""
     from .dedup import exact_dedup_canonical
     from .packing import chunk_documents, pack_sequences
-    from .text_analysis import remove_dup_spans
+    from .text_analysis import _ckpt_pairs, remove_dup_spans
 
     gate = quality_gate_report(docs)
-    accepted = docs.join(
-        gate.where(F.col("accepted")).select("doc_id"), "doc_id", "left_semi"
+    accepted = _ckpt_pairs(
+        docs.join(
+            gate.where(F.col("accepted")).select("doc_id"), "doc_id", "left_semi"
+        )
     )
     keepers = exact_dedup_canonical(accepted).select(
         F.col("keep_id").alias("doc_id")
     )
-    kept = accepted.join(keepers, "doc_id", "left_semi")
-    scrubbed = remove_dup_spans(kept).where(F.length("text") > 0)
+    kept = _ckpt_pairs(accepted.join(keepers, "doc_id", "left_semi"))
+    scrubbed = _ckpt_pairs(remove_dup_spans(kept).where(F.length("text") > 0))
     chunks = chunk_documents(
         scrubbed.select("doc_id", "text"), chunk_tokens=chunk_tokens, stride=stride
     )

@@ -50,19 +50,28 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     method: str = "minhash",
 ) -> DataFrame:
-    """Survivor docs with their stats: (doc_id, n_tokens, quality_score)."""
-    stats = text_stats(docs)
+    """Survivor docs with their stats: (doc_id, n_tokens, quality_score).
+
+    Stage outputs are lineage-truncated (`_ckpt_pairs`): the survivor
+    frames feed multiple downstream branches (the near-dup pair
+    generator derives shingles, signatures AND sizes from its input;
+    the final select joins stats back), and re-derived branches
+    recompute — uncheckpointed, this plan scanned the corpus 13× at
+    sf0.01; truncated, once per stage."""
+    from .text_analysis import _ckpt_pairs
+
+    stats = _ckpt_pairs(text_stats(docs))
     quality_ids = stats.where(
         (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_id")
-    survivors = docs.join(quality_ids, "doc_id", "left_semi")
+    survivors = _ckpt_pairs(docs.join(quality_ids, "doc_id", "left_semi"))
 
     exact_keep = (
         survivors.groupBy(F.md5(F.col("text")).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = survivors.join(exact_keep, "doc_id", "left_semi")
+    survivors = _ckpt_pairs(survivors.join(exact_keep, "doc_id", "left_semi"))
 
     pair_fn = minhash_lsh_pairs if method == "minhash" else ngram_jaccard_pairs
     near_drop = (

@@ -509,3 +509,17 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     dyn = ann_ivf_topk_indexed(spark, path, emb, n_queries=1, n_probe=2, prune="dynamic")
     dplan = plans.executed_plan(dyn)
     assert "dynamicpruning" in dplan.lower(), dplan
+
+
+def test_composed_pipelines_truncate_stage_lineage(spark, sf_dir):
+    """corpus_pipeline_e2e and clean_corpus feed each survivor frame
+    into MULTIPLE downstream branches; re-derived branches recompute
+    (plan-level exchange reuse does not apply — the round-5 lesson),
+    so uncheckpointed these plans scanned the corpus 24× / 13× at
+    sf0.01.  Pin: the final executed plan reads only materialized
+    stage RDDs, zero direct parquet scans."""
+    for name in ("corpus_pipeline_e2e", "clean_corpus"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 0, (name, plan)
+        assert plan.count("Scan ExistingRDD") >= 1, (name, plan)

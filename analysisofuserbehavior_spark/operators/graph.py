@@ -164,7 +164,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     power-law graphs — the u-shaped "hub joins hub" explosion a
     naive 3-way self-join suffers never happens.  Two shuffles
     (degree agg + wedge join) plus the closing semi-join."""
-    und = (
+    # und feeds three branches (degree agg + both orientation joins)
+    # and oriented three more (both wedge sides + the closing join):
+    # truncate each, or every branch re-derives the edge list from
+    # the raw events (11 scans at sf0.01 before truncation)
+    from ..functions.ckpt import ckpt
+
+    und = ckpt(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -181,7 +187,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     # orient: lower (degree, id) endpoint -> higher
-    oriented = (
+    oriented = ckpt(
         und.join(da, "a")
         .join(db, "b")
         .select(

@@ -52,7 +52,12 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in tracked],
         F.col(eff_col).alias("_u_eff"),
     )
-    j = o.join(u, o["_k"] == u["_uk"], "full_outer")
+    # the joined frame feeds FIVE branches (closed/reopened/carried/
+    # untouched/inserted); re-derived branches recompute the join —
+    # uncheckpointed this plan re-ran it 5× (21 scans at sf0.01)
+    from ..functions.ckpt import ckpt
+
+    j = ckpt(o.join(u, o["_k"] == u["_uk"], "full_outer"))
 
     changed = reduce(
         lambda a, b: a | b,

@@ -355,7 +355,12 @@ def semantic_dedup(
     )
     corpus = _with_vec(embeddings, "vec_id", "v", "nv")
     w_assign = Window.partitionBy("vec_id").orderBy(*_sim_order("c_sim", "cluster_id"))
-    assigned = (
+    # assigned feeds three branches (both pair-join sides + the
+    # survivors join): truncate so the broadcast assignment pass runs
+    # once, not once per branch
+    from ..functions.ckpt import ckpt
+
+    assigned = ckpt(
         corpus.join(F.broadcast(cents))
         .withColumn("c_sim", _paired_sim("v", "nv", "c_vec", "c_norm"))
         .withColumn("rn", F.row_number().over(w_assign))

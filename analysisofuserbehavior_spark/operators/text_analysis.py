@@ -21,66 +21,25 @@ def _tokens() -> Column:
 
 
 def _ckpt_pairs(df: DataFrame) -> DataFrame:
-    """Materialize a (doc, token/shingle) pair frame exactly once.
+    """Materialize a (doc, token/shingle) pair frame exactly once —
+    the LM family's alias of `functions.ckpt.ckpt` (see that module
+    for the full rationale: compute-once guarantee for re-derived
+    branches, AQE OptimizeSkewedJoin eligibility for truncated
+    aggregate outputs, exact post-materialization stats, and the
+    SPARK_GRAFT_PAIR_CKPT local|reliable lifecycle knob).
 
-    Lazy localCheckpoint truncates the lineage to ONE concrete RDD, so
-    every downstream branch (corpus totals via groupBy, the join-back)
-    consumes the SAME shuffle dependency — the map-side corpus scan +
-    explode + partial agg runs once, guaranteed at the RDD layer.
-    Plan-level exchange reuse does NOT give this to re-derived
-    DataFrame branches (measured, round 5), which is what originally
-    pushed the LM family onto key-partitioned window sums.  Those
-    windows put each token/shingle's total into one unsplittable
-    WindowExec task — a Zipf-head key ("the", a universal boilerplate
-    shingle) becomes a single straggler at corpus scale, and AQE skew
-    handling covers joins, not window exchanges.  The checkpoint +
-    groupBy(key) partial agg + join-back shape here has no single-task
-    hot key: partial aggregation combines map-side, and the join-back
-    is AQE-skew-join eligible.  Blocks persist MEMORY_AND_DISK on
-    executors and are released by the ContextCleaner when the frame is
-    garbage-collected.
+    Why the LM family checkpoints BOTH its frames: the pair frame has
+    multiple consumers (corpus totals groupBy + the join-back), and
+    the totals frame feeds a join whose skew split AQE silently drops
+    if an aggregate sits between the shuffle and the join's sort.
+    The resulting checkpoint + groupBy partial agg + join-back shape
+    has no single-task hot key — unlike the key-partitioned window
+    sums it replaced, where a Zipf-head key ("the", a universal
+    boilerplate shingle) serializes onto one WindowExec task that AQE
+    cannot split."""
+    from ..functions.ckpt import ckpt
 
-    The CORPUS-TOTALS frame each operator derives (counts/df per key)
-    is checkpointed too, for a subtler reason: AQE's
-    OptimizeSkewedJoin only matches SortMergeJoin(Sort(Shuffle),
-    Sort(Shuffle)) — an aggregate left between the shuffle and the
-    sort disqualifies the rule (verified empirically on this plan
-    shape), so an un-truncated groupBy feeding the join-back would
-    silently lose skew splitting exactly when the totals frame grows
-    past broadcast size.  Truncated, both join inputs are pure
-    shuffles over materialized RDDs: AQE broadcasts the totals when
-    they are small (exact post-materialization stats) and skew-splits
-    the pair side when they are not.
-
-    Cluster-scale lifecycle knob (SPARK_GRAFT_PAIR_CKPT):
-    * ``local`` (default) — localCheckpoint: fastest, blocks live on
-      executors; an executor loss mid-query kills the job (it is
-      retried from the source).  Right for local mode and short jobs.
-    * ``reliable`` — rdd checkpoint to ``spark.sparkContext.
-      setCheckpointDir`` (HDFS/object store): survives executor loss,
-      costs a distributed write+read; right for 1000-executor runs
-      where a lost executor would waste hours of recompute.  Requires
-      the caller to have set a checkpoint dir (raises with a clear
-      message otherwise).
-    Both strategies truncate lineage to a LogicalRDD, so every plan
-    property above (single build, skew-split eligibility) holds
-    identically."""
-    import os
-
-    mode = os.environ.get("SPARK_GRAFT_PAIR_CKPT", "local")
-    if mode == "reliable":
-        sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().checkpointDir().isEmpty():
-            raise ValueError(
-                "SPARK_GRAFT_PAIR_CKPT=reliable requires "
-                "spark.sparkContext.setCheckpointDir(...) to be set first"
-            )
-        return df.checkpoint(eager=False)
-    if mode != "local":
-        raise ValueError(
-            f"SPARK_GRAFT_PAIR_CKPT must be 'local' or 'reliable', got {mode!r}"
-        )
-    return df.localCheckpoint(eager=False)
+    return ckpt(df)
 
 
 def quality_score_raw(toks: Column) -> Column:

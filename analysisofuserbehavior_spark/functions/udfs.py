@@ -93,3 +93,33 @@ def register_pandas_example(spark: SparkSession) -> None:
         return (v - v.mean()) / (std if std else 1.0)
 
     spark.udf.register("value_zscore", value_zscore)
+
+
+def register_chunk_udtf(spark: SparkSession, name: str = "chunk_doc") -> None:
+    """Python UDTF (Spark 3.5+/4 table-function API) twin of
+    `operators.packing.chunk_documents` — completes the UDF/UDAF/UDTF
+    registration surface (SURVEY §2.12): a SQL-callable table
+    function usable standalone or in a LATERAL join:
+
+        SELECT d.doc_id, t.* FROM documents d,
+        LATERAL chunk_doc(d.text, 128, 96) t
+
+    Same stride semantics as the operator (stride = STEP between
+    window starts).  This is the API-surface demo, not the production
+    path: the UDTF runs row-at-a-time Python, while chunk_documents
+    compiles to built-in array expressions fused into the scan — keep
+    the declarative operator in 100 TB pipelines and reach for a UDTF
+    only when per-row imperative logic is genuinely unavoidable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_tokens: bigint")
+    class ChunkDoc:
+        def eval(self, text: str, chunk_tokens: int = 128, stride: int = 96):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for start in range(0, len(toks), stride):
+                piece = toks[start : start + chunk_tokens]
+                yield start // stride, " ".join(piece), len(piece)
+
+    spark.udtf.register(name, ChunkDoc)

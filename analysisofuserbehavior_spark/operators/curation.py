@@ -102,6 +102,69 @@ def lang_mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+def mixture_temperature_weights(
+    docs: DataFrame, alpha: float = 0.25
+) -> DataFrame:
+    """Temperature-based (α-sampling) mixture reweighting — the
+    multilingual pretraining rule (XLM-R / mBERT style): sample
+    language i with q_i ∝ p_i^α, flattening the Zipfian language
+    distribution without going fully uniform (α=1 keeps the natural
+    mixture, α→0 approaches uniform — `lang_mixture_weights` is the
+    α=0 endpoint).  Returns per-language counts, natural token share,
+    temperature share q_i, and the resampling weight q_i / p_i.
+
+    Float-parity discipline: the default α=0.25 is computed as
+    sqrt(sqrt(p)) — sqrt is correctly-rounded IEEE in BOTH engines,
+    unlike pow(x, 0.25) whose libm implementations may differ in the
+    last ULP.  Other α values use pow and are for API use, not the
+    hash gate.
+
+    Scale shape: one corpus scan into a |languages|-row aggregate
+    (lineage-truncated — the Z normalizer and the final projection
+    both consume it), then 1-row broadcast totals; everything after
+    the first groupBy is driver-scale by construction."""
+    from ..functions.ckpt import ckpt
+
+    per_lang = ckpt(
+        docs.select(
+            "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    share = F.col("n_tokens").cast("double") / F.col("_tot")
+    if alpha == 0.25:
+        s_val = F.sqrt(F.sqrt(share))
+    else:
+        s_val = F.pow(share, F.lit(alpha))
+    with_s = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        share.alias("_share"),
+        s_val.alias("_s"),
+    )
+    z = with_s.agg(F.sum("_s").alias("_z"))
+    return (
+        with_s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            qround(F.col("_share"), 4).alias("token_share"),
+            qround(F.col("_s") / F.col("_z"), 4).alias("temp_share"),
+            qround((F.col("_s") / F.col("_z")) / F.col("_share"), 4).alias(
+                "temp_weight"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame, n: int = 5, min_df: int = 20, top: int = 100
 ) -> DataFrame:

@@ -1721,6 +1721,31 @@ FROM per_lang, tot
 ORDER BY lang
 """
 
+# mirror of operators/curation.py::mixture_temperature_weights
+# (alpha=0.25): p^0.25 spelled sqrt(sqrt(p)) in BOTH engines —
+# correctly-rounded IEEE, unlike libm pow
+ORACLE["mixture_temperature_weights"] = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per_lang),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / t AS share,
+         sqrt(sqrt(CAST(n_tokens AS DOUBLE) / t)) AS sv
+  FROM per_lang, tot
+),
+z AS (SELECT sum(sv) AS z FROM s)
+SELECT lang, n_docs, n_tokens,
+       floor(share * 10000.0 + 0.5) / 10000.0 AS token_share,
+       floor(sv / z * 10000.0 + 0.5) / 10000.0 AS temp_share,
+       floor((sv / z) / share * 10000.0 + 0.5) / 10000.0 AS temp_weight
+FROM s, z
+ORDER BY lang
+"""
+
 ORACLE["boilerplate_ngrams"] = """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

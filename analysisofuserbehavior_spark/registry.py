@@ -2361,6 +2361,17 @@ def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+@query("mixture_temperature_weights")
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.25) mixture reweighting — q_i ∝ p_i^α
+    α-sampling (XLM-R style), computed as sqrt(sqrt(p)) so both
+    engines round identically; |languages|-row aggregates with 1-row
+    broadcast normalizers (operators/curation.py)."""
+    from .operators.curation import mixture_temperature_weights
+
+    return mixture_temperature_weights(load_table(spark, sf_dir, "documents"))
+
+
 @query("boilerplate_ngrams")
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-phrase detector (boilerplate candidate

@@ -155,9 +155,11 @@ HEADLINE = [
     "chunk_documents",
     "dup_ngram_coverage",
     "remove_dup_spans",
-    # round 7: the composed lifecycle + embedding-space dedup
+    # round 7: the composed lifecycle + embedding-space dedup +
+    # temperature mixture
     "corpus_pipeline_e2e",
     "semantic_dedup",
+    "mixture_temperature_weights",
 ]
 
 

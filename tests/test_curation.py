@@ -371,3 +371,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         assert got[d].split == solo[d]  # singletons: identical membership
     splits = {r.split for r in got.values()}
     assert splits == {"train", "eval"}  # both sides actually exercised
+
+
+def test_mixture_temperature_weights_flatten_toward_uniform(spark):
+    """α-sampling semantics: temperature shares preserve the language
+    ORDER but compress the spread — the dominant language's share
+    shrinks (weight < 1), rare languages are upsampled (weight > 1),
+    and q sums to 1.  α=1 reproduces the natural mixture exactly."""
+    from analysisofuserbehavior_spark.operators.curation import (
+        mixture_temperature_weights,
+    )
+
+    rows = (
+        [(i, "en", "w " * 99 + "w") for i in range(90)]
+        + [(100 + i, "fr", "w " * 99 + "w") for i in range(9)]
+        + [(200, "sw", "w " * 99 + "w")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in mixture_temperature_weights(docs).collect()}
+    assert got["en"]["token_share"] == 0.9 and got["sw"]["token_share"] == 0.01
+    assert got["en"]["temp_weight"] < 1.0 < got["sw"]["temp_weight"]
+    # order preserved, spread compressed
+    assert got["en"]["temp_share"] > got["fr"]["temp_share"] > got["sw"]["temp_share"]
+    assert got["en"]["temp_share"] < 0.9 and got["sw"]["temp_share"] > 0.01
+    assert abs(sum(r["temp_share"] for r in got.values()) - 1.0) < 1e-3
+    nat = {r["lang"]: r for r in mixture_temperature_weights(docs, alpha=1.0).collect()}
+    for lang in got:
+        assert nat[lang]["temp_share"] == nat[lang]["token_share"]
+        assert nat[lang]["temp_weight"] == 1.0

@@ -677,10 +677,18 @@ def incremental_admit(
     k: int = 3,
 ) -> DataFrame:
     """The full admission gate for an arriving batch: exact screen
-    (catches sub-k-token copies) then near-dup screen vs the corpus."""
-    return incremental_neardup(
-        incremental_exact_dedup(new_docs, corpus), corpus, threshold, k
-    )
+    (catches sub-k-token copies) then near-dup screen vs the corpus.
+
+    The exact survivors are lineage-truncated: the near screen
+    consumes them through TWO branches (band bucketing and the final
+    anti-join), and re-derived branches recompute the whole exact
+    screen.  The checkpoint is batch-sized — the corpus side is the
+    caller's frame and is deliberately NOT materialized here (at
+    scale it is a maintained digest/signature table)."""
+    from ..functions.ckpt import ckpt
+
+    admitted_exact = ckpt(incremental_exact_dedup(new_docs, corpus))
+    return incremental_neardup(admitted_exact, corpus, threshold, k)
 
 
 def neardup_pr_report(

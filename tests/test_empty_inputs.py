@@ -211,3 +211,29 @@ def test_grouping_sets_empty_input_divergence_pinned(spark):
         "GROUP BY CUBE (event_type)"
     ).fetchall()
     assert ora == [(None, 0)]  # DuckDB: the () grouping set emits one row
+
+
+def test_round7_operators_degrade_gracefully_on_empty_and_tiny(spark):
+    """Edge pins for the round-7 operators: a corpus the quality gate
+    fully rejects flows through the COMPOSED pipeline to an empty
+    packed frame (no null-span crash in pack_sequences' broadcast
+    total); semantic_dedup handles a corpus SMALLER than n_clusters
+    (every vector is its own centroid, all kept) and an empty one."""
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import (
+        corpus_pipeline_e2e,
+    )
+    from analysisofuserbehavior_spark.operators.similarity import semantic_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "small doc")], "doc_id long, text string"
+    )
+    assert corpus_pipeline_e2e(docs).collect() == []
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got = sorted(map(tuple, semantic_dedup(emb, n_clusters=8).collect()))
+    assert got == [(0, 0, 1.0, True), (1, 1, 1.0, True)]
+
+    emb0 = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(emb0).collect() == []

@@ -354,14 +354,30 @@ def semantic_dedup(
         "c_norm",
     )
     corpus = _with_vec(embeddings, "vec_id", "v", "nv")
-    w_assign = Window.partitionBy("vec_id").orderBy(*_sim_order("c_sim", "cluster_id"))
-    # assigned feeds three branches (both pair-join sides + the
-    # survivors join): truncate so the broadcast assignment pass runs
-    # once, not once per branch
     from ..functions.ckpt import ckpt
 
+    # PRE-COLLAPSE exact-duplicate vectors before any pairing: N
+    # identical embeddings (mass-duplicated boilerplate, empty docs)
+    # would otherwise meet as N²/2 intra-cluster pairs — the
+    # quadratic blow-up this operator exists to avoid.  Collapsing is
+    # PROVABLY output-neutral under the local-min rule: every
+    # non-representative copy has its representative (same vector ⇒
+    # same c_sim; min id) as a preceding sim-1.0 neighbor, so it is
+    # always dropped; and a copy can never change any OTHER vector's
+    # fate, because whenever a copy precedes w so does its
+    # representative (same c_sim, lower id).  So pairs run over
+    # DISTINCT vectors only, copies join back as kept=false rows.
+    reps = ckpt(
+        corpus.groupBy("v", "nv").agg(
+            F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("_copies")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    # assigned (distinct vectors) feeds three branches (both
+    # pair-join sides + the survivors join): truncate so the
+    # broadcast assignment pass runs once, not once per branch
     assigned = ckpt(
-        corpus.join(F.broadcast(cents))
+        reps.join(F.broadcast(cents))
         .withColumn("c_sim", _paired_sim("v", "nv", "c_vec", "c_norm"))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
@@ -397,14 +413,22 @@ def semantic_dedup(
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    return (
-        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            "c_sim",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
-        )
+    rep_verdicts = assigned.join(
+        dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        F.col("vec_id").alias("_rep_id"),
+        F.col("v"),
+        "cluster_id",
+        "c_sim",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("_rep_kept"),
+    )
+    # fan the verdict back out to every vec_id: representatives carry
+    # their computed fate, exact copies are always dropped
+    return corpus.join(rep_verdicts, "v").select(
+        "vec_id",
+        "cluster_id",
+        "c_sim",
+        (F.col("_rep_kept") & (F.col("vec_id") == F.col("_rep_id"))).alias("kept"),
     )
 
 

@@ -254,3 +254,32 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     assert got[4]["cluster_id"] == 0  # quantized tie → min cluster id
     for i in (0, 1):  # centroids assign to themselves with c_sim 1.0
         assert (got[i]["cluster_id"], got[i]["c_sim"]) == (i, 1.0)
+
+
+def test_semantic_dedup_mass_duplicated_vectors_no_quadratic_pairs(spark):
+    """Adversarial SemDeDup input: 5 000 copies of ONE embedding
+    (mass-duplicated boilerplate / empty-doc vectors) would meet as
+    ~1.25e7 intra-cluster pairs without the exact-vector pre-collapse
+    — with it, pairs run over DISTINCT vectors only (here: 3), so
+    the run is instant.  Correctness: all copies dropped, the min-id
+    representative carries the neighborhood verdict (here it is the
+    centroid-most vector with a more-extreme near-dup present, so it
+    drops too), the extreme near-dup survives."""
+    import time
+
+    from analysisofuserbehavior_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]           # centroids
+    rows += [(100 + i, [0.9, 0.1]) for i in range(5000)]  # the dup horde
+    rows += [(9000, [0.89, 0.11])]                       # farther-out near-dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    got = {r["vec_id"]: r for r in semantic_dedup(emb, n_clusters=2).collect()}
+    elapsed = time.monotonic() - t0
+    kept = {i for i, r in got.items() if r["kept"]}
+    # horde: rep=100 is preceded by 9000 (lower c_sim, sim>=0.85) so
+    # the whole horde drops; 9000 survives; centroid 0 drops (horde
+    # precedes it); centroid 1 is isolated in its cluster and stays
+    assert kept == {1, 9000}, sorted(kept)[:10]
+    assert len(got) == 5003
+    assert elapsed < 60, f"{elapsed:.1f}s — pre-collapse regression?"

@@ -530,6 +530,35 @@ SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, bucket,
 FROM b
 """
 
+# mirror of registry::embedding_dedup_clusters — transitive closure
+# (min reachable id) over exact cosine >= 0.4 embedding pairs; same
+# recursive-CTE class as dedup_clusters
+ORACLE["embedding_dedup_clusters"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+),
+cl AS (
+  SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT vec_id, cluster_id FROM cl
+"""
+
 # ranks order by the QUANTIZED similarity (3 dp, mirroring qround in
 # the engine) so cross-engine last-ULP differences can't flip ranks
 ORACLE["ann_cosine_topk"] = """

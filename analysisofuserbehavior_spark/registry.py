@@ -598,6 +598,24 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_embeddings(spark, sf_dir))
 
 
+@query("embedding_dedup_clusters")
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over EMBEDDING-space near-dup pairs — the
+    cross-family composition (similarity pairs → pointer-jumping
+    connected components): a~b, b~c cluster together even when a,c
+    never pair directly.  Hash-gated via the same recursive-CTE
+    closure oracle class as dedup_clusters."""
+    from .operators.dedup import dedup_clusters
+    from .operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(_embeddings(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @query("text_stats")
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import text_stats

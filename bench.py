@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_pipeline_e2e",
     "semantic_dedup",
     "mixture_temperature_weights",
+    "embedding_dedup_clusters",
 ]
 
 

@@ -1,11 +1,12 @@
-"""One-off data-term stress: replicate the sf0.1 documents table 10x
-(doc_id shifted per replica — fully deterministic, no RNG) into a
-temp sf dir and time the two largest-data-term queries
-(boilerplate_ngrams 5.3x, repetition_stats 3.5x in SCALING.md) the
-same way bench.py does (noop sink, best of two runs).  Confirms the
-data term stays ~linear past sf0.1.
+"""One-off data-term stress: replicate the sf0.1 documents AND
+embeddings tables N× (ids shifted per replica — fully deterministic,
+no RNG) into a temp sf dir and time the given queries the same way
+bench.py does (noop sink, best of two runs).  Confirms the data term
+stays ~linear past sf0.1.  Note the replicas duplicate VALUES
+(text/vectors repeat with new ids), which is itself adversarial for
+the dedup family: every replica is an exact duplicate.
 
-Usage: python tools/stress_docs10x.py [src_sf_dir] [replicas]
+Usage: python tools/stress_docs10x.py [src_sf_dir] [replicas] [q1,q2,...]
 """
 
 from __future__ import annotations
@@ -22,30 +23,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from analysisofuserbehavior_spark.registry import QUERIES
-from analysisofuserbehavior_spark.session import get_spark
+from analysisofuserbehavior_spark.session import get_spark, release_query_resources
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = (
+        sys.argv[3].split(",")
+        if len(sys.argv) > 3
+        else ["boilerplate_ngrams", "repetition_stats"]
+    )
     spark = get_spark("stress10x")
     work = tempfile.mkdtemp(prefix="docs10x_")
-    docs = spark.read.parquet(f"{src}/documents.parquet")
-    n = docs.count()
-    big = docs.crossJoin(
-        spark.range(replicas).withColumnRenamed("id", "_rep")
-    ).withColumn("doc_id", F.col("doc_id") + F.col("_rep") * (n + 1)).drop("_rep")
-    big.repartition(32).write.mode("overwrite").parquet(f"{work}/documents.parquet")
+    counts = {}
+    for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        n = df.count()
+        counts[table] = n * replicas
+        big = (
+            df.crossJoin(spark.range(replicas).withColumnRenamed("id", "_rep"))
+            .withColumn(id_col, F.col(id_col) + F.col("_rep") * (n + 1))
+            .drop("_rep")
+        )
+        big.repartition(32).write.mode("overwrite").parquet(
+            f"{work}/{table}.parquet"
+        )
     timings = {}
-    for name in ("boilerplate_ngrams", "repetition_stats"):
+    for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             QUERIES[name](spark, work).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        spark.catalog.clearCache()
-    print(json.dumps({"replicas": replicas, "docs": n * replicas, "queries": timings}))
+        release_query_resources(spark)
+    print(json.dumps({"replicas": replicas, "rows": counts, "queries": timings}))
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

@@ -3697,9 +3697,20 @@ _GATE_WINDOW = [
     # (test_ivf_kmeans_adversarial_boundary_queries pins set
     # equality), so the gate loses no evidence.
     "dup_ngram_coverage",
-    "ann_ivf_topk",
+    # round 7: ann_ivf_topk_indexed (same deterministic IVF oracle,
+    # PLUS the materialized cluster-partitioned layout and the
+    # plan-pinned partition-pruned probe) strictly subsumes
+    # ann_ivf_topk's evidence; the inline twin stays hash-verified in
+    # ORACLE_FULL_r{N}.json and equality of the two is unit-pinned.
+    "ann_ivf_topk_indexed",
     "click_asof_prior_view",
-    "embedding_neardup_exact",
+    # round 7: semantic_dedup (SemDeDup keep-farthest-from-centroid
+    # over embedding clusters — an embedding-space dedup evidence
+    # class nothing else gates) takes embedding_neardup_exact's slot:
+    # the displaced row is the calibration-only O(n²) pair generator
+    # whose exact-cosine algebra semantic_dedup's pair_sim and the
+    # gated ann rows carry; it stays hash-verified in ORACLE_FULL.
+    "semantic_dedup",
     # round 6 (second pass): quality_gate_report takes text_stats's
     # slot — the gate's fused signals are pinned equal to text_stats'
     # formulas (test_quality_gate_signals_match_canonical_operators),

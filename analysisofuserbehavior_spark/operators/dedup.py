@@ -116,7 +116,11 @@ def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
     Whitespace is collapsed with the explicit class [ \\t\\n\\r\\f\\x0B]+
     (== Java's \\s) rather than the regex shorthand: RE2/DuckDB's \\s
     omits \\x0B, so the shorthand would group such docs differently in
-    engine vs oracle."""
+    engine vs oracle.  Residual cross-engine caveat (documented, not
+    exercised by the ASCII testdata): lower() itself differs between
+    the JVM and DuckDB on a handful of non-ASCII code points (the
+    Turkish dotted İ class); a corpus carrying those would need an
+    explicit locale-stable folding in both dialects."""
     from .text_analysis import text_stats
 
     norm = F.trim(

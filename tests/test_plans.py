@@ -523,3 +523,40 @@ def test_composed_pipelines_truncate_stage_lineage(spark, sf_dir):
         plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
         assert plan.count("Scan parquet") == 0, (name, plan)
         assert plan.count("Scan ExistingRDD") >= 1, (name, plan)
+
+
+def test_semantic_dedup_plan_shapes(spark, sf_dir):
+    """Scale pins for semantic_dedup: (a) the exact-duplicate
+    pre-collapse is a map-side-combinable aggregate (partial_min /
+    partial_count before its exchange); (b) the intra-cluster pair
+    join is an EQUI join on cluster_id — never a cartesian product;
+    (c) the only nested-loop joins are the deliberate k-row centroid
+    broadcasts (BuildRight, Inner against the 8-row cents frame)."""
+    df = QUERIES["semantic_dedup"](spark, sf_dir)
+    plan = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "cluster_id" in ln
+    ]
+    assert pair_joins, plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight, Inner" in ln, ln
+    # (a) lives inside the checkpoint-materialization job, invisible
+    # from the final (lineage-truncated) plan — pin the aggregate
+    # shape directly: groupBy over the vector column must
+    # partial-aggregate map-side
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.operators.similarity import _with_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = (
+        _with_vec(emb, "vec_id", "v", "nv")
+        .groupBy("v", "nv")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("_copies"))
+    )
+    rplan = plans.executed_plan(reps).split("== Initial Plan ==")[0].lower()
+    assert "partial_min" in rplan and "partial_count" in rplan, rplan

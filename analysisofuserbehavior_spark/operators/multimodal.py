@@ -4,11 +4,13 @@ Not in the reference (pure log analytics); added for training-data
 pipelines: media travels as an opaque `binary` column plus typed
 metadata, and per-batch feature extraction runs as Arrow-batched
 `mapInPandas` — the Spark-side contract (schema, partitioning, batch
-shape) is real and tested.  Two REAL formats decode end-to-end with
+shape) is real and tested.  FOUR real formats decode end-to-end with
 stdlib struct + numpy (no PIL/ffmpeg needed): uncompressed 24-bit
-BMP (`image_features`) and PCM-16 WAV (`audio_features`); other
-codecs (JPEG, MP3, H.264) remain environment-stubbed behind the same
-iterator contract.
+BMP and binary PPM, PCM-16 WAV (`audio_features`), and — the first
+COMPRESSED codec — baseline JFIF JPEG (full huffman entropy decode,
+operators/jpegcodec.py).  Remaining codecs (MP3, H.264, progressive/
+subsampled JPEG) stay environment-stubbed behind the same iterator
+contract.
 
 Wire format of the deterministic fake used by tests and the stub
 decoder: 8-byte little-endian header `<II` = (width, height) followed
@@ -88,6 +90,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "wav"
     if payload[:2] == b"P6" and payload[2:3] in (b"\n", b" ", b"\t", b"\r"):
         return "ppm"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "fake"
 
 
@@ -210,6 +214,24 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def _decode_jpeg(payload: bytes):
+    """Decode a baseline 4:4:4 JFIF JPEG (operators/jpegcodec.py —
+    pure stdlib + numpy, no PIL) → (width, height, mean_r, mean_g,
+    mean_b), or None for payloads outside the supported profile.
+    This retires the 'compressed image codecs are env-stubbed' gap
+    for JPEG: the entropy stream is really huffman-decoded, the
+    tables really parsed from the file, the blocks really
+    dequantized and reconstructed."""
+    from .jpegcodec import decode_baseline_jpeg
+
+    rgb = decode_baseline_jpeg(payload)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[:2]
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """REAL end-to-end image decode (no PIL needed): uncompressed
     24-bit BMP payloads → (width, height, channel means) via stdlib
@@ -220,7 +242,7 @@ def image_features(media: DataFrame) -> DataFrame:
     a real format."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoders = {"bmp": _decode_bmp, "ppm": _decode_ppm}
+        decoders = {"bmp": _decode_bmp, "ppm": _decode_ppm, "jpeg": _decode_jpeg}
         for pdf in batches:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["media"]):
@@ -472,6 +494,39 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (did, "image", hdr + struct.pack("BBB", r, g, b) * (w * h))
                 )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine baseline
+    JFIF JPEG (operators/jpegcodec.py — real huffman entropy coding,
+    DQT/DHT/SOF0/SOS segments, byte stuffing, MCU padding).
+    Closed-form fields: width = 9 + doc_id % 8 (never a multiple of
+    8, so edge-replication padding is always exercised), height =
+    8 + doc_id % 5, solid color = (doc_id*7 % 256, doc_id*29 % 256,
+    doc_id*47 % 256).  A solid image quantizes to DC-only blocks, so
+    the decoded color is EXACTLY predictable by rational arithmetic
+    (see jpegcodec module docstring) — the oracle replays the
+    YCbCr → quantize → dequantize → RGB pipeline in SQL, and the
+    hash gate covers the whole decode path: marker parse, table
+    build, huffman stream, DC prediction, dequant, reconstruction,
+    crop, color convert."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpegcodec import encode_baseline_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 8, 8 + did % 5
+                color = ((did * 7) % 256, (did * 29) % 256, (did * 47) % 256)
+                rgb = np.full((h, w, 3), color, dtype=np.uint8)
+                rows.append((did, "image", encode_baseline_jpeg(rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -2996,6 +2996,44 @@ SELECT doc_id,
 FROM documents
 """
 
+# mirror of registry::image_features_jpeg — the decoded solid color
+# after a baseline JPEG round trip, computed in closed form: YCbCr
+# (shared literals with jpegcodec.py), DC quantization
+# floor(8(v-128)/Q00 + 0.5) with Q00 = 16 (luma) / 17 (chroma),
+# dequantized uniform reconstruction Q00·q/8 + 128, RGB conversion,
+# half-up rounding, clamp.  Solid color → per-channel mean == the
+# reconstructed channel value.
+ORACLE["image_features_jpeg"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST((doc_id * 7) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 29) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 47) % 256 AS DOUBLE) AS b
+  FROM documents
+),
+ycc AS (
+  SELECT doc_id, r, g, b,
+         0.299 * r + 0.587 * g + 0.114 * b AS y,
+         128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b AS cb,
+         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b AS cr
+  FROM c
+),
+q AS (
+  SELECT doc_id,
+         floor(8.0 * (y - 128.0) / 16.0 + 0.5) * 16.0 / 8.0 + 128.0 AS yv,
+         floor(8.0 * (cb - 128.0) / 17.0 + 0.5) * 17.0 / 8.0 + 128.0 AS bv,
+         floor(8.0 * (cr - 128.0) / 17.0 + 0.5) * 17.0 / 8.0 + 128.0 AS rv
+  FROM ycc
+)
+SELECT doc_id,
+       CAST(9 + doc_id % 8 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       greatest(0.0, least(255.0, floor(yv + 1.402 * (rv - 128.0) + 0.5))) AS mean_r,
+       greatest(0.0, least(255.0, floor(yv - 0.344136 * (bv - 128.0) - 0.714136 * (rv - 128.0) + 0.5))) AS mean_g,
+       greatest(0.0, least(255.0, floor(yv + 1.772 * (bv - 128.0) + 0.5))) AS mean_b
+FROM q
+"""
+
 ORACLE["props_variant_extract"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,

@@ -1330,6 +1330,23 @@ def q_image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_ppm_media(_documents(spark, sf_dir)))
 
 
+@query("image_features_jpeg")
+def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image codec — and the first COMPRESSED one: every
+    doc becomes a genuine baseline JFIF JPEG (pure stdlib+numpy
+    encoder, operators/jpegcodec.py) and is decoded back through the
+    general table-driven baseline decoder (marker parse, DQT/DHT
+    build, huffman entropy decode with byte unstuffing and DC
+    prediction, dequantize, reconstruct, crop, YCbCr→RGB).  Solid
+    images quantize to DC-only blocks, so the oracle predicts the
+    decoded color EXACTLY by replaying the quantization pipeline in
+    rational/float arithmetic shared literal-for-literal with the
+    decoder."""
+    from .operators.multimodal import image_features, synthesize_jpeg_media
+
+    return image_features(synthesize_jpeg_media(_documents(spark, sf_dir)))
+
+
 @query("audio_features_wav")
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec, end to end: documents → genuine PCM-16 WAV

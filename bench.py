@@ -161,6 +161,7 @@ HEADLINE = [
     "semantic_dedup",
     "mixture_temperature_weights",
     "embedding_dedup_clusters",
+    "image_features_jpeg",
 ]
 
 

@@ -234,3 +234,79 @@ def test_ppm_roundtrip_random_images_property(spark):
         assert (gw, gh) == (w, h)
         means = px.reshape(-1, 3).mean(axis=0)
         assert (r, g, b) == (means[0], means[1], means[2])
+
+
+def test_jpeg_codec_round_trip_and_profile_guards():
+    """The pure-numpy baseline JPEG codec (operators/jpegcodec.py):
+    (a) gradient round trip exercises the FULL entropy path — nonzero
+    DC diffs, AC (run,size) symbols, ZRL, EOB, byte stuffing — with a
+    bounded reconstruction error for the shipped quant tables;
+    (b) a high-amplitude checker forces large coefficients (deep
+    magnitude bits); (c) out-of-profile payloads (progressive SOF2,
+    truncated stream, non-JPEG bytes) return None instead of
+    raising."""
+    import numpy as np
+
+    from analysisofuserbehavior_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    h, w = 13, 19
+    gr = np.zeros((h, w, 3), np.uint8)
+    for i in range(h):
+        for j in range(w):
+            gr[i, j] = ((i * 17) % 256, (j * 11) % 256, (i * 5 + j * 3) % 256)
+    enc = encode_baseline_jpeg(gr)
+    assert enc[:3] == b"\xff\xd8\xff" and enc[-2:] == b"\xff\xd9"
+    dec = decode_baseline_jpeg(enc)
+    assert dec is not None and dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(int) - gr.astype(int)).max() <= 24
+
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[::2, ::2] = 255
+    dec2 = decode_baseline_jpeg(encode_baseline_jpeg(checker))
+    assert dec2 is not None and dec2.shape == (16, 16, 3)
+
+    assert decode_baseline_jpeg(b"\x00\x01\x02\x03") is None
+    assert decode_baseline_jpeg(enc[: len(enc) // 2]) is None
+    progressive = bytearray(enc)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    assert decode_baseline_jpeg(bytes(progressive)) is None
+
+
+def test_jpeg_decode_solid_matches_closed_form():
+    """The DC-only rational fast path: for a solid image the decoded
+    color equals the closed-form quantization replay the oracle runs
+    — verified here in Python for a spread of colors (including
+    clipping extremes)."""
+    import math
+
+    import numpy as np
+
+    from analysisofuserbehavior_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    def predict(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        yv = math.floor(8.0 * (y - 128.0) / 16.0 + 0.5) * 16.0 / 8.0 + 128.0
+        bv = math.floor(8.0 * (cb - 128.0) / 17.0 + 0.5) * 17.0 / 8.0 + 128.0
+        rv = math.floor(8.0 * (cr - 128.0) / 17.0 + 0.5) * 17.0 / 8.0 + 128.0
+        clamp = lambda x: int(max(0.0, min(255.0, math.floor(x + 0.5))))
+        return (
+            clamp(yv + 1.402 * (rv - 128.0)),
+            clamp(yv - 0.344136 * (bv - 128.0) - 0.714136 * (rv - 128.0)),
+            clamp(yv + 1.772 * (bv - 128.0)),
+        )
+
+    for color in [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+                  (0, 0, 255), (37, 180, 92), (254, 1, 128), (13, 13, 13)]:
+        rgb = np.full((6, 10, 3), color, dtype=np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(rgb))
+        assert dec is not None and (dec == dec[0, 0]).all()
+        assert tuple(int(v) for v in dec[0, 0]) == predict(*color), color

@@ -92,6 +92,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "ppm"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return "fake"
 
 
@@ -232,6 +234,22 @@ def _decode_jpeg(payload: bytes):
     return w, h, float(means[0]), float(means[1]), float(means[2])
 
 
+def _decode_png(payload: bytes):
+    """Decode an 8-bit truecolor PNG (operators/pngcodec.py — stdlib
+    zlib DEFLATE + all five row filters, no PIL) → (width, height,
+    mean_r, mean_g, mean_b), or None outside the profile.  PNG is
+    lossless, so decoded means equal the synthesized colors
+    exactly."""
+    from .pngcodec import decode_png
+
+    rgb = decode_png(payload)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[:2]
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """REAL end-to-end image decode (no PIL needed): uncompressed
     24-bit BMP payloads → (width, height, channel means) via stdlib
@@ -242,7 +260,12 @@ def image_features(media: DataFrame) -> DataFrame:
     a real format."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoders = {"bmp": _decode_bmp, "ppm": _decode_ppm, "jpeg": _decode_jpeg}
+        decoders = {
+            "bmp": _decode_bmp,
+            "ppm": _decode_ppm,
+            "jpeg": _decode_jpeg,
+            "png": _decode_png,
+        }
         for pdf in batches:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["media"]):
@@ -527,6 +550,33 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 color = ((did * 7) % 256, (did * 29) % 256, (did * 47) % 256)
                 rgb = np.full((h, w, 3), color, dtype=np.uint8)
                 rows.append((did, "image", encode_baseline_jpeg(rgb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine 8-bit
+    truecolor PNG (zlib-deflated IDAT, CRC'd chunks).  Closed-form
+    fields: width = 3 + doc_id % 7, height = 2 + doc_id % 4, solid
+    color = (doc_id*19 % 256, doc_id*23 % 256, doc_id*31 % 256).
+    PNG is lossless, so the oracle predicts the decoded means as the
+    colors themselves — the gate covers chunk walk, DEFLATE inflate,
+    unfiltering, and pixel layout."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .pngcodec import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 7, 2 + did % 4
+                color = ((did * 19) % 256, (did * 23) % 256, (did * 31) % 256)
+                rgb = np.full((h, w, 3), color, dtype=np.uint8)
+                rows.append((did, "image", encode_png(rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

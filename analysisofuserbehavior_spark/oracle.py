@@ -3034,6 +3034,18 @@ SELECT doc_id,
 FROM q
 """
 
+# mirror of registry::image_features_png — PNG is LOSSLESS, so the
+# decoded solid-color means equal the synthesized colors exactly
+ORACLE["image_features_png"] = """
+SELECT doc_id,
+       CAST(3 + doc_id % 7 AS INT) AS width,
+       CAST(2 + doc_id % 4 AS INT) AS height,
+       CAST((doc_id * 19) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 23) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
 ORACLE["props_variant_extract"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,

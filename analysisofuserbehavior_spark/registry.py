@@ -1347,6 +1347,17 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_jpeg_media(_documents(spark, sf_dir)))
 
 
+@query("image_features_png")
+def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL image codec, second COMPRESSED one: genuine 8-bit
+    truecolor PNGs (stdlib zlib DEFLATE, operators/pngcodec.py)
+    decoded through chunk walk → inflate → unfilter → layout.
+    Lossless, so the oracle is the synthesized color itself."""
+    from .operators.multimodal import image_features, synthesize_png_media
+
+    return image_features(synthesize_png_media(_documents(spark, sf_dir)))
+
+
 @query("audio_features_wav")
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec, end to end: documents → genuine PCM-16 WAV
@@ -3821,7 +3832,12 @@ _GATE_WINDOW = [
     # multimodal evidence class) takes clean_corpus's slot, whose
     # dedup+filter composition the gated dedup_exact/text_stats rows
     # cover.
-    "image_features_ppm",
+    # round 7: image_features_jpeg (baseline JPEG — full huffman
+    # entropy decode of a COMPRESSED format, closed-form DC-quant
+    # oracle) takes image_features_ppm's slot: the uncompressed
+    # token-header decode class stays gated via the BMP twin's shape
+    # and ppm remains hash-verified in ORACLE_FULL_r{N}.json.
+    "image_features_jpeg",
     # round 6: streaming_click_attribution (watermarked stream-stream
     # interval join — the only stream-stream join class) takes
     # session_paths's slot; lag-adjacency stays gated via

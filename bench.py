@@ -162,6 +162,7 @@ HEADLINE = [
     "mixture_temperature_weights",
     "embedding_dedup_clusters",
     "image_features_jpeg",
+    "image_features_png",
 ]
 
 

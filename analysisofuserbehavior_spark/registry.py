@@ -604,7 +604,16 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-family composition (similarity pairs → pointer-jumping
     connected components): a~b, b~c cluster together even when a,c
     never pair directly.  Hash-gated via the same recursive-CTE
-    closure oracle class as dedup_clusters."""
+    closure oracle class as dedup_clusters.
+
+    Cost note (the largest non-streaming bench entry, ~10 s at
+    sf0.1): the edge build rides the EXACT O(n²) pair generator so
+    the closure stays hash-gateable; the pairs frame is eagerly
+    materialized once inside dedup_clusters, then the log-depth CC
+    loop pays ~1 s/round locally.  At 100 TB the edge feed would be
+    the banded-LSH candidate path with exact verification (the
+    minhash shape dedup_clusters gates) — the closure algebra is
+    identical either way."""
     from .operators.dedup import dedup_clusters
     from .operators.similarity import embedding_neardup_pairs
 

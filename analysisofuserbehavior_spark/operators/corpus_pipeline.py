@@ -213,8 +213,21 @@ def corpus_pipeline_e2e(
     chunks = chunk_documents(
         scrubbed.select("doc_id", "text"), chunk_tokens=chunk_tokens, stride=stride
     )
+    # chunk ids must stay injective: chunk_idx >= _cid_base (a doc
+    # longer than stride·1e6 ≈ 96M tokens at defaults) would alias a
+    # neighboring doc's chunks — fail LOUDLY instead of silently
+    # corrupting the packing (row-local assert, fused into the scan)
+    guard = F.assert_true(
+        F.col("chunk_idx") < F.lit(_cid_base),
+        F.concat(
+            F.lit("chunk_idx overflows cid encoding (doc_id "),
+            F.col("doc_id").cast("string"),
+            F.lit("); raise _cid_base"),
+        ),
+    )
     units = chunks.select(
-        (F.col("doc_id") * _cid_base + F.col("chunk_idx")).alias("doc_id"),
+        F.when(guard.isNull(), F.col("doc_id") * _cid_base + F.col("chunk_idx"))
+        .alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     packed = pack_sequences(units, budget=budget)

@@ -153,3 +153,21 @@ def test_corpus_pipeline_e2e_survivor_propagation(spark):
     for r in ordered:
         assert r["offset"] == run, (r, run)
         run += r["n_tokens"]
+
+
+def test_corpus_pipeline_e2e_cid_overflow_guard_fires(spark):
+    """A doc whose chunk_idx would overflow the cid encoding must
+    fail LOUDLY (assert_true in the projection), never silently alias
+    another doc's chunks."""
+    import pytest
+
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import (
+        corpus_pipeline_e2e,
+    )
+
+    good = " ".join(f"a{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, good)], "doc_id long, text string")
+    with pytest.raises(Exception, match="chunk_idx overflows"):
+        corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16, _cid_base=2).collect()
+    # normal encoding unaffected
+    assert corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16).count() == 7

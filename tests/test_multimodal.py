@@ -389,3 +389,46 @@ def test_png_codec_round_trip_filters_and_guards():
     assert decode_png(palette) is None
     assert decode_png(b"nope") is None
     assert decode_png(encode_png(rgb)[:30]) is None
+
+
+def test_codec_property_random_images():
+    """Property (hypothesis): for random small RGB images, PNG
+    round-trips EXACTLY (lossless) and JPEG round-trips with bounded
+    error and exact shape — across odd dimensions that exercise MCU
+    padding and row filtering."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from analysisofuserbehavior_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from analysisofuserbehavior_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    @given(
+        h=st.integers(min_value=1, max_value=20),
+        w=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        smooth=st.booleans(),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(h, w, seed, smooth):
+        rng = np.random.RandomState(seed)
+        if smooth:  # low-frequency content: tighter JPEG bound applies
+            base = rng.randint(0, 256, (1, 1, 3))
+            img = np.clip(
+                base + rng.randint(-12, 13, (h, w, 3)), 0, 255
+            ).astype(np.uint8)
+        else:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        p = decode_png(encode_png(img))
+        assert p is not None and (p == img).all()
+        j = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert j is not None and j.shape == img.shape
+        err = np.abs(j.astype(int) - img.astype(int)).max()
+        assert err <= (40 if smooth else 160), err  # noise is worst-case JPEG
+
+    check()

@@ -296,3 +296,135 @@ def leakage_safe_split(
         bucket.alias("bucket"),
         F.when(bucket < eval_threshold_hex, "eval").otherwise("train").alias("split"),
     )
+
+
+N_SHUFFLE_SHARDS = 16
+
+
+def shuffle_hash(salt: str = "sh1", id_col: str = "doc_id") -> F.Column:
+    """First 8 hex digits of md5('<salt>:<id>') — the deterministic
+    shuffle key.  Fixed-width lowercase hex, so LEXICAL order ==
+    numeric order and range-sharding on the string is exactly range
+    partitioning on the 32-bit hash value."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+
+
+def training_shuffle_shards(
+    docs: DataFrame, salt: str = "sh1", n_shards: int = N_SHUFFLE_SHARDS
+) -> DataFrame:
+    """Global-shuffle shard manifest: every document is assigned a
+    deterministic pseudo-random position (md5 hash) and the hash
+    space is cut into `n_shards` CONTIGUOUS ranges — the plan a
+    training-data writer executes as
+    `df.repartition(k, "shard_id").write.partitionBy("shard_id")` to
+    produce shards that are (a) a uniform random partition of the
+    corpus, (b) reproducible from (salt, doc_id) alone, and (c)
+    internally orderable for streaming reads.  The reference's
+    nearest construct is the per-task random session extract
+    (UserVisitSessionAnalyzeSpark.java:900-1056), which samples;
+    training ingestion needs the full corpus permuted, not sampled.
+
+    n_shards must be a power of 16 divisor of the hex domain here
+    (shard id = leading hex digits), keeping shard membership a
+    PREFIX test — any engine with md5() reproduces it bit-for-bit.
+    The manifest is one map-side-combined groupBy (shard id is
+    row-local); no global sort happens until the optional write,
+    and that write's range exchange samples only the hash column.
+
+    Returns (shard_id, n_docs, sum_chars, min_hash, max_hash),
+    min/max over the 8-hex prefix proving range purity."""
+    if n_shards != 16:
+        raise ValueError("prefix sharding implemented for n_shards=16")
+    h = shuffle_hash(salt)
+    return (
+        docs.select(
+            h.alias("h"),
+            F.col("n_chars"),
+            # leading hex digit → 0..15 via its position in the
+            # lowercase hex alphabet (mirrors strpos in the oracle;
+            # conv() would work too but has no 1:1 DuckDB twin)
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"), F.substring(h, 1, 1)
+                ).cast("int")
+                - 1
+            ).alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
+
+
+def curriculum_stages(docs: DataFrame) -> DataFrame:
+    """Quality-quartile curriculum plan: assign every document to a
+    training stage by corpus-relative quality (stage 0 = top
+    quartile, served first; stage 3 = bottom), and report per-stage
+    volume so a scheduler can budget epochs.
+
+    EXACT quartile thresholds at 100 TB without a global sort: the
+    quality score is 2-dp quantized (text_stats), so its value
+    domain is tiny — count-by-value (map-side combine), a running
+    CDF over the |distinct values|-row histogram (window bounded by
+    the domain, not the corpus; same shape as doc_length_quantiles),
+    and integer threshold tests `cum*4 >= k*total`.  Stage
+    assignment is then one broadcast join of a 1-row threshold frame
+    + a row-local CASE.
+
+    Returns (stage, n_docs, sum_tokens, min_quality, max_quality,
+    avg_quality)."""
+    from pyspark.sql import Window
+
+    from .text_analysis import text_stats
+
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    counts = stats.groupBy("quality_score").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("quality_score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    total = cum.agg(F.sum("c").alias("total"))
+    thresholds = cum.crossJoin(F.broadcast(total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 4 >= F.lit(k) * F.col("total"),
+                    F.col("quality_score"),
+                )
+            ).alias(f"q{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    staged = stats.crossJoin(F.broadcast(thresholds)).withColumn(
+        "stage",
+        # top quartile trains first: scores ABOVE q3 → stage 0
+        F.when(F.col("quality_score") > F.col("q3"), 0)
+        .when(F.col("quality_score") > F.col("q2"), 1)
+        .when(F.col("quality_score") > F.col("q1"), 2)
+        .otherwise(3),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+            # order-independent mean: sum the 2-dp scores as integer
+            # cents (bigint — associative), divide once at the end
+            qround(
+                F.sum(
+                    F.floor(F.col("quality_score") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)).cast("double") * 100.0),
+                4,
+            ).alias("avg_quality"),
+        )
+        .withColumn("stage", F.col("stage").cast("int"))
+    )

@@ -739,3 +739,99 @@ def neardup_pr_report(
             4,
         ).alias("recall"),
     )
+
+
+# (bands, rows_per_band) grid for a 16-permutation MinHash budget —
+# the four factorizations a tuner would sweep
+LSH_TUNING_GRID: tuple[tuple[int, int], ...] = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _int_pow(col: F.Column, n: int) -> F.Column:
+    """col**n by explicit multiplication — plain IEEE double products
+    are bit-identical across engines, unlike libm pow()."""
+    out = F.lit(1.0)
+    for _ in range(n):
+        out = out * col
+    return out
+
+
+def lsh_tuning_report(
+    docs: DataFrame, k: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Band/row tuning table for MinHash-LSH: for each (b, r) split
+    of the signature budget, the EXPECTED candidate-pair volume and
+    expected recall at `threshold`, computed from the corpus's own
+    exact-Jaccard pair distribution (not from the s-curve alone).
+
+    For a pair with true Jaccard J, LSH with b bands of r rows
+    collides with probability p = 1-(1-J^r)^b.  Summing p over the
+    real pair distribution gives E[candidates]; restricting to pairs
+    with J >= threshold gives E[recall].  This turns the textbook
+    s-curve into a measured cost/recall trade-off on the actual
+    corpus — the decision input for `minhash_lsh_pairs`' (bands,
+    num_perm) parameters.
+
+    Scale: the expensive part is the exact pair frame, which reuses
+    `ngram_jaccard_pairs`' capped self-join (threshold=0 keeps every
+    co-shingling pair; the max_df stop-shingle cap is what bounds
+    it).  At true 100 TB the report runs on a uniform doc sample —
+    the distribution estimate, not the pair census, is the product.
+    The per-pair probability is rounded to 6 dp BEFORE the sum (both
+    engines add the same quantized values; the unions of doubles
+    stay order-independent because the sum is over integer
+    "micro-units" after scaling).
+
+    Powers use explicit multiplication chains (`_int_pow`), never
+    libm pow() — see _int_pow.
+
+    Returns one row per grid entry: (bands, rows_per_band,
+    s_mid, exp_candidates, n_true, exp_recall)."""
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, k=k)
+    # re-derive the UNROUNDED jaccard?  No: the pair frame's 3-dp
+    # quantized jaccard IS the contract (both engines produce it
+    # bit-identically), and 3 dp of J moves p by < 1e-2 — tuning
+    # noise, not signal.  Using the published column keeps this
+    # operator a pure consumer of the dedup family's output.
+    from ..functions.ckpt import ckpt
+
+    pairs = ckpt(pairs.select("jaccard"))
+    out = None
+    for b, r in LSH_TUNING_GRID:
+        j = F.col("jaccard")
+        p = F.lit(1.0) - _int_pow(F.lit(1.0) - _int_pow(j, r), b)
+        # 6-dp quantize per pair, then sum exact integer micro-units
+        p_u = F.floor(p * 1000000.0 + F.lit(0.5)).cast("bigint")
+        is_true = j >= F.lit(threshold)
+        row = pairs.agg(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            # s-curve midpoint (1/b)^(1/r): a per-config CONSTANT —
+            # computed in Python (one double, injected as a literal
+            # on both sides), so no engine-side root-taking
+            F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("s_mid"),
+            qround(
+                F.sum(p_u).cast("double") / 1000000.0, 3
+            ).alias("exp_candidates"),
+            F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true"),
+            # explicit 0.0 when no pair clears the threshold — Spark
+            # and DuckDB disagree on double division-by-zero (null vs
+            # error), so neither is allowed to reach it
+            F.when(
+                F.sum(F.when(is_true, 1).otherwise(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                qround(
+                    F.sum(F.when(is_true, p_u).otherwise(F.lit(0))).cast(
+                        "double"
+                    )
+                    / (
+                        F.sum(F.when(is_true, 1).otherwise(0)).cast("double")
+                        * 1000000.0
+                    ),
+                    4,
+                )
+            )
+            .alias("exp_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3079,3 +3079,209 @@ SELECT lang,
              / nullif(CAST(sum(ws_tokens) AS BIGINT), 0) * 1000000.0 + 0.5) / 1000000.0 AS fertility
 FROM tc GROUP BY lang ORDER BY lang
 """
+
+# ---- round 8: sweep-line / CDC / shuffle-shard / curriculum / skew / LSH --
+
+# The ENGINE computes this as a two-level prefix sum (per-hour window
+# + carry-in offsets); the oracle is the textbook serial sweep — one
+# global ordered window — so the gate proves the decomposition exact.
+ORACLE["session_concurrency_hourly"] = f"""
+WITH {SESSIONIZE_CTES},
+iv AS (
+  SELECT session_id, min(epoch_us(ts)) AS start_us,
+         max(epoch_us(ts)) + 1 AS end_us
+  FROM actions GROUP BY session_id
+),
+deltas AS (
+  SELECT ts_us, sum(d) AS net FROM (
+    SELECT start_us AS ts_us, 1 AS d FROM iv
+    UNION ALL
+    SELECT end_us AS ts_us, -1 AS d FROM iv
+  ) GROUP BY ts_us
+),
+run AS (
+  SELECT ts_us,
+         ts_us - ts_us % 3600000000 AS hour_us,
+         sum(net) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas
+),
+best AS (
+  SELECT hour_us, max(concurrent) AS max_concurrent FROM run GROUP BY hour_us
+)
+SELECT CAST(r.hour_us AS BIGINT) AS hour_start_us,
+       CAST(b.max_concurrent AS BIGINT) AS max_concurrent,
+       CAST(min(r.ts_us) AS BIGINT) AS at_ts_us
+FROM run r
+JOIN best b ON r.hour_us = b.hour_us AND r.concurrent = b.max_concurrent
+GROUP BY 1, 2
+"""
+
+ORACLE["cdc_apply_changelog"] = """
+WITH log AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       floor(value * 100.0 + 0.5) / 100.0 AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM log WHERE rn = 1 AND op <> 'D'
+"""
+
+ORACLE["training_shuffle_shards"] = """
+WITH h AS (
+  SELECT substring(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+         n_chars
+  FROM documents
+)
+SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INTEGER)
+         AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(h) AS min_hash,
+       max(h) AS max_hash
+FROM h GROUP BY 1
+"""
+
+ORACLE["curriculum_stages"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) / 100.0 AS quality_score
+  FROM m
+),
+hist AS (SELECT quality_score AS s, count(*) AS c FROM q GROUP BY 1),
+cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT sum(c) FROM hist) AS total
+  FROM hist
+),
+th AS (
+  SELECT min(CASE WHEN cum * 4 >= 1 * total THEN s END) AS q1,
+         min(CASE WHEN cum * 4 >= 2 * total THEN s END) AS q2,
+         min(CASE WHEN cum * 4 >= 3 * total THEN s END) AS q3
+  FROM cum
+),
+staged AS (
+  SELECT q.*, CASE WHEN quality_score > q3 THEN 0
+                   WHEN quality_score > q2 THEN 1
+                   WHEN quality_score > q1 THEN 2
+                   ELSE 3 END AS stage
+  FROM q, th
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(quality_score) AS min_quality,
+       max(quality_score) AS max_quality,
+       floor(CAST(sum(CAST(floor(quality_score * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100.0) * 10000.0 + 0.5) / 10000.0
+         AS avg_quality
+FROM staged GROUP BY stage
+"""
+
+
+def _skew_block(table: str, col: str, label: str) -> str:
+    return f"""
+SELECT * FROM (
+  WITH counts AS (SELECT {col} AS k, count(*) AS c FROM {table} GROUP BY 1),
+  hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY c),
+  cum AS (
+    SELECT c, sum(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+           (SELECT sum(nk) FROM hist) AS total
+    FROM hist
+  ),
+  s AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows_per_key
+    FROM counts
+  ),
+  p AS (
+    SELECT CAST(min(CASE WHEN cum * 100 >= 99 * total THEN c END) AS BIGINT)
+             AS p99_rows_per_key
+    FROM cum
+  )
+  SELECT '{label}' AS key, n_rows, n_keys, max_rows_per_key, p99_rows_per_key,
+         floor(CAST(max_rows_per_key AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS top1_frac
+  FROM s, p
+)
+"""
+
+
+ORACLE["skew_key_diagnostics"] = " UNION ALL ".join(
+    _skew_block(t, c, lb)
+    for t, c, lb in (
+        ("events", "user_id", "events.user_id"),
+        ("events", "event_type", "events.event_type"),
+        ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        ("orders", "o_custkey", "orders.o_custkey"),
+    )
+)
+
+# pair frame = dedup_ngram_jaccard's universe at threshold 0 (max_df
+# stop-shingle cap identical); per-config collision probability uses
+# explicit multiplication chains, never pow() — see
+# operators/dedup.py lsh_tuning_report.
+_LSH_PAIRS = """
+heavy AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) > 1000),
+fsh AS (SELECT * FROM dsh WHERE shingle NOT IN (SELECT shingle FROM heavy)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT floor(CAST(inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+               * 1000.0 + 0.5) / 1000.0 AS j
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+
+def _lsh_config_select(b: int, r: int, threshold: float = 0.7) -> str:
+    jr = " * ".join(["j"] * r)
+    inner = f"(1.0 - ({jr}))"
+    qb = " * ".join([inner] * b)
+    p_u = f"CAST(floor((1.0 - {qb}) * 1000000.0 + 0.5) AS BIGINT)"
+    n_true = f"sum(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END)"
+    s_mid = repr(round((1.0 / b) ** (1.0 / r), 6))
+    return f"""
+SELECT {b} AS bands, {r} AS rows_per_band, {s_mid} AS s_mid,
+       floor(CAST(sum({p_u}) AS DOUBLE) / 1000000.0 * 1000.0 + 0.5) / 1000.0
+         AS exp_candidates,
+       CAST({n_true} AS BIGINT) AS n_true,
+       CASE WHEN {n_true} = 0 THEN 0.0
+            ELSE floor(CAST(sum(CASE WHEN j >= {threshold} THEN {p_u} ELSE 0 END) AS DOUBLE)
+                       / (CAST({n_true} AS DOUBLE) * 1000000.0)
+                       * 10000.0 + 0.5) / 10000.0
+       END AS exp_recall
+FROM pairs
+"""
+
+
+ORACLE["lsh_tuning_report"] = (
+    f"WITH {SHINGLES_CTE},{_LSH_PAIRS}"
+    + " UNION ALL ".join(
+        _lsh_config_select(b, r) for b, r in ((16, 1), (8, 2), (4, 4), (2, 8))
+    )
+)

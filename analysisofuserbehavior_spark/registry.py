@@ -3656,6 +3656,87 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_documents(spark, sf_dir))
 
 
+@query("session_concurrency_hourly")
+def q_session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — distributed sweep-line
+    (two-level prefix sum; see operators/sweepline.py).  The oracle
+    re-states it as the textbook single-ordered-window form, so the
+    gate proves the distributed decomposition exactly equals the
+    serial algorithm."""
+    from .operators.sweepline import session_concurrency_hourly
+
+    return session_concurrency_hourly(_actions(spark, sf_dir))
+
+
+@query("cdc_apply_changelog")
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply over a changelog derived from events:
+    key = user_id, sequence = (ts, event_id), op = D on 'error'
+    events (an account wipe), else U carrying `value`.  Survivors =
+    users whose LAST event isn't an error; each keeps the winning
+    row + total change count (operators/scd.py cdc_apply)."""
+    from .operators.scd import cdc_apply
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    return cdc_apply(
+        log, key_cols=("user_id",), seq_cols=("ts", "event_id")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        qround(F.col("value"), 2).alias("last_value"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
+@query("training_shuffle_shards")
+def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import training_shuffle_shards
+
+    return training_shuffle_shards(_documents(spark, sf_dir))
+
+
+@query("curriculum_stages")
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import curriculum_stages
+
+    return curriculum_stages(_documents(spark, sf_dir))
+
+
+@query("skew_key_diagnostics")
+def q_skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the four keys this repo's heaviest shuffles
+    hash on (events.user_id for sessionize, events.event_type as a
+    worst-case low-cardinality key, lineitem.l_orderkey and
+    orders.o_custkey for the TPC-H join family)."""
+    from .operators.diagnostics import skew_key_diagnostics
+
+    ev = _events(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    return skew_key_diagnostics(
+        [
+            (ev, "user_id", "events.user_id"),
+            (ev, "event_type", "events.event_type"),
+            (li, "l_orderkey", "lineitem.l_orderkey"),
+            (od, "o_custkey", "orders.o_custkey"),
+        ]
+    )
+
+
+@query("lsh_tuning_report")
+def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_tuning_report
+
+    return lsh_tuning_report(_documents(spark, sf_dir))
+
+
 # --- driver gate window -------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of this dict
 # (insertion order) against their DuckDB oracles.  Registration order
@@ -3776,15 +3857,28 @@ _GATE_WINDOW = [
     # whose per-batch agg evidence is a subset of the gated
     # streaming_sliding_trend/streaming_ad_running_totals rows.
     "vocab_growth",
-    "area_top3_products_sql",
-    "top10_active_users",
+    # round 8: session_concurrency_hourly (distributed sweep-line —
+    # two-level prefix sum vs the oracle's serial global window) takes
+    # area_top3_products_sql's slot, whose SQL-surface twin evidence
+    # the gated area_top3_products carries; displaced rows stay
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "session_concurrency_hourly",
+    # round 8: lsh_tuning_report (measured band/row cost-recall
+    # trade-off over the exact-Jaccard pair distribution, pow-free
+    # probability algebra) takes top10_active_users's slot — the
+    # module-5 sort+limit family keeps 4 siblings in the full oracle.
+    "lsh_tuning_report",
     # round 5: events_cube (CUBE grouping-sets with integer-cents
     # sums) and user_halves_setops (INTERSECT/EXCEPT) take the slots
     # of top10_purchase_users/top10_visit_growth — 2nd and 3rd of the
     # module-5 near-family whose shape top10_active_users already
     # gates.
     "events_cube",
-    "user_halves_setops",
+    # round 8: curriculum_stages (histogram-CDF exact quartiles +
+    # quality-ordered staging) takes user_halves_setops's slot
+    # (union/intersect/except algebra is a Catalyst built-in with low
+    # regression surface; still hash-verified in the full oracle).
+    "curriculum_stages",
     # round 4: ad_blacklist_feedback (multi-batch streaming state with
     # an unrolled-SQL oracle — strictly stronger evidence) takes the
     # slot of top10_purchase_growth, the near-twin of
@@ -3799,7 +3893,10 @@ _GATE_WINDOW = [
     # round 6: ad_click_trend (module-4 trend table, the last ad
     # output not under gate) takes token_counts's slot — its
     # row-local projections are the gated text_stats's class.
-    "ad_click_trend",
+    # round 8: cdc_apply_changelog (MERGE-style latest-change-wins
+    # + delete-drop reduction) takes ad_click_trend's slot — the
+    # batch twin of the gated streaming_sliding_trend.
+    "cdc_apply_changelog",
     # round 5: tpch_q11_derived (integer-cents HAVING-vs-global-total
     # two-agg shape) replaces tpch_q6, whose scan-agg pushdown
     # evidence the tests/test_plans.py PushedFilters assertion
@@ -3822,7 +3919,11 @@ _GATE_WINDOW = [
     # parameterization of the same predicate engine
     # (session_filtered_aggr_stat2, displaced but still verified in
     # ORACLE_FULL_r{N}.json).
-    "run_task_session_aggr",
+    # round 8: training_shuffle_shards (deterministic md5 prefix
+    # sharding manifest) takes run_task_session_aggr's slot, whose
+    # predicate+aggr path the gated session_filtered_aggr_stat
+    # carries (the task-param parse keeps its own unit tests).
+    "training_shuffle_shards",
     # round 6: streaming_late_event_drop (append-mode watermark drop
     # across a checkpoint restart, hash-sensitive to a wrongly-merged
     # late row — an evidence class nothing else gates) takes
@@ -3856,7 +3957,11 @@ _GATE_WINDOW = [
     # added/removed/changed classification) takes cohort_retention's
     # slot, whose self-join + conditional-agg shape the gated
     # q18/q9_derived and events_cube rows carry.
-    "snapshot_diff_customer",
+    # round 8: skew_key_diagnostics (exact p99 rows-per-key via the
+    # count-histogram CDF, 4-key union) takes snapshot_diff_customer's
+    # slot — the SCD family keeps the stronger gated
+    # streaming_scd2_crash_recovery row.
+    "skew_key_diagnostics",
     "tpch_q18",
 ]
 

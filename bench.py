@@ -163,6 +163,14 @@ HEADLINE = [
     "embedding_dedup_clusters",
     "image_features_jpeg",
     "image_features_png",
+    # round 8: sweep-line concurrency, CDC apply, shuffle shards,
+    # curriculum, skew diagnostics, LSH tuning
+    "session_concurrency_hourly",
+    "cdc_apply_changelog",
+    "training_shuffle_shards",
+    "curriculum_stages",
+    "skew_key_diagnostics",
+    "lsh_tuning_report",
 ]
 
 
@@ -194,6 +202,7 @@ ACTIONS_FAMILY = [
     "page_rank",
     "page_transition_probs",
     "page_bfs_depths",
+    "session_concurrency_hourly",
 ]
 
 

@@ -67,14 +67,29 @@ def session_intervals(actions: DataFrame) -> DataFrame:
     )
 
 
-def concurrency_by_hour(intervals: DataFrame) -> DataFrame:
+def concurrency_by_hour(
+    intervals: DataFrame, bucket_us: int = US_PER_HOUR
+) -> DataFrame:
     """Peak concurrency per hour via the two-level prefix sum.
 
     Returns (hour, max_concurrent, at_ts_us): for each hour with at
     least one boundary, the maximum number of simultaneously-open
     intervals observed at any boundary instant in that hour, and the
     earliest instant attaining it.
+
+    `bucket_us` sets the inner-window width (default 1 h).  The
+    decomposition is exact for ANY width — output is still keyed by
+    HOUR — so a corpus whose boundaries all land inside a few hours
+    (a traffic burst, a backfilled day) drops to minute- or
+    second-wide buckets and keeps every sort bounded; the offset
+    frame grows to #buckets-with-boundaries rows, still calendar-
+    bounded.  `tests/test_round8_ops.py` pins hour/minute/second
+    widths producing identical results on the same corpus.
     """
+    if US_PER_HOUR % bucket_us != 0:
+        # bucket edges must nest inside hour edges or the final
+        # per-hour regroup would split a bucket across hours
+        raise ValueError("bucket_us must divide one hour")
     deltas = (
         intervals.select(F.col("start_us").alias("ts_us"), F.lit(1).alias("d"))
         .unionByName(
@@ -82,7 +97,7 @@ def concurrency_by_hour(intervals: DataFrame) -> DataFrame:
         )
         .groupBy("ts_us")
         .agg(F.sum("d").alias("net"))
-        .withColumn("hour_us", (F.col("ts_us") - F.col("ts_us") % US_PER_HOUR))
+        .withColumn("hour_us", (F.col("ts_us") - F.col("ts_us") % bucket_us))
     )
     in_hour = Window.partitionBy("hour_us").orderBy("ts_us").rowsBetween(
         Window.unboundedPreceding, 0
@@ -102,14 +117,26 @@ def concurrency_by_hour(intervals: DataFrame) -> DataFrame:
     conc = running.join(F.broadcast(offsets), "hour_us").withColumn(
         "concurrent", F.col("run") + F.col("carry_in")
     )
-    best = conc.groupBy("hour_us").agg(
-        F.max("concurrent").alias("max_concurrent")
-    )
+    # per-hour max via a PARTITION-ONLY window, not a groupBy+self-join
+    # (the join form recomputes the whole upstream for each branch and
+    # adds a shuffle; the window reuses the running-sum's hash(hour_us)
+    # partitioning, and the final groupBy's clustering is satisfied by
+    # the same partitioning — net zero extra exchanges on the default
+    # hour-bucket path, verified by count_exchanges in tests)
+    if bucket_us == US_PER_HOUR:
+        part_col = "hour_us"
+    else:
+        part_col = "out_hour_us"
+        conc = conc.withColumn(
+            part_col, F.col("ts_us") - F.col("ts_us") % US_PER_HOUR
+        )
+    mx = F.max("concurrent").over(Window.partitionBy(part_col))
     at = (
-        conc.join(best, "hour_us")
+        conc.withColumn("max_concurrent", mx)
         .where(F.col("concurrent") == F.col("max_concurrent"))
-        .groupBy("hour_us", "max_concurrent")
+        .groupBy(part_col, "max_concurrent")
         .agg(F.min("ts_us").alias("at_ts_us"))
+        .withColumnRenamed(part_col, "hour_us")
     )
     # hour label stays in the epoch-micros domain (bigint): formatting
     # it through timestamp_micros would re-enter session-timezone

@@ -323,3 +323,40 @@ def test_lsh_tuning_single_band_single_row_is_identity(spark):
         (F.lit(1.0) - _int_pow(F.lit(1.0) - _int_pow(F.lit(j), 1), 1)).alias("p")
     ).collect()[0].p
     assert p == pytest.approx(j, abs=1e-12)
+
+
+def test_concurrency_bucket_width_equivalence(spark, sf_dir):
+    # hour / minute / second inner buckets must produce IDENTICAL
+    # hourly output on the same corpus — the dense-burst fallback is
+    # a pure decomposition choice, never a semantics change
+    from analysisofuserbehavior_spark.operators.sessionize import sessionize
+
+    acts = sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    iv = session_intervals(acts)
+    base = sorted(
+        concurrency_by_hour(iv).collect(), key=lambda r: r.hour_start_us
+    )
+    for width in (60_000_000, 1_000_000):  # minute, second
+        alt = sorted(
+            concurrency_by_hour(iv, bucket_us=width).collect(),
+            key=lambda r: r.hour_start_us,
+        )
+        assert alt == base
+
+
+def test_concurrency_rejects_non_nesting_bucket(spark):
+    with pytest.raises(ValueError):
+        concurrency_by_hour(_iv(spark, [(0, 1)]), bucket_us=7_000_000)
+
+
+def test_concurrency_exchange_budget(spark):
+    # decomposition floor: groupBy(ts_us) + in-bucket window +
+    # bucket-net branch + tiny offsets window = 4 exchanges on the
+    # hour path; the per-hour max/argmax REUSES the hour partitioning
+    # (window + groupBy, no self-join) and must not add any
+    from analysisofuserbehavior_spark.plans.audit import count_exchanges
+
+    iv = _iv(spark, [(0, 100)])
+    assert count_exchanges(concurrency_by_hour(iv)) <= 4
+    # sub-hour buckets re-key the output regroup once: exactly +1
+    assert count_exchanges(concurrency_by_hour(iv, bucket_us=60_000_000)) <= 5

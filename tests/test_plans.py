@@ -560,3 +560,76 @@ def test_semantic_dedup_plan_shapes(spark, sf_dir):
     )
     rplan = plans.executed_plan(reps).split("== Initial Plan ==")[0].lower()
     assert "partial_min" in rplan and "partial_count" in rplan, rplan
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
+    """Spark's InjectRuntimeFilter (enabled in session.py) adds a
+    might_contain(bloom_filter_agg(dim keys)) pre-filter on the FACT
+    side of a selective shuffle join — the semi-join pushdown that
+    skips most fact rows before the exchange at 100 TB.  Locally it
+    never fires only because the application-side scan threshold
+    defaults to 10 GB; pin the behavior by lowering the threshold and
+    asserting (a) the filter appears against the fact scan and (b)
+    results are bit-identical with and without it (bloom is a
+    false-positive-only pre-screen; the equi-join stays exact)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        # fresh frame each time: queryExecution is memoized per
+        # DataFrame, so the plan must be constructed AFTER the conf
+        # flips to see the injected filter
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+            F.col("p_size") == 1
+        )
+        return (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("p_size")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = build().collect()
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        j = build()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+        # the pre-filter must hash the FACT key
+        assert "xxhash64(l_partkey" in plan, plan
+        assert j.collect() == baseline
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
+
+
+def test_recursive_cte_capability_probe(spark):
+    """Spark 4.1 ships WITH RECURSIVE — linear recursion (spines,
+    hierarchies) now works in pure Spark SQL.  But the recursive leg
+    accepts UNION ALL only: UNION-distinct recursion (what a cyclic
+    closure like dedup_clusters' min-label fixpoint needs to
+    terminate) raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE.  This pin
+    documents WHY the connected-components family stays on the
+    iterative driver loop; when a Spark upgrade makes this test fail,
+    revisit dedup_clusters/page_bfs_depths for a declarative form."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    got = spark.sql(
+        "WITH RECURSIVE t(n) AS ("
+        " SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10"
+        ") SELECT sum(n) AS s FROM t"
+    ).collect()
+    assert got[0].s == 55
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE r(a, b) AS ("
+            " SELECT 1, 1 UNION SELECT a, b + 1 FROM r WHERE b < 3"
+            ") SELECT * FROM r"
+        ).collect()

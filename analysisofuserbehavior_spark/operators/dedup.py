@@ -771,30 +771,84 @@ def lsh_tuning_report(
     corpus — the decision input for `minhash_lsh_pairs`' (bands,
     num_perm) parameters.
 
-    Scale: the expensive part is the exact pair frame, which reuses
-    `ngram_jaccard_pairs`' capped self-join (threshold=0 keeps every
-    co-shingling pair; the max_df stop-shingle cap is what bounds
-    it).  At true 100 TB the report runs on a uniform doc sample —
-    the distribution estimate, not the pair census, is the product.
-    The per-pair probability is rounded to 6 dp BEFORE the sum (both
-    engines add the same quantized values; the unions of doubles
-    stay order-independent because the sum is over integer
-    "micro-units" after scaling).
+    Scale: EXACT-DUPLICATE PRE-COLLAPSE (the semantic_dedup round-7
+    pattern).  The naive pair census is quadratic in duplicate-group
+    size — a corpus where every page has 10 exact copies produces
+    100x the pairs for identical information, and OOM'd a local 10x
+    replica stress.  Jaccard is a pure function of the TEXT, so the
+    census collapses exactly: group by md5(text), run the capped
+    self-join over one representative per distinct text, then weight
+    each rep-pair by m_a*m_b copies and add the within-group pairs
+    (m*(m-1)/2 at J=1.0, for groups whose shingles survive the
+    max_df cap).  The max_df document-frequency cap counts
+    MULTIPLICITY-WEIGHTED df, so the collapsed universe is
+    bit-identical to the naive one — the DuckDB oracle computes the
+    NAIVE census and the hash gate proves the collapse exact.
+    At true 100 TB the report additionally runs on a uniform doc
+    sample — the distribution estimate, not the pair census, is the
+    product.
 
-    Powers use explicit multiplication chains (`_int_pow`), never
-    libm pow() — see _int_pow.
+    The per-pair probability is rounded to 6 dp BEFORE the weighted
+    sum (both engines add the same quantized values; sums are over
+    integer "micro-units" after scaling).  Powers use explicit
+    multiplication chains (`_int_pow`), never libm pow().
 
     Returns one row per grid entry: (bands, rows_per_band,
     s_mid, exp_candidates, n_true, exp_recall)."""
-    pairs = ngram_jaccard_pairs(docs, threshold=0.0, k=k)
-    # re-derive the UNROUNDED jaccard?  No: the pair frame's 3-dp
-    # quantized jaccard IS the contract (both engines produce it
-    # bit-identically), and 3 dp of J moves p by < 1e-2 — tuning
-    # noise, not signal.  Using the published column keeps this
-    # operator a pure consumer of the dedup family's output.
     from ..functions.ckpt import ckpt
 
-    pairs = ckpt(pairs.select("jaccard"))
+    max_df = 1000
+    groups = docs.groupBy(F.md5("text").alias("_th")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("mult"),
+    )
+    reps = ckpt(groups.select("doc_id", "text", "mult"))
+    mult = reps.select("doc_id", "mult")
+    dsh = shingles(reps, k).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    # multiplicity-weighted stop-shingle cap: df counts DOCUMENTS of
+    # the uncollapsed corpus, i.e. sum of group sizes per shingle
+    heavy = (
+        dsh.join(F.broadcast(mult), "doc_id")
+        .groupBy("sh")
+        .agg(F.sum("mult").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sh")
+    )
+    dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = dsh.select(F.col("doc_id").alias("doc_b"), "sh").hint("merge")
+    rep_pairs = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cross = (
+        _jaccard_from_pairs(rep_pairs, sizes, 0.0)
+        .join(
+            F.broadcast(mult.select(F.col("doc_id").alias("doc_a"), F.col("mult").alias("_ma"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(mult.select(F.col("doc_id").alias("doc_b"), F.col("mult").alias("_mb"))),
+            "doc_b",
+        )
+        .select("jaccard", (F.col("_ma") * F.col("_mb")).alias("w"))
+    )
+    within = (
+        reps.join(sizes, "doc_id")
+        .where(F.col("mult") > 1)
+        .select(
+            F.lit(1.0).alias("jaccard"),
+            F.expr("CAST(mult * (mult - 1) DIV 2 AS BIGINT)").alias("w"),
+        )
+    )
+    pairs = ckpt(cross.unionByName(within))
+    # 3-dp quantized jaccard is the distribution's contract (both
+    # engines produce it bit-identically); 3 dp of J moves p by
+    # < 1e-2 — tuning noise, not signal.
     out = None
     for b, r in LSH_TUNING_GRID:
         j = F.col("jaccard")
@@ -802,6 +856,7 @@ def lsh_tuning_report(
         # 6-dp quantize per pair, then sum exact integer micro-units
         p_u = F.floor(p * 1000000.0 + F.lit(0.5)).cast("bigint")
         is_true = j >= F.lit(threshold)
+        w = F.col("w")
         row = pairs.agg(
             F.lit(b).alias("bands"),
             F.lit(r).alias("rows_per_band"),
@@ -810,22 +865,22 @@ def lsh_tuning_report(
             # on both sides), so no engine-side root-taking
             F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("s_mid"),
             qround(
-                F.sum(p_u).cast("double") / 1000000.0, 3
+                F.sum(w * p_u).cast("double") / 1000000.0, 3
             ).alias("exp_candidates"),
-            F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true"),
+            F.sum(F.when(is_true, w).otherwise(F.lit(0))).cast("bigint").alias("n_true"),
             # explicit 0.0 when no pair clears the threshold — Spark
             # and DuckDB disagree on double division-by-zero (null vs
             # error), so neither is allowed to reach it
             F.when(
-                F.sum(F.when(is_true, 1).otherwise(0)) == 0, F.lit(0.0)
+                F.sum(F.when(is_true, w).otherwise(F.lit(0))) == 0, F.lit(0.0)
             )
             .otherwise(
                 qround(
-                    F.sum(F.when(is_true, p_u).otherwise(F.lit(0))).cast(
+                    F.sum(F.when(is_true, w * p_u).otherwise(F.lit(0))).cast(
                         "double"
                     )
                     / (
-                        F.sum(F.when(is_true, 1).otherwise(0)).cast("double")
+                        F.sum(F.when(is_true, w).otherwise(F.lit(0))).cast("double")
                         * 1000000.0
                     ),
                     4,

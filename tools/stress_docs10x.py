@@ -49,6 +49,39 @@ def main() -> None:
         big.repartition(32).write.mode("overwrite").parquet(
             f"{work}/{table}.parquet"
         )
+    # events too (round 8): event_id AND user_id shift per replica, so
+    # the key population grows with the data — stressing the keyed
+    # shuffles (sessionize, CDC, sweep-line) instead of deepening the
+    # per-key partitions; ts stays, so the time-bucketed frames
+    # (sweep-line deltas) densify 10x inside the same calendar span —
+    # the adversarial direction for the in-bucket sorts.
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0]
+    counts["events"] = n_ev * replicas
+    big_ev = (
+        ev.crossJoin(spark.range(replicas).withColumnRenamed("id", "_rep"))
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * (n_ev + 1))
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * (n_users + 1))
+        .drop("_rep")
+    )
+    big_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{work}/events.parquet"
+    )
+    # remaining tables pass through so any registry query resolves
+    import glob as _glob
+
+    for p in _glob.glob(f"{src}/*.parquet"):
+        name = os.path.basename(p)
+        if name not in (
+            "documents.parquet", "embeddings.parquet", "events.parquet"
+        ):
+            dest = os.path.join(work, name)
+            if not os.path.exists(dest):
+                if os.path.isdir(p):
+                    shutil.copytree(p, dest)
+                else:
+                    shutil.copy(p, dest)
     timings = {}
     for name in names:
         best = float("inf")

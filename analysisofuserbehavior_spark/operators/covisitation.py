@@ -1,0 +1,128 @@
+"""Item co-visitation (market-basket) statistics — the recommender
+building block the reference's e-commerce domain implies but never
+ships: which products are clicked together within a session, scored
+by lift and cosine.
+
+Reference context: module 1 computes per-session clicked-category
+lists (UserVisitSessionAnalyzeSpark.java:340-455 collects
+click_category_ids per session) and module 3 ranks products per
+area; the co-click MATRIX is the natural next artifact, and the one
+that actually powers "customers also viewed".
+
+Scale design — the three standard guards, all applied:
+
+1. **Distinct before fan-out**: the unit is (session, item) PRESENCE
+   (array_distinct on the per-session collected items), not click
+   events — a user hammering one product 500 times in a session
+   contributes one row.
+2. **Bounded per-session fan-out**: sessions keep at most
+   `max_items` distinct items (deterministic: lowest item ids —
+   mirrored exactly in the oracle).  Pair generation is a row-LOCAL
+   double loop over the capped array (≤ C(max_items,2) pairs per
+   session, zero self-join) — the explode-then-self-join form would
+   shuffle the (session,item) table twice and let one 10^4-item bot
+   session emit 10^8 pairs.
+3. **Aggregate once**: exploded pairs go through ONE
+   map-side-combined groupBy; per-item session counts reduce the
+   same capped frame, and the two tiny result frames broadcast back
+   onto the pair aggregate.
+
+Metrics (cross-engine discipline): support counts are integers;
+lift = cnt·N / (n_a·n_b) and cosine = cnt / sqrt(n_a·n_b) are one
+IEEE division (+ one correctly-rounded sqrt) from integers, then
+2-dp/4-dp HALF_UP quantized — both engines agree bit-for-bit (the
+same sqrt argument is an exact integer product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import qround
+
+MAX_ITEMS_PER_SESSION = 32
+
+
+def item_covisitation(
+    actions: DataFrame,
+    item_col: str = "product_id",
+    event_type: str = "click",
+    max_items: int = MAX_ITEMS_PER_SESSION,
+    min_support: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, n_co, n_a, n_b, lift, cosine) for item pairs
+    co-clicked in ≥ min_support sessions.  The default keeps support
+    1: the driver testdata's click stream is sparse over ~100
+    products (max co-click support is 1 at sf0.01), and raising the
+    floor is a one-arg change for dense real corpora."""
+    baskets = (
+        actions.where(F.col("event_type") == event_type)
+        .where(F.col(item_col).isNotNull())
+        .groupBy("session_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(item_col))), 1, max_items
+            ).alias("items")
+        )
+    )
+    # row-local pair generation over the capped sorted array:
+    # items[i] < items[j] for i < j, so pairs come out canonically
+    # ordered with no post-hoc min/max shuffle
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("items"), i + 2, max_items),
+                        lambda y: F.struct(
+                            x.alias("item_a"), y.alias("item_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    co = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_co")
+    ).where(F.col("n_co") >= min_support)
+    item_n = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = baskets.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        co.join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("item_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("item_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("item_a").cast("bigint").alias("item_a"),
+            F.col("item_b").cast("bigint").alias("item_b"),
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            qround(
+                (F.col("n_co") * F.col("n_sessions")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+            qround(
+                F.col("n_co").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                4,
+            ).alias("cosine"),
+        )
+    )

@@ -3285,3 +3285,37 @@ ORACLE["lsh_tuning_report"] = (
         _lsh_config_select(b, r) for b, r in ((16, 1), (8, 2), (4, 4), (2, 8))
     )
 )
+
+# engine generates pairs row-locally over the capped sorted item
+# array; the oracle is the naive relational self-join — equality
+# proves the bounded-fan-out form exact.
+ORACLE["item_covisitation"] = f"""
+WITH {SESSIONIZE_CTES},
+baskets AS (
+  SELECT session_id,
+         (list_sort(list_distinct(list(product_id))))[1:32] AS items
+  FROM actions
+  WHERE event_type = 'click' AND product_id IS NOT NULL
+  GROUP BY session_id
+),
+ex AS (SELECT session_id, unnest(items) AS item FROM baskets),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+  FROM ex a JOIN ex b ON a.session_id = b.session_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+n AS (SELECT item, count(*) AS n FROM ex GROUP BY item),
+tot AS (SELECT count(*) AS n_sessions FROM baskets)
+SELECT CAST(item_a AS BIGINT) AS item_a,
+       CAST(item_b AS BIGINT) AS item_b,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       floor(CAST(n_co * n_sessions AS DOUBLE)
+             / CAST(na.n * nb.n AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lift,
+       floor(CAST(n_co AS DOUBLE)
+             / sqrt(CAST(na.n * nb.n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM co
+JOIN n na ON item_a = na.item
+JOIN n nb ON item_b = nb.item, tot
+"""

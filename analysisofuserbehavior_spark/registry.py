@@ -3730,6 +3730,19 @@ def q_skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("item_covisitation")
+def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-clicked product pairs with lift/cosine — the reference's
+    click-category session lists (UserVisitSessionAnalyzeSpark.java:
+    340-455) taken one step further into the co-click matrix.  The
+    oracle re-states the row-local pair generation as a relational
+    self-join, so the gate also proves the capped-array fan-out form
+    equals the naive join."""
+    from .operators.covisitation import item_covisitation
+
+    return item_covisitation(_actions(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

@@ -171,6 +171,7 @@ HEADLINE = [
     "curriculum_stages",
     "skew_key_diagnostics",
     "lsh_tuning_report",
+    "item_covisitation",
 ]
 
 
@@ -203,6 +204,7 @@ ACTIONS_FAMILY = [
     "page_transition_probs",
     "page_bfs_depths",
     "session_concurrency_hourly",
+    "item_covisitation",
 ]
 
 

@@ -360,3 +360,58 @@ def test_concurrency_exchange_budget(spark):
     assert count_exchanges(concurrency_by_hour(iv)) <= 4
     # sub-hour buckets re-key the output regroup once: exactly +1
     assert count_exchanges(concurrency_by_hour(iv, bucket_us=60_000_000)) <= 5
+
+
+# ---- covisitation ---------------------------------------------------------
+
+
+def test_covisitation_counts_presence_not_clicks(spark):
+    from analysisofuserbehavior_spark.operators.covisitation import (
+        item_covisitation,
+    )
+
+    rows = []
+    # session s1: items 1,2 (item 1 clicked 3 times — still one row)
+    rows += [("s1", "click", 1)] * 3 + [("s1", "click", 2)]
+    # session s2: items 1,2 again -> support 2
+    rows += [("s2", "click", 1), ("s2", "click", 2)]
+    # session s3: item 1 with a VIEW of 2 — views don't count
+    rows += [("s3", "click", 1), ("s3", "view", 2)]
+    df = spark.createDataFrame(rows, "session_id string, event_type string, product_id long")
+    out = item_covisitation(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_co, r.n_a, r.n_b) == (1, 2, 2, 3, 2)
+    # lift = 2*3/(3*2) = 1.0; cosine = 2/sqrt(6)
+    assert r.lift == 1.0
+    assert abs(r.cosine - 2 / 6**0.5) < 1e-3
+
+
+def test_covisitation_caps_bot_sessions(spark):
+    from analysisofuserbehavior_spark.operators.covisitation import (
+        item_covisitation,
+    )
+
+    # one session clicking 100 distinct items: cap 32 keeps the 32
+    # smallest ids -> C(32,2) pairs, not C(100,2)
+    rows = [("bot", "click", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "session_id string, event_type string, product_id long")
+    out = item_covisitation(df).collect()
+    assert len(out) == 32 * 31 // 2
+    assert max(max(r.item_a, r.item_b) for r in out) == 31
+
+
+def test_covisitation_pair_generation_is_row_local(spark):
+    # the plan must contain NO self-join: one exchange for the basket
+    # rollup, one for the pair groupBy, one per tiny stat frame —
+    # and zero SortMergeJoin on session_id
+    from analysisofuserbehavior_spark.operators.covisitation import (
+        item_covisitation,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "click", 1), ("s", "click", 2)],
+        "session_id string, event_type string, product_id long",
+    )
+    plan = item_covisitation(df)._jdf.queryExecution().toString()
+    assert plan.count("SortMergeJoin") == 0

@@ -94,6 +94,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     return "fake"
 
 
@@ -604,6 +606,89 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (did, "audio", b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
                 )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+GIF_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """REAL multi-frame decode: GIF89a payloads (operators/gifcodec.py
+    — stdlib LZW, numpy palette mapping) → (width, height, n_frames,
+    channel means across ALL frames).  GIF is lossless for
+    palette-expressible frames, so decoded means equal the
+    synthesized per-frame colors exactly — the first ANIMATED format
+    under the closed-form oracle gate (the stills prove decode; this
+    additionally proves frame iteration, extension-block skipping,
+    and per-frame LZW streams)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .gifcodec import decode_gif
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                if b is None or sniff_format(bytes(b)) != "gif":
+                    continue
+                frames = decode_gif(bytes(b))
+                if not frames:
+                    continue
+                h, w = frames[0].shape[:2]
+                stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+                means = stack.mean(axis=0)
+                rows.append(
+                    (int(did), w, h, len(frames),
+                     float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(extract, GIF_FEATURES_SCHEMA)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine animated
+    GIF89a.  Closed-form fields: width = 3 + doc_id % 7, height =
+    2 + doc_id % 4, n_frames = 1 + doc_id % 3, frame f solid color =
+    ((doc_id*19 + f*41) % 256, (doc_id*23 + f*43) % 256,
+    (doc_id*31 + f*47) % 256) — so the oracle predicts the decoded
+    means as integer-exact per-frame color averages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .gifcodec import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 7, 2 + did % 4
+                frames = [
+                    np.full(
+                        (h, w, 3),
+                        (
+                            (did * 19 + f * 41) % 256,
+                            (did * 23 + f * 43) % 256,
+                            (did * 31 + f * 47) % 256,
+                        ),
+                        dtype=np.uint8,
+                    )
+                    for f in range(1 + did % 3)
+                ]
+                rows.append((did, "image", encode_gif(frames)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -3319,3 +3319,33 @@ FROM co
 JOIN n na ON item_a = na.item
 JOIN n nb ON item_b = nb.item, tot
 """
+
+# GIF is lossless for palette frames: the oracle predicts decoded
+# cross-frame means in closed form from the synthesis rule (h*w
+# cancels exactly in IEEE division — see q_image_features_gif).
+ORACLE["image_features_gif"] = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 7 AS INTEGER) AS width,
+         CAST(2 + doc_id % 4 AS INTEGER) AS height,
+         CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, width, height, n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS fr
+  FROM p
+),
+m AS (
+  SELECT doc_id, width, height, n_frames,
+         sum((doc_id * 19 + fr * 41) % 256) AS sr,
+         sum((doc_id * 23 + fr * 43) % 256) AS sg,
+         sum((doc_id * 31 + fr * 47) % 256) AS sb
+  FROM f GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, width, height, n_frames,
+       floor(CAST(sr AS DOUBLE) / n_frames * 10000.0 + 0.5) / 10000.0 AS mean_r,
+       floor(CAST(sg AS DOUBLE) / n_frames * 10000.0 + 0.5) / 10000.0 AS mean_g,
+       floor(CAST(sb AS DOUBLE) / n_frames * 10000.0 + 0.5) / 10000.0 AS mean_b
+FROM m
+"""

@@ -1367,6 +1367,29 @@ def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_png_media(_documents(spark, sf_dir)))
 
 
+@query("image_features_gif")
+def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL image codec, first ANIMATED one: genuine GIF89a
+    payloads (stdlib LZW, operators/gifcodec.py) decoded frame by
+    frame.  Palette frames are lossless, so the oracle predicts the
+    cross-frame channel means as closed-form integer averages —
+    h·w cancels exactly in IEEE division, so engine (sum over pixels
+    / count) and oracle (sum over frames / n_frames) round to the
+    same double."""
+    from .operators.multimodal import gif_features, synthesize_gif_media
+
+    feats = gif_features(synthesize_gif_media(_documents(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        qround(F.col("mean_r"), 4).alias("mean_r"),
+        qround(F.col("mean_g"), 4).alias("mean_g"),
+        qround(F.col("mean_b"), 4).alias("mean_b"),
+    )
+
+
 @query("audio_features_wav")
 def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec, end to end: documents → genuine PCM-16 WAV

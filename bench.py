@@ -172,6 +172,7 @@ HEADLINE = [
     "skew_key_diagnostics",
     "lsh_tuning_report",
     "item_covisitation",
+    "image_features_gif",
 ]
 
 

@@ -432,3 +432,67 @@ def test_codec_property_random_images():
         assert err <= (40 if smooth else 160), err  # noise is worst-case JPEG
 
     check()
+
+
+def test_gif_codec_round_trip_and_guards():
+    """GIF89a codec (operators/gifcodec.py): lossless multi-frame
+    round trip incl. the KwKwK LZW case, width growth and the
+    4095-entry dictionary reset; profile guards raise legibly."""
+    import numpy as np
+    import pytest
+
+    from analysisofuserbehavior_spark.operators.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        [np.full((2, 3, 3), (10, 20, 30), dtype=np.uint8)],
+        [
+            np.full((4, 5, 3), (250, 0, 128), dtype=np.uint8),
+            np.full((4, 5, 3), (1, 2, 3), dtype=np.uint8),
+            np.full((4, 5, 3), (9, 9, 9), dtype=np.uint8),
+        ],
+        # KwKwK: immediate repetition of fresh dictionary entries
+        [np.zeros((1, 16, 3), dtype=np.uint8)],
+        [rng.randint(0, 5, (8, 9, 3)).astype(np.uint8) * 40 for _ in range(4)],
+        # dictionary overflow → mid-stream CLEAR + reset
+        [(rng.randint(0, 250, (200, 200, 3)) // 64 * 64).astype(np.uint8)],
+    ]
+    for frames in cases:
+        back = decode_gif(encode_gif(frames))
+        assert len(back) == len(frames)
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+    # guards
+    with pytest.raises(ValueError):
+        encode_gif([])
+    with pytest.raises(ValueError):
+        encode_gif([rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)])  # >256 colors
+    with pytest.raises(ValueError):
+        encode_gif(
+            [
+                np.zeros((2, 2, 3), dtype=np.uint8),
+                np.zeros((3, 2, 3), dtype=np.uint8),  # mismatched frame
+            ]
+        )
+    assert decode_gif(b"NOTAGIF---------") is None
+
+
+def test_gif_features_end_to_end(spark, sf_dir):
+    """Synthesized animated GIFs decode to the closed-form means and
+    frame counts; non-GIF payloads drop out of the feature frame."""
+    from analysisofuserbehavior_spark.operators.multimodal import (
+        gif_features,
+        synthesize_gif_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    out = {r.doc_id: r for r in gif_features(synthesize_gif_media(docs)).collect()}
+    assert len(out) == 40
+    for did, r in out.items():
+        nf = 1 + did % 3
+        assert (r.width, r.height, r.n_frames) == (3 + did % 7, 2 + did % 4, nf)
+        exp_r = sum((did * 19 + f * 41) % 256 for f in range(nf)) / nf
+        assert abs(r.mean_r - exp_r) < 1e-9

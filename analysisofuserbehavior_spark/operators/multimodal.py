@@ -692,3 +692,78 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+ADPCM_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, "
+    "duration_sec double, rms double"
+)
+
+
+def adpcm_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode: IMA ADPCM WAV payloads
+    (operators/adpcmcodec.py — stdlib struct, 4 bits/sample) →
+    (sample_rate, n_samples, duration, RMS).  Constant tones decode
+    bit-exactly (see adpcmcodec docstring), so the gate's closed-form
+    oracle covers the container walk, block headers, nibble order,
+    and the IMA update rule end to end."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .adpcmcodec import decode_adpcm_wav
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                if b is None:
+                    continue
+                got = decode_adpcm_wav(bytes(b))
+                if got is None:
+                    continue
+                rate, samples = got
+                x = np.asarray(samples, dtype=np.float64)
+                rows.append(
+                    (
+                        int(did),
+                        int(rate),
+                        len(samples),
+                        len(samples) / rate,
+                        float(np.sqrt((x * x).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_sec", "rms",
+                ],
+            )
+
+    return media.mapInPandas(extract, ADPCM_FEATURES_SCHEMA)
+
+
+def synthesize_adpcm_media(docs: DataFrame) -> DataFrame:
+    """REAL-format media table: every doc becomes a genuine IMA ADPCM
+    WAV holding a constant tone.  Closed-form fields: rate = 8000 +
+    (doc_id%8)*1000, n_samples = 65 + (doc_id%37)*2 (odd — header
+    sample + whole nibble pairs), amplitude = (doc_id*131) % 20000
+    - 10000.  Constant signals round-trip bit-exactly, so rms ==
+    |amplitude| and the oracle is pure arithmetic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .adpcmcodec import encode_adpcm_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 8) * 1000
+                n = 65 + (did % 37) * 2
+                amp = (did * 131) % 20000 - 10000
+                rows.append(
+                    (did, "audio", encode_adpcm_wav([amp] * n, rate))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

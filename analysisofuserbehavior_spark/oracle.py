@@ -3349,3 +3349,18 @@ SELECT doc_id, width, height, n_frames,
        floor(CAST(sb AS DOUBLE) / n_frames * 10000.0 + 0.5) / 10000.0 AS mean_b
 FROM m
 """
+
+# IMA ADPCM round-trips constant tones bit-exactly (nibble 0 at step
+# index 0 adds step>>3 == 0), so the compressed-audio gate reduces to
+# closed-form arithmetic over the synthesis rule.
+ORACLE["audio_features_adpcm"] = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(65 + (doc_id % 37) * 2 AS BIGINT) AS n_samples,
+       floor(CAST(65 + (doc_id % 37) * 2 AS DOUBLE)
+             / (8000 + (doc_id % 8) * 1000) * 1000000.0 + 0.5) / 1000000.0
+         AS duration_sec,
+       floor(abs(CAST((doc_id * 131) % 20000 - 10000 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS rms
+FROM documents
+"""

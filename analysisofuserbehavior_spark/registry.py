@@ -1367,6 +1367,24 @@ def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_png_media(_documents(spark, sf_dir)))
 
 
+@query("audio_features_adpcm")
+def q_audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First COMPRESSED audio codec under the gate: IMA ADPCM WAVs
+    (4 bits/sample, stdlib-only decode).  Synthesized constant tones
+    round-trip bit-exactly (adpcmcodec.py), so rms == |amplitude| and
+    every feature is closed-form arithmetic for the oracle."""
+    from .operators.multimodal import adpcm_features, synthesize_adpcm_media
+
+    feats = adpcm_features(synthesize_adpcm_media(_documents(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        qround(F.col("duration_sec"), 6).alias("duration_sec"),
+        qround(F.col("rms"), 4).alias("rms"),
+    )
+
+
 @query("image_features_gif")
 def q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth REAL image codec, first ANIMATED one: genuine GIF89a

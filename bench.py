@@ -173,6 +173,7 @@ HEADLINE = [
     "lsh_tuning_report",
     "item_covisitation",
     "image_features_gif",
+    "audio_features_adpcm",
 ]
 
 

@@ -496,3 +496,46 @@ def test_gif_features_end_to_end(spark, sf_dir):
         assert (r.width, r.height, r.n_frames) == (3 + did % 7, 2 + did % 4, nf)
         exp_r = sum((did * 19 + f * 41) % 256 for f in range(nf)) / nf
         assert abs(r.mean_r - exp_r) < 1e-9
+
+
+def test_adpcm_codec_constant_exact_and_bounded_error():
+    """IMA ADPCM: constant tones bit-exact for any length/edge
+    amplitude (incl. multi-block + padded final block); smooth
+    signals reconstruct with small bounded error; guards raise."""
+    import numpy as np
+    import pytest
+
+    from analysisofuserbehavior_spark.operators.adpcmcodec import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    for amp in (0, -1, 12345, -32768, 32767):
+        for n in (1, 2, 505, 506, 1200):
+            rate, back = decode_adpcm_wav(encode_adpcm_wav([amp] * n, 8000))
+            assert rate == 8000 and back == [amp] * n
+    t = np.arange(2000)
+    sig = (10000 * np.sin(2 * np.pi * t / 200)).astype(int).tolist()
+    _, back = decode_adpcm_wav(encode_adpcm_wav(sig, 16000))
+    err = np.abs(np.asarray(back) - np.asarray(sig))
+    assert err.mean() < 300  # ~2-3% of amplitude: ADPCM tracks smooth signals
+    with pytest.raises(ValueError):
+        encode_adpcm_wav([], 8000)
+    with pytest.raises(ValueError):
+        encode_adpcm_wav([1, 2], 8000, samples_per_block=4)  # even spb
+    assert decode_adpcm_wav(b"NOTRIFF---------") is None
+
+
+def test_adpcm_features_end_to_end(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.multimodal import (
+        adpcm_features,
+        synthesize_adpcm_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    out = {r.doc_id: r for r in adpcm_features(synthesize_adpcm_media(docs)).collect()}
+    assert len(out) == 30
+    for did, r in out.items():
+        assert r.sample_rate == 8000 + (did % 8) * 1000
+        assert r.n_samples == 65 + (did % 37) * 2
+        assert abs(r.rms - abs((did * 131) % 20000 - 10000)) < 1e-9

@@ -95,6 +95,31 @@ def register_pandas_example(spark: SparkSession) -> None:
     spark.udf.register("value_zscore", value_zscore)
 
 
+def register_arrow_example(spark: SparkSession) -> None:
+    """Arrow-native UDF (Spark 4.1 `arrow_udf`): the same scalar
+    contract as the pandas demo but operating on pyarrow Arrays —
+    one less conversion hop than pandas_udf (Arrow batch → pandas →
+    Arrow becomes Arrow → Arrow), which is the preferred shape for
+    numeric kernels that don't need pandas semantics.  Registered as
+    `value_double_arrow`; parity with the column expression is
+    pinned in tests/test_layout_udfs.py."""
+    # `from __future__ import annotations` stringifies hints, and
+    # pyspark resolves them against MODULE globals — so pa must be
+    # visible there for the arrow_udf eval-type inference to work
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    globals().setdefault("pa", pa)
+
+    @arrow_udf(DoubleType())
+    def value_double_arrow(v: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.multiply(v, pa.scalar(2.0))
+
+    spark.udf.register("value_double_arrow", value_double_arrow)
+
+
 def register_chunk_udtf(spark: SparkSession, name: str = "chunk_doc") -> None:
     """Python UDTF (Spark 3.5+/4 table-function API) twin of
     `operators.packing.chunk_documents` — completes the UDF/UDAF/UDTF

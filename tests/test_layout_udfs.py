@@ -163,3 +163,18 @@ def test_chunk_udtf_matches_declarative_operator(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, declarative.collect()))
     assert a == b and len(a) > 0
+
+
+def test_arrow_udf_parity_with_expression(spark):
+    """Spark 4.1 arrow_udf surface: Arrow-native scalar UDF agrees
+    with the equivalent Column expression bit for bit."""
+    from analysisofuserbehavior_spark.functions.udfs import (
+        register_arrow_example,
+    )
+
+    register_arrow_example(spark)
+    df = spark.range(100).selectExpr("cast(id as double) AS v")
+    got = df.selectExpr(
+        "value_double_arrow(v) AS a", "v * 2.0 AS b"
+    ).collect()
+    assert all(r.a == r.b for r in got)

@@ -61,3 +61,51 @@ def test_wire_rows_feed_existing_parser(spark):
     # downstream agg runs unchanged on the custom source
     counts = parsed.groupBy("province").agg(F.count(F.lit(1)).alias("n"))
     assert sum(r["n"] for r in counts.collect()) == 300
+
+
+def test_stream_reader_two_batches_then_resume(spark, tmp_path):
+    """Streaming twin: two micro-batches deliver exactly
+    rowsPerBatch rows each in row_id order, identical to the batch
+    source's wire rows; a RESTART from the same checkpoint resumes
+    at the committed offset (no replays, no gaps)."""
+    _register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    got: list[tuple[int, str]] = []
+
+    def run_batches(n_batches: int) -> None:
+        seen = {"n": 0}
+
+        def sink(df, _bid):
+            got.extend((r["row_id"], r["value"]) for r in df.collect())
+            seen["n"] += 1
+
+        q = (
+            spark.readStream.format("mock_clicks")
+            .option("rowsPerBatch", 7)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 60
+            while seen["n"] < n_batches and time.time() < deadline:
+                time.sleep(0.1)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_batches(2)
+    assert len(got) >= 14
+    first_run = len(got)
+    run_batches(1)  # restart: must RESUME, not replay
+    ids = [i for i, _ in got]
+    assert ids == sorted(set(ids)), "duplicate or out-of-order row_ids"
+    assert ids[0] == 0 and ids == list(range(len(ids)))
+    assert len(got) > first_run
+    # wire parity with the batch source's pure generator
+    for i, v in got[:5]:
+        assert (i, v) == wire_row(i)

@@ -174,6 +174,35 @@ HEADLINE = [
     "item_covisitation",
     "image_features_gif",
     "audio_features_adpcm",
+    # round 8, second pass: full registry coverage — every remaining
+    # query BENCH had never measured, so BENCH_DETAIL now covers the
+    # complete queries() surface (incl. the gated dedup_clusters and
+    # the rows-only family).
+    "dedup_clusters",
+    "streaming_click_attribution",
+    "dedup_simhash",
+    "ann_ivf_kmeans_topk",
+    "embedding_neardup",
+    "doc_rolling_fingerprint",
+    "ann_cosine_topk_np",
+    "normalize_text",
+    "session_length_percentiles",
+    "daily_event_type_pivot",
+    "events_profile",
+    "daily_type_rollup",
+    "events_profile_approx",
+    "media_metadata",
+    "media_frame_offsets",
+    "media_resize_audit",
+    "image_features_bmp",
+    "audio_features_wav",
+    "streaming_user_click_upsert",
+    "pack_bin_manifest",
+    "tpch_q13",
+    "skewed_event_counts",
+    "vocab_heavy_hitters_sketch",
+    "monthly_users_hll_rollup",
+    "lang_mixture_weights",
 ]
 
 
@@ -207,6 +236,7 @@ ACTIONS_FAMILY = [
     "page_bfs_depths",
     "session_concurrency_hourly",
     "item_covisitation",
+    "session_length_percentiles",
 ]
 
 

@@ -30,6 +30,11 @@ def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
     """One-row skew profile for `key_col` of `df` (null keys count as
     a key of their own — they hash to one reducer in a real shuffle,
     which is exactly the skew this report exists to surface)."""
+    # the counts frame feeds the histogram AND the max/sum summary;
+    # both branches hang off one identical groupBy exchange that AQE
+    # ReusedExchange deduplicates at runtime (measured A/B at sf0.1:
+    # ckpt costs ~0.7 s and saves nothing — reuse-works case, see
+    # sweepline.py)
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )

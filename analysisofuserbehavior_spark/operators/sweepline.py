@@ -90,6 +90,16 @@ def concurrency_by_hour(
         # bucket edges must nest inside hour edges or the final
         # per-hour regroup would split a bucket across hours
         raise ValueError("bucket_us must divide one hour")
+    # intervals feeds TWO branches (starts, ends) and deltas feeds TWO
+    # more (running sums, bucket nets).  The PRE-execution plan shows
+    # every branch re-deriving the upstream (13 exchanges), but these
+    # branches share IDENTICAL exchange subtrees, which AQE's
+    # ReusedExchange deduplicates at runtime — measured A/B at sf0.1:
+    # lineage truncation (ckpt) costs ~1 s of extra materialization
+    # job boundaries and saves nothing.  This is the reuse-WORKS case,
+    # unlike the LM family's aggregate-divergent branches (ckpt.py);
+    # the reliance is pinned by
+    # tests/test_round8_ops.py::test_concurrency_runtime_reuses_exchanges.
     deltas = (
         intervals.select(F.col("start_us").alias("ts_us"), F.lit(1).alias("d"))
         .unionByName(

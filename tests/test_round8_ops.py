@@ -415,3 +415,24 @@ def test_covisitation_pair_generation_is_row_local(spark):
     )
     plan = item_covisitation(df)._jdf.queryExecution().toString()
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_concurrency_runtime_reuses_exchanges(spark, sf_dir):
+    # the operator deliberately does NOT lineage-truncate its
+    # multi-consumer frames (measured: ckpt costs more than it saves
+    # here) — that is only sound while AQE deduplicates the identical
+    # branch subtrees.  Pin it: the EXECUTED plan must contain at
+    # least one reused exchange/subtree marker.
+    from analysisofuserbehavior_spark.operators.sessionize import sessionize
+    from analysisofuserbehavior_spark.operators.sweepline import (
+        session_concurrency_hourly,
+    )
+
+    acts = sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    df = session_concurrency_hourly(acts)
+    df.collect()  # materialize THIS DataFrame so AQE finalizes its plan
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "ReusedExchange" in final or "ReusedSubquery" in final, final[:3000]

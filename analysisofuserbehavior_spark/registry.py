@@ -3927,7 +3927,11 @@ _GATE_WINDOW = [
     # of top10_purchase_users/top10_visit_growth — 2nd and 3rd of the
     # module-5 near-family whose shape top10_active_users already
     # gates.
-    "events_cube",
+    # round 8 (second pass): item_covisitation (row-local capped pair
+    # fan-out vs the oracle's naive self-join) takes events_cube's
+    # slot — CUBE algebra is a Catalyst built-in whose grouping-sets
+    # evidence the full oracle and user_type_grouping_sets retain.
+    "item_covisitation",
     # round 8: curriculum_stages (histogram-CDF exact quartiles +
     # quality-ordered staging) takes user_halves_setops's slot
     # (union/intersect/except algebra is a Catalyst built-in with low

@@ -1,0 +1,183 @@
+"""Engagement analytics: decayed trending items and RFM segmentation.
+
+Both are the e-commerce follow-ons to the reference's top-10 modules
+(UserVisitSessionAnalyzeSpark top categories; UserActiveDegreeAnalyze
+top users): "what is hot NOW" needs recency weighting, and "who is
+worth retaining" is classically RFM (recency / frequency / monetary).
+
+Float-parity discipline (the repo rule: no libm, no order-dependent
+float sums in gated outputs):
+
+* `trending_items_decayed` uses a HALF-LIFE decay of exactly one
+  day, i.e. weight = 2^-age.  Computed entirely in INTEGER space:
+  score_scaled = Σ clicks_day · 2^(H-age) as bigint (H = 30-day
+  horizon; older days contribute weight < 2^-30 ≈ 1e-9 and are
+  excluded by the horizon — documented cutoff, mirrored in the
+  oracle).  The reported score is one division of that exact integer
+  by 2^H — correctly rounded identically in any IEEE engine.  No
+  pow(), no float accumulation.
+* `rfm_segments` buckets each dimension with the histogram-CDF
+  exact-quartile pattern (doc_length_quantiles): count-by-value,
+  running CDF over the tiny value domain, integer threshold tests.
+  Scores are 1..4 with 4 best (recency inverted: most recent quartile
+  scores 4).
+
+Scale shape: trending is two map-side-combined groupBys (item×day,
+then item) + a 1-row broadcast max-day; RFM is one groupBy(user) +
+three domain-bounded histogram windows + one broadcast threshold row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TREND_HORIZON_DAYS = 30
+
+
+def trending_items_decayed(
+    actions: DataFrame,
+    item_col: str = "product_id",
+    event_type: str = "click",
+    top: int = 20,
+) -> DataFrame:
+    """Top items by exponentially-decayed click score (1-day
+    half-life, 30-day horizon).  Returns (rank, item, score,
+    n_clicks_total)."""
+    clicks = (
+        actions.where(F.col("event_type") == event_type)
+        .where(F.col(item_col).isNotNull())
+        .select(F.col(item_col).alias("item"), F.to_date("ts").alias("day"))
+    )
+    daily = clicks.groupBy("item", "day").agg(F.count(F.lit(1)).alias("c"))
+    max_day = daily.agg(F.max("day").alias("max_day"))
+    aged = (
+        daily.crossJoin(F.broadcast(max_day))
+        .withColumn("age", F.datediff(F.col("max_day"), F.col("day")))
+        .where(F.col("age") <= TREND_HORIZON_DAYS)
+    )
+    scaled = aged.groupBy("item").agg(
+        # SQL shiftleft (the PySpark wrapper wants a literal bit
+        # count; the SQL form takes an expression)
+        F.sum(
+            F.col("c")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), {TREND_HORIZON_DAYS} - age)")
+        ).alias("score_scaled"),
+        F.sum("c").cast("bigint").alias("n_clicks_total"),
+    )
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("item").asc())
+    return (
+        scaled.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("item").cast("bigint").alias("item"),
+            # exact bigint / exact power of two: correctly rounded
+            # to the same double in any IEEE engine
+            (
+                F.col("score_scaled").cast("double")
+                / F.lit(float(1 << TREND_HORIZON_DAYS))
+            ).alias("score"),
+            "n_clicks_total",
+        )
+    )
+
+
+def _quartile_thresholds(values: DataFrame, col: str) -> DataFrame:
+    """1-row (q1, q2, q3) frame: smallest value whose CDF reaches
+    k/4 — exact inverse CDF on the count-by-value histogram."""
+    hist = values.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = cum.agg(F.sum("c").alias("total"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 4 >= F.lit(k) * F.col("total"), F.col("v"))
+            ).alias(f"q{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+
+
+def _bucket_asc(col: F.Column, q1: F.Column, q2: F.Column, q3: F.Column) -> F.Column:
+    return (
+        F.when(col <= q1, 1)
+        .when(col <= q2, 2)
+        .when(col <= q3, 3)
+        .otherwise(4)
+    )
+
+
+def rfm_segments(
+    actions: DataFrame, event_type: str = "purchase"
+) -> DataFrame:
+    """Per-user RFM scores: (user_id, recency_days, frequency,
+    monetary_cents, r_score, f_score, m_score, segment) — scores
+    1..4, 4 best; segment = 'RFM' digit string."""
+    p = actions.where(F.col("event_type") == event_type).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    max_day = p.agg(F.max("day").alias("max_day"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("max_day"), F.col("last_day")).cast("bigint"),
+        )
+        .drop("max_day", "last_day")
+    )
+    tr = _quartile_thresholds(per_user, "recency_days")
+    tf = _quartile_thresholds(per_user, "frequency")
+    tm = _quartile_thresholds(per_user, "monetary_cents")
+    th = (
+        tr.select(
+            F.col("q1").alias("r1"), F.col("q2").alias("r2"), F.col("q3").alias("r3")
+        )
+        .crossJoin(
+            tf.select(
+                F.col("q1").alias("f1"), F.col("q2").alias("f2"), F.col("q3").alias("f3")
+            )
+        )
+        .crossJoin(
+            tm.select(
+                F.col("q1").alias("m1"), F.col("q2").alias("m2"), F.col("q3").alias("m3")
+            )
+        )
+    )
+    scored = per_user.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        # small recency is GOOD: invert the ascending bucket
+        (
+            5
+            - _bucket_asc(
+                F.col("recency_days"), F.col("r1"), F.col("r2"), F.col("r3")
+            )
+        ).cast("int").alias("r_score"),
+        _bucket_asc(F.col("frequency"), F.col("f1"), F.col("f2"), F.col("f3"))
+        .cast("int")
+        .alias("f_score"),
+        _bucket_asc(
+            F.col("monetary_cents"), F.col("m1"), F.col("m2"), F.col("m3")
+        )
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

@@ -3364,3 +3364,84 @@ SELECT doc_id,
              * 10000.0 + 0.5) / 10000.0 AS rms
 FROM documents
 """
+
+# decay weight = 2^-age accumulated as Σ c·2^(30-age) in integer
+# space; the single final division by 2^30 is exact-over-exact —
+# identical in any IEEE engine (see operators/engagement.py).
+ORACLE["trending_items_decayed"] = """
+WITH clicks AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(ts AS DATE) AS day
+  FROM events
+  WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+daily AS (SELECT item, day, count(*) AS c FROM clicks GROUP BY 1, 2),
+m AS (SELECT max(day) AS max_day FROM daily),
+aged AS (
+  SELECT item, c, date_diff('day', day, max_day) AS age
+  FROM daily, m
+  WHERE date_diff('day', day, max_day) <= 30
+),
+s AS (
+  SELECT item,
+         sum(c * (CAST(1 AS BIGINT) << (30 - age))) AS score_scaled,
+         sum(c) AS n
+  FROM aged GROUP BY item
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY score_scaled DESC, item ASC) AS rank
+  FROM s
+)
+SELECT CAST(rank AS INTEGER) AS rank,
+       CAST(item AS BIGINT) AS item,
+       CAST(score_scaled AS DOUBLE) / 1073741824.0 AS score,
+       CAST(n AS BIGINT) AS n_clicks_total
+FROM r WHERE rank <= 20
+"""
+
+
+def _rfm_dim_thresholds(dim: str, alias: str) -> str:
+    return f"""
+t{alias} AS (
+  SELECT min(CASE WHEN cum * 4 >= 1 * total THEN v END) AS {alias}1,
+         min(CASE WHEN cum * 4 >= 2 * total THEN v END) AS {alias}2,
+         min(CASE WHEN cum * 4 >= 3 * total THEN v END) AS {alias}3
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           (SELECT count(*) FROM u) AS total
+    FROM (SELECT {dim} AS v, count(*) AS c FROM u GROUP BY 1)
+  )
+)"""
+
+
+ORACLE["rfm_segments"] = f"""
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(day), (SELECT max(day) FROM p)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+),{_rfm_dim_thresholds("recency_days", "r")},{_rfm_dim_thresholds("frequency", "f")},{_rfm_dim_thresholds("monetary_cents", "m")},
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         CAST(5 - (CASE WHEN recency_days <= r1 THEN 1
+                        WHEN recency_days <= r2 THEN 2
+                        WHEN recency_days <= r3 THEN 3 ELSE 4 END) AS INTEGER) AS r_score,
+         CAST(CASE WHEN frequency <= f1 THEN 1
+                   WHEN frequency <= f2 THEN 2
+                   WHEN frequency <= f3 THEN 3 ELSE 4 END AS INTEGER) AS f_score,
+         CAST(CASE WHEN monetary_cents <= m1 THEN 1
+                   WHEN monetary_cents <= m2 THEN 2
+                   WHEN monetary_cents <= m3 THEN 3 ELSE 4 END AS INTEGER) AS m_score
+  FROM u, tr, tf, tm
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""

@@ -3784,6 +3784,38 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_covisitation(_actions(spark, sf_dir))
 
 
+@query("trending_items_decayed")
+def q_trending_items_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trending products (1-day half-life,
+    30-day horizon) — recency-weighted twin of top10_categories.
+    Decay weights are exact powers of two accumulated in INTEGER
+    space (no pow(), no float sums); see operators/engagement.py."""
+    from .functions.core import json_long
+    from .operators.engagement import trending_items_decayed
+
+    # needs only (event_type, ts, product_id) — start from the raw
+    # events scan with the row-local extraction, NOT the sessionized
+    # frame: sessionization's user-keyed window shuffle is dead
+    # weight here
+    ev = _events(spark, sf_dir).withColumn(
+        "product_id", json_long("props", "$.k")
+    )
+    return trending_items_decayed(ev)
+
+
+@query("rfm_segments")
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation over purchases: per-user recency/
+    frequency/monetary, quartile scores 1-4 (4 best) via the
+    histogram-CDF exact inverse CDF — no global sort, integer
+    threshold tests (operators/engagement.py)."""
+    from .operators.engagement import rfm_segments
+
+    # needs only (user_id, ts, value, event_type): raw events scan,
+    # no sessionize shuffle in the lineage
+    return rfm_segments(_events(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

@@ -203,6 +203,8 @@ HEADLINE = [
     "vocab_heavy_hitters_sketch",
     "monthly_users_hll_rollup",
     "lang_mixture_weights",
+    "trending_items_decayed",
+    "rfm_segments",
 ]
 
 

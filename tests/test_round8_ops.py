@@ -436,3 +436,68 @@ def test_concurrency_runtime_reuses_exchanges(spark, sf_dir):
     )
     assert "isFinalPlan=true" in final, final[:500]
     assert "ReusedExchange" in final or "ReusedSubquery" in final, final[:3000]
+
+
+# ---- engagement (trending + RFM) ------------------------------------------
+
+
+def test_trending_decay_is_exact_powers_of_two(spark):
+    from datetime import datetime
+
+    from analysisofuserbehavior_spark.operators.engagement import (
+        trending_items_decayed,
+    )
+
+    # item 1: 4 clicks today; item 2: 8 clicks yesterday (weight 1/2)
+    # -> identical score 4.0; tiebreak favors the smaller item id
+    rows = []
+    rows += [(1, datetime(2024, 1, 10, 12))] * 4
+    rows += [(2, datetime(2024, 1, 9, 12))] * 8
+    df = spark.createDataFrame(
+        [("click", i, t) for i, t in rows],
+        "event_type string, product_id long, ts timestamp",
+    )
+    out = sorted(
+        trending_items_decayed(df).collect(), key=lambda r: r.rank
+    )
+    assert [(r.rank, r.item, r.score) for r in out] == [
+        (1, 1, 4.0),
+        (2, 2, 4.0),
+    ]
+
+
+def test_trending_horizon_excludes_old_clicks(spark):
+    from datetime import datetime
+
+    from analysisofuserbehavior_spark.operators.engagement import (
+        trending_items_decayed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("click", 1, datetime(2024, 3, 1)),
+            ("click", 2, datetime(2023, 1, 1)),  # 425 days old: outside horizon
+        ],
+        "event_type string, product_id long, ts timestamp",
+    )
+    out = trending_items_decayed(df).collect()
+    assert [r.item for r in out] == [1]
+
+
+def test_rfm_scores_partition_users_and_invert_recency(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.engagement import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = rfm_segments(ev).collect()
+    n_users = ev.where("event_type = 'purchase'").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # monotonicity: the user with the SMALLEST recency never scores
+    # below any user with a larger recency
+    by_rec = sorted(rows, key=lambda r: r.recency_days)
+    assert by_rec[0].r_score >= by_rec[-1].r_score
+    big_m = max(rows, key=lambda r: r.monetary_cents)
+    small_m = min(rows, key=lambda r: r.monetary_cents)
+    assert big_m.m_score >= small_m.m_score

@@ -41,6 +41,8 @@ FLAGSHIPS = [
     ("click_asof_prior_view", "union-tag as-of join, one keyed window"),
     ("ann_cosine_topk", "brute-force cosine; single scan + TakeOrdered"),
     ("pack_sequences", "two-pass prefix sum, no global window"),
+    ("trending_items_decayed", "integer-space exponential decay; raw events scan"),
+    ("rfm_segments", "three histogram-CDF quartile frames, broadcast thresholds"),
 ]
 
 

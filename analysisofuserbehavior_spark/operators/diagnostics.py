@@ -51,7 +51,9 @@ def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
         )
     )
     summary = counts.agg(
-        F.sum("c").cast("bigint").alias("n_rows"),
+        # empty input: SUM is NULL but the row COUNT is genuinely 0 —
+        # report 0 (max/p99/top1 stay NULL: no keys exist to rank)
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.max("c").cast("bigint").alias("max_rows_per_key"),
     )

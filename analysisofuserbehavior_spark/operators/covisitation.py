@@ -130,3 +130,38 @@ def item_covisitation(
             ).alias("cosine"),
         )
     )
+
+
+def basket_affinity_rules(
+    actions: DataFrame, min_confidence: float = 0.0, **covis_kwargs
+) -> DataFrame:
+    """Directional association rules from the co-visitation matrix:
+    each unordered co-click pair yields BOTH a→b and b→a with
+    confidence = n_co / n(antecedent) — the classic
+    support/confidence/lift triple, minus the itemset lattice (pairs
+    only; the capped fan-out already bounds candidate generation).
+    confidence is one IEEE division of two integers, 4-dp quantized.
+    """
+    co = item_covisitation(actions, **covis_kwargs)
+    conf = lambda n_ant: qround(
+        F.col("n_co").cast("double") / F.col(n_ant).cast("double"), 4
+    )
+    a2b = co.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_co",
+        F.col("n_a").alias("n_antecedent"),
+        conf("n_a").alias("confidence"),
+        "lift",
+    )
+    b2a = co.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_co",
+        F.col("n_b").alias("n_antecedent"),
+        conf("n_b").alias("confidence"),
+        "lift",
+    )
+    return a2b.unionByName(b2a).where(
+        F.col("confidence") >= F.lit(min_confidence)
+    )

@@ -181,3 +181,32 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def new_vs_returning_daily(actions: DataFrame) -> DataFrame:
+    """Per day: distinct active users split into first-seen-today vs
+    returning — the standard growth-accounting view.  Two map-side-
+    combined groupBys + one keyed join (first-seen frame is one row
+    per user — broadcastable for dim-sized user populations, keyed
+    shuffle otherwise; AQE decides from real sizes)."""
+    du = (
+        actions.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        )
+    )

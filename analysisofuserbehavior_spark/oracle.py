@@ -3445,3 +3445,60 @@ scored AS (
 SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
 FROM scored
 """
+
+ORACLE["new_vs_returning_daily"] = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+fs AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM du JOIN fs USING (user_id)
+GROUP BY day
+"""
+
+# both directions of every unordered co-click pair; the covisitation
+# CTE chain is the item_covisitation oracle's, verbatim
+ORACLE["basket_affinity_rules"] = f"""
+WITH {SESSIONIZE_CTES},
+baskets AS (
+  SELECT session_id,
+         (list_sort(list_distinct(list(product_id))))[1:32] AS items
+  FROM actions
+  WHERE event_type = 'click' AND product_id IS NOT NULL
+  GROUP BY session_id
+),
+ex AS (SELECT session_id, unnest(items) AS item FROM baskets),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+  FROM ex a JOIN ex b ON a.session_id = b.session_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+n AS (SELECT item, count(*) AS n FROM ex GROUP BY item),
+tot AS (SELECT count(*) AS n_sessions FROM baskets),
+pairs AS (
+  SELECT item_a, item_b, n_co, na.n AS n_a, nb.n AS n_b,
+         floor(CAST(n_co * n_sessions AS DOUBLE)
+               / CAST(na.n * nb.n AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lift
+  FROM co
+  JOIN n na ON item_a = na.item
+  JOIN n nb ON item_b = nb.item, tot
+)
+SELECT CAST(item_a AS BIGINT) AS antecedent,
+       CAST(item_b AS BIGINT) AS consequent,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST(n_a AS BIGINT) AS n_antecedent,
+       floor(CAST(n_co AS DOUBLE) / CAST(n_a AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS confidence,
+       lift
+FROM pairs
+UNION ALL
+SELECT CAST(item_b AS BIGINT), CAST(item_a AS BIGINT), CAST(n_co AS BIGINT),
+       CAST(n_b AS BIGINT),
+       floor(CAST(n_co AS DOUBLE) / CAST(n_b AS DOUBLE) * 10000.0 + 0.5) / 10000.0,
+       lift
+FROM pairs
+"""

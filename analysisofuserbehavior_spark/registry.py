@@ -3784,6 +3784,26 @@ def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_covisitation(_actions(spark, sf_dir))
 
 
+@query("new_vs_returning_daily")
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split new vs returning (growth accounting);
+    raw events scan, two map-side-combined groupBys + one keyed
+    join (operators/engagement.py)."""
+    from .operators.engagement import new_vs_returning_daily
+
+    return new_vs_returning_daily(_events(spark, sf_dir))
+
+
+@query("basket_affinity_rules")
+def q_basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules (confidence/lift) over the
+    co-visitation pairs — both directions per unordered pair
+    (operators/covisitation.py)."""
+    from .operators.covisitation import basket_affinity_rules
+
+    return basket_affinity_rules(_actions(spark, sf_dir))
+
+
 @query("trending_items_decayed")
 def q_trending_items_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed trending products (1-day half-life,

@@ -205,6 +205,8 @@ HEADLINE = [
     "lang_mixture_weights",
     "trending_items_decayed",
     "rfm_segments",
+    "new_vs_returning_daily",
+    "basket_affinity_rules",
 ]
 
 
@@ -239,6 +241,7 @@ ACTIONS_FAMILY = [
     "session_concurrency_hourly",
     "item_covisitation",
     "session_length_percentiles",
+    "basket_affinity_rules",
 ]
 
 

@@ -501,3 +501,38 @@ def test_rfm_scores_partition_users_and_invert_recency(spark, sf_dir):
     big_m = max(rows, key=lambda r: r.monetary_cents)
     small_m = min(rows, key=lambda r: r.monetary_cents)
     assert big_m.m_score >= small_m.m_score
+
+
+def test_new_vs_returning_accounting_identity(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.engagement import (
+        new_vs_returning_daily,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = new_vs_returning_daily(ev).collect()
+    # identity: sum of n_new across days == total distinct users
+    assert sum(r.n_new for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_returning
+    # the earliest day has zero returning users by definition
+    first = min(rows, key=lambda r: r.day)
+    assert first.n_returning == 0
+
+
+def test_affinity_rules_both_directions_and_confidence(spark):
+    from analysisofuserbehavior_spark.operators.covisitation import (
+        basket_affinity_rules,
+    )
+
+    rows = []
+    rows += [("s1", "click", 1), ("s1", "click", 2)]
+    rows += [("s2", "click", 1), ("s2", "click", 2)]
+    rows += [("s3", "click", 1)]  # 1 appears alone once: conf(1->2)=2/3
+    df = spark.createDataFrame(
+        rows, "session_id string, event_type string, product_id long"
+    )
+    out = {(r.antecedent, r.consequent): r for r in basket_affinity_rules(df).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    assert out[(1, 2)].confidence == 0.6667
+    assert out[(2, 1)].confidence == 1.0
+    assert out[(1, 2)].lift == out[(2, 1)].lift

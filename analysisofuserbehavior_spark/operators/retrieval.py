@@ -18,11 +18,14 @@ define BM25 (Robertson k1/b defaults, Lucene's idf smoothing).
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import qround
 
 DEFAULT_QUERY_TERMS = ("spark", "join", "window", "stream")
+DEFAULT_INDEX_BUCKETS = 16
 
 
 def _tokens() -> Column:
@@ -100,6 +103,149 @@ def bm25_topk(
         score = score + part(i)
     return (
         base.crossJoin(F.broadcast(stats))
+        .select("doc_id", qround(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---- materialized inverted index -------------------------------------------
+#
+# `bm25_topk` scans the whole corpus per query — right for one-off
+# slicing, wrong for a served retrieval workload.  The classic scale
+# shape is a SHARDED INVERTED INDEX: posting lists (token, doc_id, tf)
+# partitioned by a hash bucket of the token, so a query lists and
+# reads only the shards its terms live in (Lucene/ES route queries to
+# term shards the same way).  At 100 TB the index build is one
+# explode+groupBy pass, and each query's IO is
+# O(Σ_t |postings(t)|) — independent of corpus size.
+
+
+def _token_bucket(col: Column, n_buckets: int) -> Column:
+    # crc32 — identical to zlib.crc32 driver-side, so the planner can
+    # enumerate a query's buckets WITHOUT a Spark job or collect()
+    return F.pmod(F.crc32(col.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def write_inverted_index(
+    docs: DataFrame, path: str, n_buckets: int = DEFAULT_INDEX_BUCKETS
+) -> None:
+    """Materialize the posting-list layout for `bm25_topk_indexed`.
+
+    Postings (token, doc_id, tf, dl) land under `bucket=<b>/`
+    directories keyed by crc32(token) % n_buckets; corpus-level stats
+    (exact BIGINT n_docs / sum_dl — the same integers `bm25_topk`
+    aggregates) go to the `_`-hidden `_stats` subdir, invisible to the
+    posting scan.  dl is denormalized onto every posting so scoring
+    never rejoins the corpus.
+
+    Scale: ONE explode + map-side-combined groupBy over the corpus;
+    `repartition("bucket")` makes each shard write from its own
+    reducer set.  n_buckets is a layout knob — at 100 TB you'd raise
+    it so each bucket directory stays executor-sized (it only has to
+    divide the term space, not the corpus)."""
+    toks = _tokens()
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), toks.alias("toks")
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _token_bucket(F.col("token"), n_buckets))
+    )
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(path + "/_stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+) -> DataFrame:
+    """`bm25_topk` over a `write_inverted_index` layout, reading ONLY
+    the term shards: the query's buckets are computed DRIVER-side with
+    zlib.crc32 (bit-identical to the layout's F.crc32, no job, no
+    collect) and pushed as a partition IN-literal, so unqueried shard
+    directories are never even listed (PartitionFilters — plan-pinned
+    in tests/test_plans.py).
+
+    Identical results to `bm25_topk`: docs absent from every pruned
+    posting list have tf=0 for all terms, hence bm25 = 0, hence were
+    excluded by its `bm25 > 0` filter anyway; df/n_docs/avgdl are
+    full-corpus exact integers (df per term counts ALL of that term's
+    postings — term shards are complete by construction).  Every
+    arithmetic expression keeps `bm25_topk`'s shape, so the 6-dp
+    quantized scores hash-match its oracle."""
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms}
+    )
+    postings = (
+        spark.read.parquet(index_path)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("token").isin(list(query_terms)))
+    )
+    stats = spark.read.parquet(index_path + "/_stats").select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    # per-term df: every posting row of term t is one distinct doc
+    dfs = postings.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("token") == t).cast("bigint")), F.lit(0)
+            )
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    # pivot the ≤|terms| posting rows per doc into tf_i columns
+    scored_base = postings.groupBy("doc_id", "dl").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    scored_base = scored_base.select(
+        "doc_id", F.col("dl").cast("double").alias("dl"),
+        *[f"tf_{i}" for i in range(len(query_terms))],
+    )
+
+    def part(i: int) -> Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    score = part(0)
+    for i in range(1, len(query_terms)):
+        score = score + part(i)
+    return (
+        scored_base.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
         .select("doc_id", qround(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0.0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))

@@ -2262,6 +2262,11 @@ LIMIT {k}
 
 ORACLE["bm25_topk"] = _bm25_oracle()
 
+# the indexed variant is score-expression-identical by construction
+# (sharded posting lists change IO, not arithmetic), so it shares the
+# scan operator's oracle verbatim
+ORACLE["bm25_topk_indexed"] = _bm25_oracle()
+
 ORACLE["unigram_surprisal"] = """
 WITH pairs AS (
   SELECT doc_id, tok AS token, count(*) AS tf

@@ -3627,6 +3627,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir))
 
 
+@query("bm25_topk_indexed")
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the MATERIALIZED sharded inverted index
+    (write_inverted_index): posting lists partitioned by
+    crc32(token) % 16, the query reading ONLY its terms' shards via a
+    driver-computed partition IN-literal (PartitionFilters —
+    plan-asserted in tests/test_plans.py) — the text-retrieval twin of
+    ann_ivf_topk_indexed's layout story.  Scores are expression-
+    identical to bm25_topk, so the hash oracle is bm25_topk's."""
+    import tempfile
+
+    from .operators.retrieval import bm25_topk_indexed, write_inverted_index
+
+    path = tempfile.mkdtemp(prefix="invidx_q_") + "/idx"
+    write_inverted_index(_documents(spark, sf_dir), path)
+    return bm25_topk_indexed(spark, path)
+
+
 @query("unigram_surprisal")
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM mean surprisal per doc (bits/token) — the cheap

@@ -511,6 +511,35 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in dplan.lower(), dplan
 
 
+def test_inverted_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """bm25_topk_indexed's 100 TB claim, demonstrated: over a
+    write_inverted_index token-sharded layout, the query lists and
+    reads ONLY its terms' bucket directories.  The bucket IN-literal
+    is computed driver-side with zlib.crc32 (no job), so it lands in
+    PartitionFilters at planning time; the token IN filter must also
+    reach the parquet reader as PushedFilters."""
+    import re
+    import zlib
+
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "inv_idx")
+    write_inverted_index(docs, path)
+    terms = ("spark", "join", "window", "stream")
+    want_buckets = {zlib.crc32(t.encode()) % 16 for t in terms}
+    plan = plans.executed_plan(bm25_topk_indexed(spark, path, terms))
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    got = {int(x) for x in m.group(1).split(",")}
+    assert got == want_buckets, (got, want_buckets)
+    assert len(got) < 16  # the prune is real — not all shards listed
+    assert re.search(r"PushedFilters: \[In\(token", plan), plan
+
+
 def test_composed_pipelines_truncate_stage_lineage(spark, sf_dir):
     """corpus_pipeline_e2e and clean_corpus feed each survivor frame
     into MULTIPLE downstream branches; re-derived branches recompute

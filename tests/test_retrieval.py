@@ -100,3 +100,45 @@ def test_vocab_growth_monotone_and_complete(spark):
     assert rows[-1]["n_docs"] == len(DOCS)
     # doc_id ceilings follow exact integer division of max_id=4
     assert [r["doc_id_ceiling"] for r in rows] == [4 * i // 10 for i in range(1, 11)]
+
+
+def test_bm25_indexed_matches_scan_operator(spark, tmp_path):
+    """The sharded inverted index must be a pure LAYOUT change:
+    identical quantized scores, identical order, including a query
+    term absent from the corpus (df=0 shard is empty — its tf/df
+    coalesce to 0 exactly as the scan's size(filter)=0 does)."""
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = _docs_df(spark)
+    path = str(tmp_path / "inv_idx")
+    write_inverted_index(docs, path)
+    for terms in [
+        ("spark", "join", "window", "stream"),
+        ("spark", "zzz_absent_term"),  # absent term → empty shard
+    ]:
+        scan = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+        idx = [
+            tuple(r)
+            for r in bm25_topk_indexed(spark, path, terms, k=10).collect()
+        ]
+        assert idx == scan, terms
+
+
+def test_inverted_index_stats_are_exact_integers(spark, tmp_path):
+    """_stats must carry the same exact BIGINTs the scan operator
+    aggregates (n_docs, Σdl) — a drifted avgdl would shift every
+    quantized score."""
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        write_inverted_index,
+    )
+
+    docs = _docs_df(spark)
+    path = str(tmp_path / "inv_idx2")
+    write_inverted_index(docs, path)
+    row = spark.read.parquet(path + "/_stats").collect()[0]
+    assert row["n_docs"] == len(DOCS)
+    assert row["sum_dl"] == sum(len(t.split(" ")) for _, t in DOCS)
+    assert row["n_buckets"] == 16

@@ -1,0 +1,134 @@
+"""Experimentation (A/B test) analysis over the events stream.
+
+The reference's analytics surface stops at descriptive aggregates;
+any production behavior platform also READS OUT experiments —
+deterministic unit assignment, per-variant conversion, and a
+two-proportion z-test.  This module adds that readout as one
+single-row report.
+
+Design for 100 TB:
+  * assignment is a pure row-local hash of user_id (no assignment
+    table, no join) — the industry-standard "bucketing by hash"
+    (Kohavi et al., "Controlled experiments on the web"), made
+    cross-engine-deterministic via md5 hex (identical in Spark and
+    DuckDB) instead of engine-private hash functions;
+  * the whole report is groupBy(user_id) → one conditional-sum
+    reduce: two shuffles, both map-side combined, the second to ONE
+    row.  Nothing grows with event volume except the scan.
+  * every statistic derives from four exact BIGINTs (n/conv per
+    variant); float work happens once, driver-shaped identically in
+    the oracle, and lands quantized (6 dp rates, 4 dp z) so ULPs
+    cannot flip the hash or the significance verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import qround
+
+
+def _variant(user_id: Column) -> Column:
+    """Deterministic 50/50 split: parity of the first md5 hex char of
+    the decimal user id.  md5 is bit-identical across engines (unlike
+    xxhash64/crc32-of-int whose integer byte layouts differ), so the
+    oracle reproduces the assignment exactly."""
+    return F.when(
+        F.ascii(F.substring(F.md5(user_id.cast("string")), 1, 1)) % 2 == 0, "A"
+    ).otherwise("B")
+
+
+def ab_test_report(
+    events: DataFrame, goal: str = "purchase", window_s: int = 86400
+) -> DataFrame:
+    """One-row A/B readout: exposure and conversion counts per
+    variant, conversion rates, absolute lift, pooled two-proportion
+    z-score, and a significance verdict at alpha=0.05.
+
+    Conversion is TIME-BOUND — first `goal` event within `window_s`
+    of the user's first activity — the standard activation-metric
+    shape (a lifetime any-conversion flag saturates to 100% as
+    history accumulates, which both kills the z-test and is exactly
+    the mistake real experiment readouts avoid).  Both boundary
+    timestamps come out of ONE groupBy as exact epoch-micros BIGINTs.
+
+    z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)), p pooled.  sqrt
+    and IEEE double division are correctly rounded in both engines,
+    and every operand is an exact integer cast to double with the
+    same association order as the oracle SQL, so the unquantized z is
+    bit-identical cross-engine before the 4-dp quantize.
+    `significant` compares the QUANTIZED z against 1.96 — both
+    engines parse the literal to the same double, so the boolean can
+    never disagree with the reported z."""
+    from ..sources.loaders import epoch_us
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("first_us"),
+        F.min(F.when(F.col("event_type") == goal, epoch_us(F.col("ts")))).alias(
+            "goal_us"
+        ),
+    )
+    per_user = per_user.select(
+        "user_id",
+        F.when(
+            F.col("goal_us") - F.col("first_us") <= window_s * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    assigned = per_user.select(
+        _variant(F.col("user_id")).alias("variant"), "converted"
+    )
+    counts = assigned.agg(
+        F.sum((F.col("variant") == "A").cast("bigint")).alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted"))
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("conv_a"),
+        F.sum((F.col("variant") == "B").cast("bigint")).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted"))
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("conv_b"),
+    )
+    # an empty arm (possible on tiny filtered corpora; ANSI mode
+    # raises on conv/0) leaves its rate NULL and the test undefined →
+    # z := 0, not significant
+    both_arms = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    rate_a = F.when(
+        F.col("n_a") > 0, F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    )
+    rate_b = F.when(
+        F.col("n_b") > 0, F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.when(
+        both_arms,
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    # se = 0 iff the pooled rate is exactly 0 or 1, in which case both
+    # variant rates equal it and the effect is exactly 0 — define
+    # z := 0 rather than 0/0 (ANSI mode raises on the division)
+    z = qround(F.when(se > 0.0, (rate_a - rate_b) / se).otherwise(F.lit(0.0)), 4)
+    return counts.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        qround(rate_a, 6).alias("rate_a"),
+        qround(rate_b, 6).alias("rate_b"),
+        qround(rate_a - rate_b, 6).alias("lift"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -3451,6 +3451,67 @@ SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score A
 FROM scored
 """
 
+ORACLE["ab_test_report"] = """
+WITH bounds AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS goal_us
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  -- time-bound activation: first purchase within 24h of first activity
+  SELECT user_id,
+         CASE WHEN goal_us - first_us <= 86400000000 THEN 1 ELSE 0 END AS converted
+  FROM bounds
+),
+assigned AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM per_user
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM assigned
+),
+calc AS (
+  -- empty arm → NULL rate + undefined test (mirrors the Spark guard)
+  SELECT *,
+         CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a_raw,
+         CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b_raw,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled
+  FROM counts
+),
+sec AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN sqrt(pooled * (1.0 - pooled)
+                        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         END AS se
+  FROM calc
+),
+zc AS (
+  -- se = 0 iff pooled rate is exactly 0 or 1 → effect is exactly 0;
+  -- define z := 0 instead of 0/0 (mirrors the Spark-side ANSI guard)
+  SELECT *,
+         floor(CASE WHEN se > 0.0
+                    THEN (rate_a_raw - rate_b_raw) / se
+                    ELSE 0.0 END
+               * 10000.0 + 0.5) / 10000.0 AS z_score
+  FROM sec
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       floor(rate_a_raw * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+       floor(rate_b_raw * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+       floor((rate_a_raw - rate_b_raw) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+       z_score,
+       abs(z_score) > 1.96 AS significant
+FROM zc
+"""
+
 ORACLE["new_vs_returning_daily"] = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

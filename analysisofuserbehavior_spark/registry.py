@@ -3854,6 +3854,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_events(spark, sf_dir))
 
 
+@query("ab_test_report")
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic md5-parity bucketing of
+    user_id, per-variant exposure/conversion (goal = purchase), rates,
+    lift, pooled two-proportion z-score, alpha=0.05 verdict — one
+    conditional-sum reduce to a single row over the raw events scan
+    (operators/experimentation.py)."""
+    from .operators.experimentation import ab_test_report
+
+    return ab_test_report(_events(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

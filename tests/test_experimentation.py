@@ -1,0 +1,107 @@
+"""A/B test report: assignment determinism, z-test arithmetic vs a
+straight-line Python model, the se=0 degenerate guard, and the
+time-bound conversion window semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from analysisofuserbehavior_spark.operators.experimentation import (
+    _variant,
+    ab_test_report,
+)
+
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EVENTS)
+
+
+def _py_variant(uid: int) -> str:
+    return "A" if ord(hashlib.md5(str(uid).encode()).hexdigest()[0]) % 2 == 0 else "B"
+
+
+def test_variant_assignment_matches_python_md5(spark):
+    df = spark.range(0, 200).select(
+        F.col("id"), _variant(F.col("id")).alias("v")
+    )
+    for r in df.collect():
+        assert r["v"] == _py_variant(r["id"]), r["id"]
+    # and the split is roughly balanced — a degenerate hash would
+    # silently turn every experiment into one empty arm
+    counts = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert min(counts.values()) > 60
+
+
+def _mk_user(uid, converted, t0=datetime(2024, 1, 1, 8, 0)):
+    """First event at t0; purchase 1h later iff converted, else a
+    purchase far outside the 24h window."""
+    rows = [(uid * 10, t0, uid, "view", 0.0, "{}")]
+    if converted:
+        rows.append((uid * 10 + 1, t0 + timedelta(hours=1), uid, "purchase", 1.0, "{}"))
+    else:
+        rows.append((uid * 10 + 1, t0 + timedelta(days=5), uid, "purchase", 1.0, "{}"))
+    return rows
+
+
+def test_ab_report_matches_python_model(spark):
+    # build a corpus with a REAL effect: variant A users convert,
+    # variant B users don't (assignment discovered via the model hash)
+    a_users = [u for u in range(100) if _py_variant(u) == "A"][:20]
+    b_users = [u for u in range(100) if _py_variant(u) == "B"][:20]
+    rows = []
+    for u in a_users:
+        rows += _mk_user(u, converted=True)
+    for i, u in enumerate(b_users):
+        rows += _mk_user(u, converted=(i < 4))  # 20% on the B arm
+    got = ab_test_report(_ev(spark, rows)).collect()[0]
+    n_a, n_b, c_a, c_b = 20, 20, 20, 4
+    assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) == (
+        n_a,
+        c_a,
+        n_b,
+        c_b,
+    )
+    ra, rb = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    z = math.floor((ra - rb) / se * 1e4 + 0.5) / 1e4
+    assert got["rate_a"] == math.floor(ra * 1e6 + 0.5) / 1e6
+    assert got["rate_b"] == math.floor(rb * 1e6 + 0.5) / 1e6
+    assert got["z_score"] == z
+    assert got["significant"] is True  # 100% vs 20% on n=20+20 is loud
+
+
+def test_ab_report_se_zero_guard(spark):
+    # every user converts → pooled rate 1.0 → se = 0: the report must
+    # answer z=0 / not-significant, not raise (ANSI division)
+    rows = []
+    for u in range(30):
+        rows += _mk_user(u, converted=True)
+    got = ab_test_report(_ev(spark, rows)).collect()[0]
+    assert got["conv_a"] == got["n_a"] and got["conv_b"] == got["n_b"]
+    assert got["z_score"] == 0.0
+    assert got["significant"] is False
+
+
+def test_ab_report_conversion_is_time_bound(spark):
+    # a purchase outside the window must NOT count as conversion
+    rows = _mk_user(1, converted=False)  # purchase at +5 days
+    got = ab_test_report(_ev(spark, rows)).collect()[0]
+    assert got["conv_a"] + got["conv_b"] == 0
+    # widen the window and the same corpus converts
+    got2 = ab_test_report(_ev(spark, rows), window_s=6 * 86400).collect()[0]
+    assert got2["conv_a"] + got2["conv_b"] == 1
+
+
+def test_ab_report_empty_input(spark):
+    row = ab_test_report(_ev(spark, [])).collect()[0]
+    assert (row["n_a"], row["n_b"]) in ((None, None), (0, 0))

@@ -3451,6 +3451,120 @@ SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score A
 FROM scored
 """
 
+def _bpe_ctes(num_merges: int = 8) -> str:
+    """Shared CTE chain for the BPE family: the merge loop UNROLLED
+    as one (best, words) MATERIALIZED CTE pair per iteration (DuckDB
+    would otherwise inline each CTE into its ~5 consumers and
+    re-derive the whole prefix per level — exponential).  The
+    sentinel-wrapped `replace` is the same greedy left-to-right
+    non-overlapping merge as the Spark side; chr(30) is a
+    never-matching fallback so an exhausted pair space leaves later
+    iterations as no-ops instead of NULLing the corpus."""
+    ctes = [
+        """words0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws,
+         count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 AND word NOT LIKE '%' || chr(31) || '%'
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""best{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, unnest(list_zip(syms, syms[2:])) AS z
+    FROM (SELECT cnt,
+                 string_split(substring(ws, 2, length(ws)-2), chr(31)||chr(31)) AS syms
+          FROM words{p})
+  )
+  WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+words{i} AS MATERIALIZED (
+  SELECT replace(ws,
+           chr(31) || coalesce((SELECT l FROM best{i}), chr(30)) || chr(31)
+             || chr(31) || coalesce((SELECT r FROM best{i}), chr(30)) || chr(31),
+           chr(31) || coalesce((SELECT l FROM best{i}), chr(30))
+             || coalesce((SELECT r FROM best{i}), chr(30)) || chr(31)) AS ws,
+         cnt
+  FROM words{p}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_oracle(num_merges: int = 8) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, pair_count FROM best{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + _bpe_ctes(num_merges)
+        + "\nSELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, merged, pair_count"
+        + "\nFROM (" + union + ") ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(num_merges: int = 8) -> str:
+    """Mirror of bpe_encode_stats: re-learn the merges via _bpe_ctes,
+    then apply them to each DOCUMENT as the same rank-ordered chain of
+    sentinel replaces (scalar subqueries inject the learned pairs)."""
+    encoded = "ws"
+    for i in range(1, num_merges + 1):
+        li = f"coalesce((SELECT l FROM best{i}), chr(30))"
+        ri = f"coalesce((SELECT r FROM best{i}), chr(30))"
+        encoded = (
+            f"replace({encoded},\n"
+            f"  chr(31) || {li} || chr(31) || chr(31) || {ri} || chr(31),\n"
+            f"  chr(31) || {li} || {ri} || chr(31))"
+        )
+    return f"""
+WITH {_bpe_ctes(num_merges)},
+doc_words AS (
+  SELECT list_filter(string_split(text, ' '),
+                     w -> length(w) > 0 AND NOT contains(w, chr(31))) AS wlist
+  FROM documents
+),
+staged AS (
+  SELECT CAST(len(wlist) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(wlist, w -> length(w))), 0) AS BIGINT) AS n_chars,
+         array_to_string(list_transform(wlist,
+             w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')), ' ') AS ws
+  FROM doc_words
+),
+per_doc AS (
+  SELECT n_words, n_chars,
+         CAST((length({encoded})
+               - length(replace({encoded}, chr(31), ''))) / 2 AS BIGINT) AS n_tokens
+  FROM staged
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM per_doc
+)
+SELECT n_docs, total_words, total_chars, total_tokens,
+       floor(CASE WHEN total_tokens > 0
+                  THEN CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) END
+             * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+       floor(CASE WHEN total_words > 0
+                  THEN CAST(total_tokens AS DOUBLE) / CAST(total_words AS DOUBLE) END
+             * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_word
+FROM totals
+"""
+
+
+ORACLE["bpe_learn_merges"] = _bpe_oracle()
+ORACLE["bpe_encode_stats"] = _bpe_encode_oracle()
+
 ORACLE["ab_test_report"] = """
 WITH bounds AS (
   SELECT user_id,

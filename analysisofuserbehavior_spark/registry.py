@@ -3854,6 +3854,30 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_events(spark, sf_dir))
 
 
+@query("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich subword merges):
+    8 merge iterations over the frequency-weighted word vocabulary,
+    each one map-side-combined pair count + a 1-row argmax + a pure
+    map-stage sentinel-string rewrite (operators/bpe.py).  The corpus
+    is scanned ONCE; the oracle unrolls the loop as materialized CTE
+    triples and hash-gates every (rank, pair, count)."""
+    from .operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(spark, _documents(spark, sf_dir), num_merges=8)
+
+
+@query("bpe_encode_stats")
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip: learn 8 BPE merges, ENCODE the corpus
+    with them (rank-ordered literal-replace chain — one map stage),
+    and report compression (chars/token) + fertility (tokens/word)
+    for the learned subword vocabulary (operators/bpe.py)."""
+    from .operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(spark, _documents(spark, sf_dir), num_merges=8)
+
+
 @query("ab_test_report")
 def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: deterministic md5-parity bucketing of
@@ -3988,11 +4012,13 @@ _GATE_WINDOW = [
     # session_window_rollup's slot — its session-rollup algebra is
     # the gated sessionize/session_stats pair's.
     "streaming_scd2_crash_recovery",
-    # round 5: vocab_growth (first-occurrence Heaps-law curve; 10-row
-    # broadcast threshold join) replaces streaming_hourly_clicks,
-    # whose per-batch agg evidence is a subset of the gated
-    # streaming_sliding_trend/streaming_ad_running_totals rows.
-    "vocab_growth",
+    # round 9: bpe_learn_merges (distributed BPE tokenizer training —
+    # iterative weighted-pair argmax + sentinel-string merge rewrite,
+    # oracle = unrolled materialized CTE triples) takes vocab_growth's
+    # slot: both are vocabulary-statistics evidence, and the BPE loop
+    # additionally gates the iterative-literal-replan pattern no other
+    # row carries; vocab_growth stays hash-verified in the full oracle.
+    "bpe_learn_merges",
     # round 8: session_concurrency_hourly (distributed sweep-line —
     # two-level prefix sum vs the oracle's serial global window) takes
     # area_top3_products_sql's slot, whose SQL-surface twin evidence
@@ -4037,11 +4063,13 @@ _GATE_WINDOW = [
     # + delete-drop reduction) takes ad_click_trend's slot — the
     # batch twin of the gated streaming_sliding_trend.
     "cdc_apply_changelog",
-    # round 5: tpch_q11_derived (integer-cents HAVING-vs-global-total
-    # two-agg shape) replaces tpch_q6, whose scan-agg pushdown
-    # evidence the tests/test_plans.py PushedFilters assertion
-    # carries (tpch_q1 itself rotated out in round 6).
-    "tpch_q11_derived",
+    # round 9: ab_test_report (md5-parity unit bucketing + pooled
+    # two-proportion z-test with cross-engine sqrt/division parity —
+    # an experimentation evidence class no other row carries) takes
+    # tpch_q11_derived's slot, whose HAVING-vs-global-total two-agg
+    # shape stays hash-verified in the full oracle alongside 20 TPC-H
+    # siblings (tpch_q6's scan-agg pushdown is plan-asserted).
+    "ab_test_report",
     # round 7: corpus_pipeline_e2e (the COMPOSED lifecycle — quality
     # gate → canonical dedup → span scrub → chunking → packing, with
     # per-stage corpus statistics over each stage's own input) takes

@@ -540,6 +540,24 @@ def test_inverted_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert re.search(r"PushedFilters: \[In\(token", plan), plan
 
 
+def test_bpe_iteration_never_rescans_corpus(spark, sf_dir):
+    """BPE learning touches the corpus exactly once (the vocab
+    collapse); every merge iteration's pair count must read the
+    checkpointed vocab RDD, not parquet — at 100 TB a per-iteration
+    corpus rescan would multiply the scan cost by num_merges."""
+    from analysisofuserbehavior_spark.functions.ckpt import ckpt
+    from analysisofuserbehavior_spark.operators.bpe import (
+        _pair_counts,
+        _word_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pc = _pair_counts(ckpt(_word_vocab(docs)))
+    plan = plans.executed_plan(pc).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
 def test_composed_pipelines_truncate_stage_lineage(spark, sf_dir):
     """corpus_pipeline_e2e and clean_corpus feed each survivor frame
     into MULTIPLE downstream branches; re-derived branches recompute

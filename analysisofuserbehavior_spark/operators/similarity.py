@@ -96,6 +96,74 @@ def ann_bruteforce_topk(
     )
 
 
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+) -> DataFrame:
+    """Top-k HARD NEGATIVES per query vector: the most cosine-similar
+    corpus vectors carrying a DIFFERENT label, excluding
+    near-duplicates (quantized sim >= dup_threshold — a high-sim
+    cross-label pair is far more likely a labeling error than a
+    legitimate hard negative, the standard filtered-mining rule from
+    dense-retrieval training, e.g. RocketQA's denoised negatives).
+
+    The label inequality also excludes self-pairs (same id ⇒ same
+    label).  Ranking and output quantization follow the ANN family's
+    cross-engine discipline (_sim_order: 3-dp quantized sim, id
+    tie-break), and the dup filter applies BEFORE ranking in both
+    engines (SQL WHERE precedes window evaluation), so ranks match
+    the oracle exactly.
+
+    Scale: brute-force scoring with the ≤n_queries-row query block
+    broadcast — a pure map over the corpus, like ann_bruteforce_topk
+    (the documented baseline).  At 100 TB mine negatives from the
+    IVF layout instead: probe each query's top cells via
+    ann_ivf_topk_indexed's pruned scan and apply the same
+    label/dup filter — candidate generation is then O(probed cells),
+    not O(corpus)."""
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _to_double(F.col("embedding")).alias("q_vec"),
+    )
+    queries = queries.select(
+        "query_id", "q_label", "q_vec", norm(F.col("q_vec")).alias("q_norm")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _to_double(F.col("embedding")).alias("n_vec"),
+    )
+    corpus = corpus.select(
+        "neighbor_id",
+        "neighbor_label",
+        "n_vec",
+        norm(F.col("n_vec")).alias("n_norm"),
+    )
+    sims = (
+        corpus.join(
+            F.broadcast(queries),
+            F.col("neighbor_label") != F.col("q_label"),
+        )
+        .withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+        .where(qround(F.col("sim"), 3) < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            qround(F.col("sim"), 3).alias("sim"),
+        )
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:

@@ -576,6 +576,24 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, floor(sim * 1000.0 + 0
 FROM sims WHERE rn <= 5
 """
 
+ORACLE["hard_negative_mining"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_cosine_similarity(q.v, c.v) AS sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5) / 1000.0 DESC,
+                                     c.vec_id ASC) AS rn
+  FROM e q JOIN e c ON c.label != q.label
+  WHERE q.vec_id < 10
+    AND floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5) / 1000.0 < 0.95
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       CAST(neighbor_label AS INTEGER) AS neighbor_label,
+       floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
+FROM sims WHERE rn <= 5
+"""
+
 _STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with']"
 
 # run_task migration path: the task_param drives a DATE-RESTRICTED

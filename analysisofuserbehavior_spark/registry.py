@@ -518,6 +518,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce_topk(_embeddings(spark, sf_dir))
 
 
+@query("hard_negative_mining")
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: per query vector, the
+    top-5 most cosine-similar DIFFERENT-label vectors, with
+    near-duplicates (sim >= 0.95) excluded as probable label noise
+    (operators/similarity.py::hard_negative_mining)."""
+    from .operators.similarity import hard_negative_mining
+
+    return hard_negative_mining(_embeddings(spark, sf_dir))
+
+
 @query("ann_ivf_topk")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k — the oracle replays the exact

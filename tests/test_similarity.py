@@ -283,3 +283,40 @@ def test_semantic_dedup_mass_duplicated_vectors_no_quadratic_pairs(spark):
     assert kept == {1, 9000}, sorted(kept)[:10]
     assert len(got) == 5003
     assert elapsed < 60, f"{elapsed:.1f}s — pre-collapse regression?"
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Synthetic 2-D corpus with known geometry: same-label vectors
+    are never returned, near-duplicates (sim >= .95 quantized) are
+    excluded as label noise, and survivors rank by similarity."""
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (0, vec(0), 0),    # the query (vec_id < 1)
+        (1, vec(2), 1),    # cross-label near-dup (cos 2° ≈ .9994) → excluded
+        (2, vec(25), 1),   # hard negative, sim ≈ .906
+        (3, vec(60), 1),   # easier negative, sim = .5
+        (4, vec(10), 0),   # same label → excluded however similar
+        (5, vec(90), 1),   # orthogonal, sim = 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = similarity.hard_negative_mining(emb, n_queries=1, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3, 5]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert all(r["neighbor_label"] == 1 for r in got)
+    assert got[0]["sim"] < 0.95  # the dup boundary held
+
+
+def test_hard_negative_mining_empty_cross_label(spark):
+    # single-label corpus → no valid negatives, empty result (not a crash)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0], 7) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.hard_negative_mining(emb, n_queries=2, k=3).count() == 0

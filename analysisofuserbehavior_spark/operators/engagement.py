@@ -210,3 +210,117 @@ def new_vs_returning_daily(actions: DataFrame) -> DataFrame:
             (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
         )
     )
+
+
+def funnel_within_window(
+    events: DataFrame, window_s: int = 6 * 3600
+) -> DataFrame:
+    """Time-CONSTRAINED ordered funnel (ClickHouse `windowFunnel`
+    semantics): a user reaches level k iff some chain
+    view ≺ click ≺ purchase exists, each step strictly later in
+    (ts, event_id) order, with EVERY step within `window_s` of the
+    chain's FIRST event — `funnel_sequential` without the window
+    answers lifetime reachability; this answers "did the journey
+    happen in one sitting".
+
+    Algorithm (per user, one row-local fold over the time-sorted
+    event array): keep, per level, the LATEST chain-start timestamp
+    achieving it — keeping the max start dominates every other chain
+    for all future extensions (a later start leaves more window), so
+    the greedy fold is exact: it reports level k iff ANY qualifying
+    chain exists (pinned against the oracle's brute-force EXISTS
+    triple join).
+
+    Scale: one shuffle (groupBy user), then O(n·levels) row-local
+    work on the collected per-user event structs — per-user event
+    counts bound memory exactly like the sessionize rollup; no
+    self-join of raw events ever materializes (the oracle's
+    |views|×|clicks|×|purchases| triple join is the shape this
+    operator exists to avoid)."""
+    from ..sources.loaders import epoch_us
+
+    t_us = F.lit(int(window_s) * 1_000_000)
+    typed = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.struct(
+            epoch_us(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+            .alias("tc"),
+        ).alias("ev"),
+    )
+    per_user = typed.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ev")).alias("evs")
+    )
+    # fold accumulator: latest chain-start (epoch-us) reaching each
+    # level, -1 = unreached.  An event is exactly one type, so using
+    # the PRE-update l1/l2 inside one step is unambiguous.
+    zero = F.struct(
+        F.lit(-1).cast("bigint").alias("l1"),
+        F.lit(-1).cast("bigint").alias("l2"),
+        F.lit(-1).cast("bigint").alias("l3"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            F.when((x["tc"] == 1) & (x["us"] > acc["l1"]), x["us"])
+            .otherwise(acc["l1"])
+            .alias("l1"),
+            F.when(
+                (x["tc"] == 2)
+                & (acc["l1"] >= 0)
+                & (x["us"] - acc["l1"] <= t_us)
+                & (acc["l1"] > acc["l2"]),
+                acc["l1"],
+            )
+            .otherwise(acc["l2"])
+            .alias("l2"),
+            F.when(
+                (x["tc"] == 3)
+                & (acc["l2"] >= 0)
+                & (x["us"] - acc["l2"] <= t_us)
+                & (acc["l2"] > acc["l3"]),
+                acc["l2"],
+            )
+            .otherwise(acc["l3"])
+            .alias("l3"),
+        )
+
+    levels = per_user.select(
+        F.aggregate("evs", zero, step).alias("acc")
+    ).select(
+        (F.col("acc.l1") >= 0).cast("int").alias("r1"),
+        (F.col("acc.l2") >= 0).cast("int").alias("r2"),
+        (F.col("acc.l3") >= 0).cast("int").alias("r3"),
+    )
+    totals = levels.agg(
+        F.sum("r1").cast("bigint").alias("u1"),
+        F.sum("r2").cast("bigint").alias("u2"),
+        F.sum("r3").cast("bigint").alias("u3"),
+    )
+    return (
+        totals.select(
+            F.lit(1).cast("bigint").alias("step"),
+            F.lit("view").alias("stage"),
+            F.coalesce("u1", F.lit(0)).alias("users"),
+        )
+        .unionByName(
+            totals.select(
+                F.lit(2).cast("bigint").alias("step"),
+                F.lit("view>click").alias("stage"),
+                F.coalesce("u2", F.lit(0)).alias("users"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(3).cast("bigint").alias("step"),
+                F.lit("view>click>purchase").alias("stage"),
+                F.coalesce("u3", F.lit(0)).alias("users"),
+            )
+        )
+        .orderBy("step")
+    )

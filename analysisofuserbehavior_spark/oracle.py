@@ -576,6 +576,37 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, floor(sim * 1000.0 + 0
 FROM sims WHERE rn <= 5
 """
 
+# windowFunnel: brute-force EXISTS restatement — the operator's fold
+# is the thing under test, so the oracle deliberately takes the
+# naive |v|x|c|x|p| join shape the operator avoids.  6h window in us.
+ORACLE["funnel_within_window"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+u2 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c ON c.user_id = v.user_id
+       WHERE v.event_type = 'view' AND c.event_type = 'click'
+         AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+         AND c.us - v.us <= 21600000000),
+u3 AS (SELECT DISTINCT v.user_id
+       FROM e v JOIN e c ON c.user_id = v.user_id
+                JOIN e p ON p.user_id = v.user_id
+       WHERE v.event_type = 'view' AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+         AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
+         AND c.us - v.us <= 21600000000
+         AND p.us - v.us <= 21600000000)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+         CAST((SELECT count(*) FROM u1) AS BIGINT) AS users
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'view>click',
+         CAST((SELECT count(*) FROM u2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'view>click>purchase',
+         CAST((SELECT count(*) FROM u3) AS BIGINT)
+) ORDER BY step
+"""
+
 ORACLE["hard_negative_mining"] = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sims AS (

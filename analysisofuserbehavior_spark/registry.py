@@ -3408,6 +3408,18 @@ def q_clicks_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("funnel_within_window")
+def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel: the view→click→purchase funnel where every step
+    must land within 6h of the chain's first event — greedy max-start
+    fold per user (exact; oracle is the brute-force EXISTS triple
+    join), one shuffle, no raw-event self-join
+    (operators/engagement.py::funnel_within_window)."""
+    from .operators.engagement import funnel_within_window
+
+    return funnel_within_window(_events(spark, sf_dir))
+
+
 @query("daily_anomaly_zscore")
 def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: each (event_type, day)

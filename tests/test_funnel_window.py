@@ -1,0 +1,128 @@
+"""funnel_within_window: the greedy max-start fold vs a brute-force
+chain search, randomized (hypothesis) plus adversarial boundary
+cases."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from analysisofuserbehavior_spark.operators.engagement import funnel_within_window
+
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+T0 = datetime(2024, 1, 1)
+WINDOW_S = 3600  # 1h window for the synthetic cases
+TYPES = ["view", "click", "purchase"]
+
+
+def _brute_levels(evs, window_s):
+    """evs: [(offset_s, event_id, type_code 1..3)].  Exhaustive chain
+    search under (ts, event_id) ordering."""
+    evs = sorted(evs, key=lambda e: (e[0], e[1]))
+    n = len(evs)
+    r1 = any(e[2] == 1 for e in evs)
+    r2 = r3 = False
+    for i in range(n):
+        if evs[i][2] != 1:
+            continue
+        for j in range(i + 1, n):
+            if evs[j][2] != 2 or evs[j][0] - evs[i][0] > window_s:
+                continue
+            r2 = True
+            for k in range(j + 1, n):
+                if evs[k][2] == 3 and evs[k][0] - evs[i][0] <= window_s:
+                    r3 = True
+    return r1, r2, r3
+
+
+def _run(spark, per_user_events, window_s=WINDOW_S):
+    rows = []
+    for uid, evs in per_user_events.items():
+        for off, eid, tc in evs:
+            rows.append(
+                (
+                    uid * 1000 + eid,  # globally unique, per-user order-preserving
+                    T0 + timedelta(seconds=off),
+                    uid,
+                    TYPES[tc - 1],
+                    0.0,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(rows, EVENTS)
+    got = {r["step"]: r["users"] for r in funnel_within_window(df, window_s).collect()}
+    return got
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7200),
+                st.just(0),
+                st.integers(min_value=1, max_value=3),
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_fold_matches_bruteforce(spark, users):
+    per_user = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        # assign globally unique, order-meaningful event ids
+        tagged = []
+        for off, _, tc in evs:
+            tagged.append((off, eid, tc))
+            eid += 1
+        per_user[uid] = tagged
+    want = [0, 0, 0]
+    for evs in per_user.values():
+        r = _brute_levels(evs, WINDOW_S)
+        for i in range(3):
+            want[i] += int(r[i])
+    got = _run(spark, per_user)
+    assert [got[1], got[2], got[3]] == want
+
+
+def test_later_start_dominates(spark):
+    # earliest view's window expires before the purchase; a later view
+    # rescues the chain — a "keep only the FIRST view" fold would miss it
+    evs = [
+        (0, 1, 1),      # view (chain would need purchase by 3600)
+        (10, 2, 2),     # click
+        (3000, 3, 1),   # later view
+        (3100, 4, 2),   # click after it
+        (5000, 5, 3),   # purchase: 5000-3000=2000 <= 3600 OK; 5000-0 > 3600
+    ]
+    got = _run(spark, {7: evs})
+    assert (got[1], got[2], got[3]) == (1, 1, 1)
+
+
+def test_window_boundary_inclusive(spark):
+    # step exactly AT the window edge counts (<=), one past it doesn't
+    on_edge = {1: [(0, 1, 1), (WINDOW_S, 2, 2)]}
+    past_edge = {1: [(0, 1, 1), (WINDOW_S + 1, 2, 2)]}
+    assert _run(spark, on_edge)[2] == 1
+    assert _run(spark, past_edge)[2] == 0
+
+
+def test_order_strictness_same_timestamp(spark):
+    # same-timestamp events: later event_id counts as "after"
+    after = {1: [(0, 1, 1), (0, 2, 2)]}
+    before = {1: [(0, 2, 1), (0, 1, 2)]}  # click precedes view in order
+    assert _run(spark, after)[2] == 1
+    assert _run(spark, before)[2] == 0
+
+
+def test_empty_events(spark):
+    got = _run(spark, {})
+    assert (got[1], got[2], got[3]) == (0, 0, 0)

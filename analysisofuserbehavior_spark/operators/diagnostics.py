@@ -83,3 +83,90 @@ def skew_key_diagnostics(frames: list[tuple[DataFrame, str, str]]) -> DataFrame:
         p = key_skew_profile(df, key_col, label)
         out = p if out is None else out.unionByName(p)
     return out
+
+
+def seasonal_anomaly_dow(
+    events: DataFrame, k_sigma: int = 2, anchor_monday: str = "2024-01-01"
+) -> DataFrame:
+    """Day-of-week-SEASONAL anomaly detection over daily event-type
+    volumes — `daily_anomaly_zscore`'s trailing window flags Monday
+    traffic against the trailing week (which contains one of each
+    weekday), so a perfectly normal weekly rhythm with quiet weekends
+    z-scores every Saturday; this operator compares each (type, day)
+    count against OTHER days of the same weekday (leave-one-out), the
+    weekly-seasonality baseline real volume monitors use.
+
+    Exactness: the anomaly VERDICT is decided entirely in BIGINT
+    arithmetic — with n' = n-1 same-dow peers, s1'/s2' their exact
+    count sums, the |z| > k test  ((c·n'-s1')² · (n'-1) > k² · n' ·
+    (n'·s2'-s1'²))  is the z-formula cleared of both divisions and
+    the sqrt, so the boolean can never disagree across engines.  The
+    REPORTED z is the same quantity in doubles (qround 4) for humans;
+    the flag does not derive from it.  Weekday comes from
+    datediff-mod-7 against an anchor Monday — engine-neutral, no
+    locale-dependent dayofweek().
+
+    Overflow bound: the integer test peaks at (c·n')²·n' — safe in
+    int64 up to ~10⁵ events/day/type at n'≈30; at true 100 TB volumes
+    (10⁹/day) promote the four products to decimal(38,0) — same
+    expressions, same semantics.
+
+    Scale: one groupBy(type, day) map-side reduce, then the seasonal
+    stats join on (type, dow) — 7·|types| rows, broadcast; no window
+    over data-volume partitions at all."""
+    daily = (
+        events.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(F.to_date("day"), F.to_date(F.lit(anchor_monday))),
+                F.lit(7),
+            ).cast("int"),
+        )
+    )
+    season = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("t1"),
+        F.sum(F.col("c") * F.col("c")).alias("t2"),
+    )
+    j = daily.join(F.broadcast(season), ["event_type", "dow"])
+    np_ = (F.col("n") - 1).alias("np")  # peers: leave the day itself out
+    s1 = (F.col("t1") - F.col("c")).alias("s1")
+    s2 = (F.col("t2") - F.col("c") * F.col("c")).alias("s2")
+    j = j.select("event_type", "day", "dow", "c", np_, s1, s2).where(
+        F.col("np") >= 2
+    )
+    # integer-exact |z| > k:  (c·n'-s1')²·(n'-1)  vs  k²·n'·(n'·s2'-s1'²)
+    dev = F.col("c") * F.col("np") - F.col("s1")
+    varn = F.col("np") * F.col("s2") - F.col("s1") * F.col("s1")
+    flag = (dev * dev * (F.col("np") - 1)) > (
+        F.lit(int(k_sigma * k_sigma)) * F.col("np") * varn
+    )
+    mean = F.col("s1").cast("double") / F.col("np").cast("double")
+    z = F.when(
+        varn > 0,
+        dev.cast("double")
+        / (
+            F.col("np").cast("double")
+            * F.sqrt(
+                varn.cast("double")
+                / (F.col("np").cast("double") * (F.col("np") - 1).cast("double"))
+            )
+        ),
+    )
+    return j.select(
+        "event_type",
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("c").cast("bigint").alias("n_events"),
+        qround(mean, 6).alias("dow_mean"),
+        qround(z, 4).alias("zscore"),
+        flag.alias("is_anomaly"),
+    ).orderBy("event_type", "day")

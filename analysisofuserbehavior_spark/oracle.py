@@ -576,6 +576,43 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, floor(sim * 1000.0 + 0
 FROM sims WHERE rn <= 5
 """
 
+ORACLE["seasonal_anomaly_dow"] = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dowd AS (
+  SELECT *,
+         CAST(((date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) % 7) + 7) % 7
+              AS INTEGER) AS dow
+  FROM daily
+),
+season AS (
+  SELECT event_type, dow, count(*) AS n, sum(c) AS t1, sum(c * c) AS t2
+  FROM dowd GROUP BY 1, 2
+),
+j AS (
+  SELECT d.event_type, d.day, d.dow, d.c,
+         CAST(s.n - 1 AS BIGINT) AS np,
+         CAST(s.t1 - d.c AS BIGINT) AS s1,
+         CAST(s.t2 - d.c * d.c AS BIGINT) AS s2
+  FROM dowd d JOIN season s USING (event_type, dow)
+  WHERE s.n - 1 >= 2
+)
+SELECT event_type, day, dow, CAST(c AS BIGINT) AS n_events,
+       floor(CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS dow_mean,
+       floor(CASE WHEN np * s2 - s1 * s1 > 0 THEN
+               CAST(c * np - s1 AS DOUBLE)
+               / (CAST(np AS DOUBLE)
+                  * sqrt(CAST(np * s2 - s1 * s1 AS DOUBLE)
+                         / (CAST(np AS DOUBLE) * CAST(np - 1 AS DOUBLE))))
+             END * 10000.0 + 0.5) / 10000.0 AS zscore,
+       (c * np - s1) * (c * np - s1) * (np - 1) > 4 * np * (np * s2 - s1 * s1)
+         AS is_anomaly
+FROM j ORDER BY event_type, day
+"""
+
 # windowFunnel: brute-force EXISTS restatement — the operator's fold
 # is the thing under test, so the oracle deliberately takes the
 # naive |v|x|c|x|p| join shape the operator avoids.  6h window in us.

@@ -3408,6 +3408,18 @@ def q_clicks_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("seasonal_anomaly_dow")
+def q_seasonal_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality anomaly monitor: each (event_type, day)
+    volume vs OTHER days of the same weekday (leave-one-out), the
+    anomaly verdict decided entirely in BIGINT arithmetic (z-test
+    cleared of divisions and sqrt) so it can never drift across
+    engines (operators/diagnostics.py::seasonal_anomaly_dow)."""
+    from .operators.diagnostics import seasonal_anomaly_dow
+
+    return seasonal_anomaly_dow(_events(spark, sf_dir))
+
+
 @query("funnel_within_window")
 def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel: the view→click→purchase funnel where every step

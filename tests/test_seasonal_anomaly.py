@@ -1,0 +1,75 @@
+"""seasonal_anomaly_dow: leave-one-out weekday baseline, integer-exact
+flagging, and the float-z/integer-flag agreement."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from analysisofuserbehavior_spark.operators.diagnostics import seasonal_anomaly_dow
+
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+MONDAY = datetime(2024, 1, 1, 12, 0)  # the operator's anchor Monday
+
+
+def _days(spark, counts_by_day):
+    """counts_by_day: {day_offset: n_events} — all 'click' events."""
+    rows, eid = [], 0
+    for off, n in counts_by_day.items():
+        for _ in range(n):
+            rows.append((eid, MONDAY + timedelta(days=off), 1, "click", 0.0, "{}"))
+            eid += 1
+    return spark.createDataFrame(rows, EVENTS)
+
+
+def test_inflated_weekday_flagged_others_not(spark):
+    # 5 Mondays at 10 events, one Monday at 50; Tuesdays flat at 10
+    counts = {7 * i: 10 for i in range(5)}
+    counts[7 * 5] = 50
+    counts.update({7 * i + 1: 10 for i in range(6)})
+    out = {r["day"]: r for r in seasonal_anomaly_dow(_days(spark, counts)).collect()}
+    assert out["2024-02-05"]["is_anomaly"] is True  # the inflated Monday
+    assert out["2024-02-05"]["dow"] == 0
+    # its PEERS are the quiet Mondays only (leave-one-out): mean 10.0
+    assert out["2024-02-05"]["dow_mean"] == 10.0
+    # every other day: flat vs flat peers... except quiet Mondays,
+    # whose peer set CONTAINS the spike — high variance, not flagged
+    for day, r in out.items():
+        if day != "2024-02-05":
+            assert r["is_anomaly"] is False, day
+
+
+def test_integer_flag_agrees_with_float_z(spark):
+    # randomized-ish counts: the BIGINT verdict must equal |z| > 2
+    # computed from the reported pieces
+    counts = {}
+    vals = [12, 9, 15, 11, 30, 13, 8, 14, 10, 12, 11, 16]
+    for i, v in enumerate(vals):
+        counts[7 * i] = v  # all Mondays
+    rows = seasonal_anomaly_dow(_days(spark, counts)).collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        if r["zscore"] is None:
+            continue
+        assert r["is_anomaly"] == (abs(r["zscore"]) > 2.0), r
+
+
+def test_small_peer_groups_excluded(spark):
+    # two Mondays → np = 1 < 2: no verdict rows at all
+    out = seasonal_anomaly_dow(_days(spark, {0: 10, 7: 20})).collect()
+    assert out == []
+
+
+def test_zero_variance_peers_flag_any_deviation(spark):
+    # peers all exactly 10, current day 11 → z undefined (NULL) but
+    # the integer test flags the deviation (documented semantics)
+    counts = {7 * i: 10 for i in range(4)}
+    counts[28] = 11
+    out = {r["day"]: r for r in seasonal_anomaly_dow(_days(spark, counts)).collect()}
+    spike = out["2024-01-29"]
+    assert spike["zscore"] is None and spike["is_anomaly"] is True
+    flat = out["2024-01-01"]
+    assert flat["is_anomaly"] is False

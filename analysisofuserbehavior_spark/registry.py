@@ -53,6 +53,12 @@ _SHARED_ACTIONS: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]
 _SHARED_SESSIONS: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     _weakref.WeakKeyDictionary()
 )
+# built inverted-index layouts per (session, sf_dir) — paths, not
+# DataFrames; tempdirs die with the OS tmp cleanup, entries with the
+# session (see q_bm25_topk_indexed for why the cache is correct)
+_INV_INDEX: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def enable_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3670,13 +3676,22 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-computed partition IN-literal (PartitionFilters —
     plan-asserted in tests/test_plans.py) — the text-retrieval twin of
     ann_ivf_topk_indexed's layout story.  Scores are expression-
-    identical to bm25_topk, so the hash oracle is bm25_topk's."""
+    identical to bm25_topk, so the hash oracle is bm25_topk's.
+
+    The built index is cached per (session, sf_dir) — an index IS a
+    materialized layout, built once and queried many times; rebuilding
+    per query would mis-state the operator's cost the same way
+    re-sessionizing per query did before enable_shared_scan."""
     import tempfile
 
     from .operators.retrieval import bm25_topk_indexed, write_inverted_index
 
-    path = tempfile.mkdtemp(prefix="invidx_q_") + "/idx"
-    write_inverted_index(_documents(spark, sf_dir), path)
+    cache = _INV_INDEX.setdefault(spark, {})
+    path = cache.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="invidx_q_") + "/idx"
+        write_inverted_index(_documents(spark, sf_dir), path)
+        cache[sf_dir] = path
     return bm25_topk_indexed(spark, path)
 
 

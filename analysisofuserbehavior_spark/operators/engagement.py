@@ -302,25 +302,26 @@ def funnel_within_window(
         F.sum("r2").cast("bigint").alias("u2"),
         F.sum("r3").cast("bigint").alias("u3"),
     )
+    # one explode of a 3-struct array — NOT a 3-branch union, which
+    # would re-derive the totals aggregate once per branch (the
+    # re-derived-branch lesson; plan-visible as 6 static exchanges)
+    def stage(n: int, name: str, col: str):
+        return F.struct(
+            F.lit(n).cast("bigint").alias("step"),
+            F.lit(name).alias("stage"),
+            F.coalesce(F.col(col), F.lit(0)).cast("bigint").alias("users"),
+        )
+
     return (
         totals.select(
-            F.lit(1).cast("bigint").alias("step"),
-            F.lit("view").alias("stage"),
-            F.coalesce("u1", F.lit(0)).alias("users"),
+            F.explode(
+                F.array(
+                    stage(1, "view", "u1"),
+                    stage(2, "view>click", "u2"),
+                    stage(3, "view>click>purchase", "u3"),
+                )
+            ).alias("s")
         )
-        .unionByName(
-            totals.select(
-                F.lit(2).cast("bigint").alias("step"),
-                F.lit("view>click").alias("stage"),
-                F.coalesce("u2", F.lit(0)).alias("users"),
-            )
-        )
-        .unionByName(
-            totals.select(
-                F.lit(3).cast("bigint").alias("step"),
-                F.lit("view>click>purchase").alias("stage"),
-                F.coalesce("u3", F.lit(0)).alias("users"),
-            )
-        )
+        .select("s.step", "s.stage", "s.users")
         .orderBy("step")
     )

@@ -32,25 +32,27 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-ROUND6_TOUCHED = [
+ROUND_TOUCHED = [
+    # round 9
+    "bm25_topk_indexed",
+    "ab_test_report",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "hard_negative_mining",
+    "funnel_within_window",
+    "seasonal_anomaly_dow",
+    # round-6 carryovers (LM family + streaming replays)
     "unigram_surprisal",
-    "bigram_surprisal",
     "backoff_surprisal",
-    "dup_ngram_coverage",
     "remove_dup_spans",
-    "doc_tfidf_top_terms",
     "streaming_scd2_crash_recovery",
-    "streaming_late_event_drop",
-    "streaming_click_attribution",
-    "snapshot_diff_customer",
     "pack_sequences",
-    "ad_click_trend",
 ]
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or ROUND6_TOUCHED
+    names = sys.argv[2:] or ROUND_TOUCHED
     spark = get_spark("audit_one_row", cpus=8)
     work = tempfile.mkdtemp(prefix="one_row_sf_")
     import glob as _glob

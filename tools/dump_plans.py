@@ -43,6 +43,11 @@ FLAGSHIPS = [
     ("pack_sequences", "two-pass prefix sum, no global window"),
     ("trending_items_decayed", "integer-space exponential decay; raw events scan"),
     ("rfm_segments", "three histogram-CDF quartile frames, broadcast thresholds"),
+    ("bm25_topk_indexed", "partition-pruned term shards; 3/16 buckets listed"),
+    ("ab_test_report", "row-local hash bucketing; two map-side reduces to 1 row"),
+    ("funnel_within_window", "one user shuffle; greedy fold, no event self-join"),
+    ("seasonal_anomaly_dow", "daily reduce + broadcast 7-row-per-type seasonal join"),
+    ("hard_negative_mining", "broadcast query block; map-only scoring"),
 ]
 
 

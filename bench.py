@@ -207,6 +207,14 @@ HEADLINE = [
     "rfm_segments",
     "new_vs_returning_daily",
     "basket_affinity_rules",
+    # round 9
+    "bm25_topk_indexed",
+    "ab_test_report",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "hard_negative_mining",
+    "funnel_within_window",
+    "seasonal_anomaly_dow",
 ]
 
 

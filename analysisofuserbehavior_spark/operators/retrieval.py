@@ -165,6 +165,45 @@ def write_inverted_index(
     ).write.mode("overwrite").parquet(path + "/_stats")
 
 
+def append_inverted_index(
+    docs_new: DataFrame, path: str, n_buckets: int = DEFAULT_INDEX_BUCKETS
+) -> None:
+    """Incremental admission: add a NEW batch of documents to an
+    existing `write_inverted_index` layout without rebuilding it —
+    the batch's postings append under their bucket directories, and
+    `_stats` gains one row (the stats sidecar is a MANIFEST of exact
+    per-batch BIGINTs; the query aggregates it, so k ingests cost the
+    same one-row sum as one).  Work is O(batch), never O(index) — the
+    same admission contract as operators/curation.py's
+    incremental_admit.
+
+    Contract: batches must PARTITION the corpus by doc_id.  A doc
+    re-ingested in a second batch would double its (token, doc)
+    posting rows — inflating its tf via the pivot sum AND the term df
+    (df counts posting rows) — so re-ingestion means rebuild (or
+    exact-dedup upstream).  `bm25_topk_indexed` over base+appended
+    batches is hash-identical to a full rebuild (gated:
+    bm25_topk_incremental)."""
+    toks = _tokens()
+    base = docs_new.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), toks.alias("toks")
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _token_bucket(F.col("token"), n_buckets))
+    )
+    postings.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("append").parquet(path + "/_stats")
+
+
 def bm25_topk_indexed(
     spark,
     index_path: str,
@@ -196,11 +235,21 @@ def bm25_topk_indexed(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("token").isin(list(query_terms)))
     )
-    stats = spark.read.parquet(index_path + "/_stats").select(
-        F.col("n_docs").cast("double").alias("n_docs"),
-        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
-            "avgdl"
-        ),
+    # _stats is a per-ingest-batch manifest: exact BIGINT totals sum
+    # across batches, THEN the one double division — identical
+    # arithmetic whether the index was built in 1 write or k appends
+    stats = (
+        spark.read.parquet(index_path + "/_stats")
+        .agg(
+            F.sum("n_docs").alias("t_docs"),
+            F.sum("sum_dl").alias("t_dl"),
+        )
+        .select(
+            F.col("t_docs").cast("double").alias("n_docs"),
+            (
+                F.col("t_dl").cast("double") / F.col("t_docs").cast("double")
+            ).alias("avgdl"),
+        )
     )
     # per-term df: every posting row of term t is one distinct doc
     dfs = postings.groupBy().agg(

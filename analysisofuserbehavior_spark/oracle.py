@@ -2350,8 +2350,11 @@ ORACLE["bm25_topk"] = _bm25_oracle()
 
 # the indexed variant is score-expression-identical by construction
 # (sharded posting lists change IO, not arithmetic), so it shares the
-# scan operator's oracle verbatim
+# scan operator's oracle verbatim; the incremental build must land on
+# the same index contents, so it shares it too — the gate row IS the
+# proof that append == rebuild
 ORACLE["bm25_topk_indexed"] = _bm25_oracle()
+ORACLE["bm25_topk_incremental"] = _bm25_oracle()
 
 ORACLE["unigram_surprisal"] = """
 WITH pairs AS (

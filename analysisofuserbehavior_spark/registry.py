@@ -3695,6 +3695,28 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, path)
 
 
+@query("bm25_topk_incremental")
+def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-admission proof for the inverted index: build from
+    the even doc_ids, APPEND the odd ones (O(batch) posting + stats
+    writes, no rebuild), query — hash-identical to the full build and
+    to bm25_topk itself (shared oracle).  The index lifecycle twin of
+    curation.incremental_admit."""
+    import tempfile
+
+    from .operators.retrieval import (
+        append_inverted_index,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = _documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="invidx_inc_") + "/idx"
+    write_inverted_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    append_inverted_index(docs.where(F.col("doc_id") % 2 == 1), path)
+    return bm25_topk_indexed(spark, path)
+
+
 @query("unigram_surprisal")
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM mean surprisal per doc (bits/token) — the cheap

@@ -142,3 +142,48 @@ def test_inverted_index_stats_are_exact_integers(spark, tmp_path):
     assert row["n_docs"] == len(DOCS)
     assert row["sum_dl"] == sum(len(t.split(" ")) for _, t in DOCS)
     assert row["n_buckets"] == 16
+
+
+def test_incremental_index_append_equals_rebuild(spark, tmp_path):
+    """Admitting docs in two batches must produce an index whose
+    query results are IDENTICAL to a single full build — postings
+    per (token, doc) and the summed stats manifest both exact."""
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        append_inverted_index,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = _docs_df(spark)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    write_inverted_index(docs, full)
+    write_inverted_index(docs.where("doc_id % 2 = 0"), inc)
+    append_inverted_index(docs.where("doc_id % 2 = 1"), inc)
+    terms = ("spark", "join", "window", "stream")
+    a = [tuple(r) for r in bm25_topk_indexed(spark, full, terms, k=10).collect()]
+    b = [tuple(r) for r in bm25_topk_indexed(spark, inc, terms, k=10).collect()]
+    assert a == b
+    # the stats manifest really is two rows of exact integers
+    rows = spark.read.parquet(inc + "/_stats").collect()
+    assert len(rows) == 2
+    assert sum(r["n_docs"] for r in rows) == len(DOCS)
+    assert sum(r["sum_dl"] for r in rows) == sum(
+        len(t.split(" ")) for _, t in DOCS
+    )
+
+
+def test_incremental_append_to_empty_batch(spark, tmp_path):
+    # an empty admission batch is a no-op, not a corruption
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        append_inverted_index,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = _docs_df(spark)
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+    before = [tuple(r) for r in bm25_topk_indexed(spark, path).collect()]
+    append_inverted_index(docs.where("doc_id < 0"), path)
+    after = [tuple(r) for r in bm25_topk_indexed(spark, path).collect()]
+    assert before == after

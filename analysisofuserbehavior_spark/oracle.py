@@ -3715,6 +3715,69 @@ SELECT n_a, conv_a, n_b, conv_b,
 FROM zc
 """
 
+ORACLE["ab_test_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant, x, y
+  FROM per_user
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN variant = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(sum(CASE WHEN variant = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM assigned
+),
+c AS (
+  SELECT *,
+         CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x,
+         CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
+         CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_xy
+  FROM m
+),
+t AS (
+  SELECT *,
+         CASE WHEN n * sxx - sx * sx > 0 THEN cov_xy / var_x ELSE 0.0 END AS theta
+  FROM c
+),
+d AS (
+  SELECT *,
+         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a,
+         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b
+  FROM t
+)
+SELECT n_a, n_b,
+       floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       floor(CASE WHEN n_a > 0 AND n_b > 0 THEN my_a - my_b END
+             * 1000000.0 + 0.5) / 1000000.0 AS diff_raw,
+       floor(CASE WHEN n_a > 0 AND n_b > 0
+                  THEN (my_a - my_b) - theta * (mx_a - mx_b) END
+             * 1000000.0 + 0.5) / 1000000.0 AS diff_cuped,
+       floor(var_y * 1000000.0 + 0.5) / 1000000.0 AS var_y,
+       floor((var_y - theta * theta * var_x) * 1000000.0 + 0.5) / 1000000.0 AS var_cuped,
+       floor(CASE WHEN n * syy - sy * sy > 0
+                  THEN theta * theta * var_x / var_y * 100.0 ELSE 0.0 END
+             * 10000.0 + 0.5) / 10000.0 AS var_reduction_pct
+FROM d
+"""
+
 ORACLE["new_vs_returning_daily"] = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

@@ -3962,6 +3962,19 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_report(_events(spark, sf_dir))
 
 
+@query("ab_test_cuped")
+def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-user pre-period
+    goal counts regress out between-user variance (θ = cov/var from
+    exact integer moments; adjusted means/variances derived
+    algebraically on the single-row frame — per-user floats are never
+    summed distributively).  One groupBy(user) + one 1-row reduce
+    (operators/experimentation.py::ab_test_cuped)."""
+    from .operators.experimentation import ab_test_cuped
+
+    return ab_test_cuped(_events(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

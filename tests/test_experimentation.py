@@ -105,3 +105,74 @@ def test_ab_report_conversion_is_time_bound(spark):
 def test_ab_report_empty_input(spark):
     row = ab_test_report(_ev(spark, [])).collect()[0]
     assert (row["n_a"], row["n_b"]) in ((None, None), (0, 0))
+
+
+def _mk_cuped_user(uid, pre_n, post_n):
+    """pre purchases in early January, post purchases after the 15th."""
+    rows = [(uid * 100, datetime(2024, 1, 2, 9, 0), uid, "view", 0.0, "{}")]
+    for i in range(pre_n):
+        rows.append(
+            (uid * 100 + 1 + i, datetime(2024, 1, 3 + i % 10, 10, 0), uid, "purchase", 1.0, "{}")
+        )
+    for i in range(post_n):
+        rows.append(
+            (uid * 100 + 50 + i, datetime(2024, 1, 16 + i % 10, 10, 0), uid, "purchase", 1.0, "{}")
+        )
+    return rows
+
+
+def test_cuped_matches_python_model(spark):
+    from analysisofuserbehavior_spark.operators.experimentation import ab_test_cuped
+
+    # correlated corpus: heavy users purchase in BOTH periods
+    users = [(u, u % 5, (u % 5) + (1 if u % 2 else 0)) for u in range(40)]
+    rows = []
+    for u, pre, post in users:
+        rows += _mk_cuped_user(u, pre, post)
+    got = ab_test_cuped(spark.createDataFrame(rows, EVENTS)).collect()[0]
+
+    xs = [pre for _, pre, _ in users]
+    ys = [post for _, _, post in users]
+    n = len(users)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    var_x = (n * sxx - sx * sx) / (n * n)
+    var_y = (n * syy - sy * sy) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    theta = cov / var_x
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert got["theta"] == q6(theta)
+    assert got["var_y"] == q6(var_y)
+    assert got["var_cuped"] == q6(var_y - theta * theta * var_x)
+    # strong pre/post correlation → big variance reduction
+    assert got["var_reduction_pct"] > 50.0
+    # arm means: recompute with the model's own assignment
+    a = [(x, y) for (u, x, y) in [(u, xs[i], ys[i]) for i, (u, _, _) in enumerate(users)] if _py_variant(u) == "A"]
+    b = [(x, y) for (u, x, y) in [(u, xs[i], ys[i]) for i, (u, _, _) in enumerate(users)] if _py_variant(u) == "B"]
+    my_a, my_b = sum(y for _, y in a) / len(a), sum(y for _, y in b) / len(b)
+    mx_a, mx_b = sum(x for x, _ in a) / len(a), sum(x for x, _ in b) / len(b)
+    assert got["diff_raw"] == q6(my_a - my_b)
+    assert got["diff_cuped"] == q6((my_a - my_b) - theta * (mx_a - mx_b))
+
+
+def test_cuped_zero_preperiod_variance(spark):
+    from analysisofuserbehavior_spark.operators.experimentation import ab_test_cuped
+
+    # identical pre-period behavior → var(X)=0 → theta=0, CUPED = raw
+    rows = []
+    for u in range(10):
+        rows += _mk_cuped_user(u, 2, u % 3)
+    got = ab_test_cuped(spark.createDataFrame(rows, EVENTS)).collect()[0]
+    assert got["theta"] == 0.0
+    assert got["var_cuped"] == got["var_y"]
+    assert got["var_reduction_pct"] == 0.0
+    assert got["diff_cuped"] == got["diff_raw"]
+
+
+def test_cuped_empty_input(spark):
+    from analysisofuserbehavior_spark.operators.experimentation import ab_test_cuped
+
+    row = ab_test_cuped(_ev(spark, [])).collect()[0]
+    assert row["diff_raw"] is None and row["diff_cuped"] is None

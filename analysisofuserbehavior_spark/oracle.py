@@ -616,6 +616,8 @@ FROM j ORDER BY event_type, day
 # windowFunnel: brute-force EXISTS restatement — the operator's fold
 # is the thing under test, so the oracle deliberately takes the
 # naive |v|x|c|x|p| join shape the operator avoids.  6h window in us.
+# The streaming twin must land on the same batch answer, so it shares
+# the oracle (assigned below the definition).
 ORACLE["funnel_within_window"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
 u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
@@ -643,6 +645,8 @@ SELECT * FROM (
          CAST((SELECT count(*) FROM u3) AS BIGINT)
 ) ORDER BY step
 """
+
+ORACLE["streaming_funnel_within_window"] = ORACLE["funnel_within_window"]
 
 ORACLE["hard_negative_mining"] = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

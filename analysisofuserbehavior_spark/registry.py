@@ -3414,6 +3414,62 @@ def q_clicks_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_funnel_within_window")
+def q_streaming_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed funnel as a STATEFUL STREAM: the greedy fold's
+    (l1,l2,l3) accumulator lives in applyInPandasWithState per-user
+    state, resumed across 2 real time-ordered micro-batches (two-phase
+    replay split at the corpus midpoint; raises if the replay
+    collapsed to one batch).  Hash-gated against funnel_within_window's
+    EXISTS oracle — the streaming fold must land on the batch answer
+    exactly (streaming/stateful.py::funnel_levels_stream)."""
+    import os as _os
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from .streaming.ad_stream import run_to_completion
+    from .streaming.stateful import final_funnel_counts, funnel_levels_stream
+
+    work = tempfile.mkdtemp(prefix="sfunnel_q_")
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
+    split = t0 + timedelta(days=14)
+    src = ev.select("event_id", "ts", "user_id", "event_type")
+    in_dir = _two_phase_replay_dir(
+        work,
+        [src.where(F.col("ts") < split), src.where(F.col("ts") >= split)],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    name = "sfunnel_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    updates = run_to_completion(funnel_levels_stream(stream), name, mode="update")
+    # cross-batch proof: with both phases populated, users active in
+    # both emit one update row PER MICRO-BATCH — updates > distinct
+    # users iff state really resumed across >= 2 triggers
+    both_phases = (
+        src.where(F.col("ts") < split).limit(1).count() > 0
+        and src.where(F.col("ts") >= split).limit(1).count() > 0
+    )
+    n_updates = updates.count()
+    n_users = updates.select("user_id").distinct().count()
+    if both_phases and n_updates <= n_users:
+        raise RuntimeError(
+            f"expected per-user updates from 2 micro-batches, got "
+            f"{n_updates} updates over {n_users} users"
+        )
+    out = final_funnel_counts(updates).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "step bigint, stage string, users bigint"
+    ).orderBy("step")
+
+
 @query("seasonal_anomaly_dow")
 def q_seasonal_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly-seasonality anomaly monitor: each (event_type, day)

@@ -126,3 +126,55 @@ def test_order_strictness_same_timestamp(spark):
 def test_empty_events(spark):
     got = _run(spark, {})
     assert (got[1], got[2], got[3]) == (0, 0, 0)
+
+
+def test_streaming_fold_spans_batch_boundary(spark, tmp_path):
+    """A chain whose steps STRADDLE the micro-batch split must still
+    complete: the (l1,l2,l3) state carries the fold across triggers.
+    Also pins the window check across batches (chain expired before
+    phase 2 must NOT complete)."""
+    import os
+
+    from analysisofuserbehavior_spark.streaming.ad_stream import run_to_completion
+    from analysisofuserbehavior_spark.streaming.stateful import (
+        final_funnel_counts,
+        funnel_levels_stream,
+    )
+
+    # user 1: view+click in phase 1, purchase in phase 2 (in window)
+    # user 2: view in phase 1, click+purchase in phase 2 but outside
+    #         the 1h window of the view
+    p1 = [
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + timedelta(minutes=5), 1, "click", 0.0, "{}"),
+        (3, T0, 2, "view", 0.0, "{}"),
+    ]
+    p2 = [
+        (4, T0 + timedelta(minutes=30), 1, "purchase", 0.0, "{}"),
+        (5, T0 + timedelta(hours=3), 2, "click", 0.0, "{}"),
+        (6, T0 + timedelta(hours=3, minutes=1), 2, "purchase", 0.0, "{}"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([p1, p2]):
+        df = spark.createDataFrame(rows, EVENTS)
+        stage = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(in_dir, f"phase_{i}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    updates = run_to_completion(
+        funnel_levels_stream(stream, window_s=3600), "sfunnel_t", mode="update"
+    )
+    assert updates.count() > updates.select("user_id").distinct().count()
+    got = {r["step"]: r["users"] for r in final_funnel_counts(updates).collect()}
+    # user 1 completes across the boundary; user 2's chain expired
+    assert (got[1], got[2], got[3]) == (2, 1, 1)

@@ -227,3 +227,87 @@ def ab_test_cuped(
         qround(var_cuped, 6).alias("var_cuped"),
         qround(var_reduction_pct, 4).alias("var_reduction_pct"),
     )
+
+
+def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
+    """Exact Mann-Whitney U test between the variants on per-user
+    goal counts — the NONPARAMETRIC readout for skewed metrics where
+    the t/z-on-means tests mislead (a whale in one arm).
+
+    Distributed without ranking: a global rank assignment is a global
+    sort, but U depends only on the per-variant COUNT HISTOGRAMS of
+    the metric —
+        2U = Σ_{a,b} 2·cA(a)·cB(b)·[a > b] + cA(v)·cB(v)·[a = b]
+    — so one groupBy(variant, y) reduce plus a broadcast histogram ×
+    histogram join (|distinct y|², tiny) computes U EXACTLY in
+    integers (2U stays integral through ties).  The tie-corrected
+    normal approximation
+        var U = nA·nB·(n³−n − Σ(t³−t)) / (12·n·(n−1))
+    is likewise an integer ratio; z = (2U − nA·nB) / (2·√var) is one
+    fixed float tree over exact BIGINTs, mirrored in the oracle.
+    The histogram trick is the same order-statistics discipline as
+    doc_length_quantiles (count-CDF instead of sort)."""
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == goal).cast("bigint")).alias("y")
+    )
+    assigned = per_user.select(
+        _variant(F.col("user_id")).alias("variant"), "y"
+    )
+    hist = assigned.groupBy("variant", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ha = hist.where(F.col("variant") == "A").select(
+        F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    hb = hist.where(F.col("variant") == "B").select(
+        F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    u2 = (
+        ha.crossJoin(F.broadcast(hb))
+        .select(
+            F.when(
+                F.col("ya") > F.col("yb"),
+                2 * F.col("ca") * F.col("cb"),
+            )
+            .when(F.col("ya") == F.col("yb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+            .alias("u2_part")
+        )
+        .agg(F.coalesce(F.sum("u2_part"), F.lit(0)).cast("bigint").alias("u2"))
+    )
+    ties = (
+        hist.groupBy("y")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    counts = assigned.agg(
+        F.sum((F.col("variant") == "A").cast("bigint")).alias("n_a"),
+        F.sum((F.col("variant") == "B").cast("bigint")).alias("n_b"),
+    )
+    j = counts.crossJoin(F.broadcast(u2)).crossJoin(F.broadcast(ties))
+    n = F.col("n_a") + F.col("n_b")
+    var_num = F.col("n_a") * F.col("n_b") * (n * n * n - n - F.col("tie_term"))
+    var_den = F.lit(12) * n * (n - 1)
+    z = F.when(
+        var_num > 0,
+        (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    zq = qround(z, 4)
+    return j.select(
+        "n_a",
+        "n_b",
+        (F.col("u2").cast("double") / F.lit(2.0)).alias("u_stat"),
+        zq.alias("z_score"),
+        (F.abs(zq) > F.lit(1.96)).alias("significant"),
+    )

@@ -3782,6 +3782,53 @@ SELECT n_a, n_b,
 FROM d
 """
 
+ORACLE["ab_test_mannwhitney"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant, y
+  FROM per_user
+),
+hist AS (
+  SELECT variant, y, CAST(count(*) AS BIGINT) AS c FROM assigned GROUP BY 1, 2
+),
+u AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.ya > b.yb THEN 2 * a.ca * b.cb
+                                WHEN a.ya = b.yb THEN a.ca * b.cb
+                                ELSE 0 END), 0) AS BIGINT) AS u2
+  FROM (SELECT y AS ya, c AS ca FROM hist WHERE variant = 'A') a
+  CROSS JOIN (SELECT y AS yb, c AS cb FROM hist WHERE variant = 'B') b
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY y)
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assigned
+),
+j AS (SELECT *, n_a + n_b AS n FROM counts, u, ties),
+zc AS (
+  SELECT *,
+         floor(CASE WHEN n_a * n_b * (n * n * n - n - tie_term) > 0
+                    THEN CAST(u2 - n_a * n_b AS DOUBLE)
+                         / (2.0 * sqrt(CAST(n_a * n_b * (n * n * n - n - tie_term) AS DOUBLE)
+                                       / CAST(12 * n * (n - 1) AS DOUBLE)))
+                    ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z_score
+  FROM j
+)
+SELECT n_a, n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+       z_score,
+       abs(z_score) > 1.96 AS significant
+FROM zc
+"""
+
 ORACLE["new_vs_returning_daily"] = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

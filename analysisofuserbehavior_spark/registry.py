@@ -4031,6 +4031,19 @@ def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_cuped(_events(spark, sf_dir))
 
 
+@query("ab_test_mannwhitney")
+def q_ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric experiment readout: exact Mann-Whitney U between
+    the variants on per-user purchase counts, computed from count
+    HISTOGRAMS (no global rank sort — the doc_length_quantiles
+    order-statistics discipline applied to hypothesis testing), with
+    the tie-corrected normal z from exact integer ratios
+    (operators/experimentation.py::ab_test_mannwhitney)."""
+    from .operators.experimentation import ab_test_mannwhitney
+
+    return ab_test_mannwhitney(_events(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

@@ -176,3 +176,57 @@ def test_cuped_empty_input(spark):
 
     row = ab_test_cuped(_ev(spark, [])).collect()[0]
     assert row["diff_raw"] is None and row["diff_cuped"] is None
+
+
+def test_mannwhitney_matches_scipy_convention(spark):
+    """Histogram-computed U and tie-corrected z vs a straight-line
+    implementation of the textbook formulas (scipy's mannwhitneyu
+    with use_continuity=False, method='asymptotic')."""
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        ab_test_mannwhitney,
+    )
+
+    # users with known per-user purchase counts; variant from the
+    # same md5 model
+    counts = {u: (u * 7) % 5 for u in range(60)}
+    rows = []
+    eid = 0
+    for u, k in counts.items():
+        rows.append((eid, datetime(2024, 1, 2, 9), u, "view", 0.0, "{}"))
+        eid += 1
+        for _ in range(k):
+            rows.append((eid, datetime(2024, 1, 3, 9), u, "purchase", 1.0, "{}"))
+            eid += 1
+    got = ab_test_mannwhitney(_ev(spark, rows)).collect()[0]
+
+    a = sorted(v for u, v in counts.items() if _py_variant(u) == "A")
+    b = sorted(v for u, v in counts.items() if _py_variant(u) == "B")
+    u_stat = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+    )
+    n_a, n_b = len(a), len(b)
+    n = n_a + n_b
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(a + b).values())
+    var_u = n_a * n_b * (n**3 - n - tie) / (12 * n * (n - 1))
+    z = (u_stat - n_a * n_b / 2) / math.sqrt(var_u)
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert got["u_stat"] == u_stat
+    assert got["z_score"] == math.floor(z * 1e4 + 0.5) / 1e4
+    assert got["significant"] == (abs(got["z_score"]) > 1.96)
+
+
+def test_mannwhitney_identical_distributions_z_zero(spark):
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        ab_test_mannwhitney,
+    )
+
+    # every user has the same count → all ties → var 0 → z := 0
+    rows = []
+    for u in range(20):
+        rows.append((u * 10, datetime(2024, 1, 2, 9), u, "purchase", 1.0, "{}"))
+    got = ab_test_mannwhitney(_ev(spark, rows)).collect()[0]
+    assert got["z_score"] == 0.0 and got["significant"] is False
+    # U still equals the all-ties value n_a*n_b/2
+    assert got["u_stat"] == got["n_a"] * got["n_b"] / 2

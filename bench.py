@@ -209,11 +209,15 @@ HEADLINE = [
     "basket_affinity_rules",
     # round 9
     "bm25_topk_indexed",
+    "bm25_topk_incremental",
     "ab_test_report",
+    "ab_test_cuped",
+    "ab_test_mannwhitney",
     "bpe_learn_merges",
     "bpe_encode_stats",
     "hard_negative_mining",
     "funnel_within_window",
+    "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
 ]
 

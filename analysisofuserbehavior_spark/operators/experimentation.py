@@ -23,7 +23,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import qround
 
@@ -310,4 +310,69 @@ def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
         (F.col("u2").cast("double") / F.lit(2.0)).alias("u_stat"),
         zq.alias("z_score"),
         (F.abs(zq) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def ab_test_quantile_effects(
+    events: DataFrame,
+    goal: str = "purchase",
+    percents: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Quantile treatment effects: per-variant EXACT quantiles of the
+    per-user goal count at the given percentiles, plus their A−B
+    differences — where a mean shift hides (heavy tail moved, median
+    flat?  p90 effect without a median effect?), the readout
+    distributional experiment analysis starts from.
+
+    Exactness for free: quantiles come from the count-by-value
+    histogram CDF (engagement._quartile_thresholds' inverse-CDF rule —
+    smallest y whose cum·100 ≥ p·n, decided in integers), so every
+    output column is a BIGINT and the hash gate is trivial.  The only
+    window runs over the HISTOGRAM (|distinct y| rows per variant),
+    never over users — the count-CDF discipline again."""
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == goal).cast("bigint")).alias("y")
+    )
+    assigned = per_user.select(
+        _variant(F.col("user_id")).alias("variant"), "y"
+    )
+    hist = assigned.groupBy("variant", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("variant").agg(F.sum("c").alias("total"))
+    j = cum.join(tot, "variant")
+    sel = [
+        F.max(F.when(F.col("variant") == "A", F.col("total")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("total")))
+        .cast("bigint")
+        .alias("n_b"),
+    ]
+    for p in percents:
+        for v in ("A", "B"):
+            sel.append(
+                F.min(
+                    F.when(
+                        (F.col("variant") == v)
+                        & (F.col("cum") * 100 >= F.lit(p) * F.col("total")),
+                        F.col("y"),
+                    )
+                ).alias(f"p{p}_{v.lower()}")
+            )
+    out = j.agg(*sel)
+    diffs = [
+        (F.col(f"p{p}_a") - F.col(f"p{p}_b")).alias(f"d{p}") for p in percents
+    ]
+    return out.select(
+        "n_a",
+        "n_b",
+        *[c for p in percents for c in (F.col(f"p{p}_a"), F.col(f"p{p}_b"))],
+        *diffs,
     )

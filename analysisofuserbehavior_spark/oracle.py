@@ -3829,6 +3829,49 @@ SELECT n_a, n_b,
 FROM zc
 """
 
+ORACLE["ab_test_quantile_effects"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant, y
+  FROM per_user
+),
+hist AS (
+  SELECT variant, y, CAST(count(*) AS BIGINT) AS c FROM assigned GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY variant ORDER BY y
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY variant) AS total
+  FROM hist
+)
+SELECT
+  CAST(max(CASE WHEN variant = 'A' THEN total END) AS BIGINT) AS n_a,
+  CAST(max(CASE WHEN variant = 'B' THEN total END) AS BIGINT) AS n_b,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 25 * total THEN y END) AS p25_a,
+  min(CASE WHEN variant = 'B' AND cum * 100 >= 25 * total THEN y END) AS p25_b,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 50 * total THEN y END) AS p50_a,
+  min(CASE WHEN variant = 'B' AND cum * 100 >= 50 * total THEN y END) AS p50_b,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 75 * total THEN y END) AS p75_a,
+  min(CASE WHEN variant = 'B' AND cum * 100 >= 75 * total THEN y END) AS p75_b,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 90 * total THEN y END) AS p90_a,
+  min(CASE WHEN variant = 'B' AND cum * 100 >= 90 * total THEN y END) AS p90_b,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 25 * total THEN y END)
+    - min(CASE WHEN variant = 'B' AND cum * 100 >= 25 * total THEN y END) AS d25,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 50 * total THEN y END)
+    - min(CASE WHEN variant = 'B' AND cum * 100 >= 50 * total THEN y END) AS d50,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 75 * total THEN y END)
+    - min(CASE WHEN variant = 'B' AND cum * 100 >= 75 * total THEN y END) AS d75,
+  min(CASE WHEN variant = 'A' AND cum * 100 >= 90 * total THEN y END)
+    - min(CASE WHEN variant = 'B' AND cum * 100 >= 90 * total THEN y END) AS d90
+FROM cum
+"""
+
 ORACLE["new_vs_returning_daily"] = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

@@ -4044,6 +4044,18 @@ def q_ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_mannwhitney(_events(spark, sf_dir))
 
 
+@query("ab_test_quantile_effects")
+def q_ab_test_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: per-variant exact p25/50/75/90 of
+    per-user purchase counts (histogram-CDF inverse, decided in
+    integers) and their A-B differences — distributional readout,
+    all-BIGINT output
+    (operators/experimentation.py::ab_test_quantile_effects)."""
+    from .operators.experimentation import ab_test_quantile_effects
+
+    return ab_test_quantile_effects(_events(spark, sf_dir))
+
+
 @query("lsh_tuning_report")
 def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_tuning_report

@@ -230,3 +230,40 @@ def test_mannwhitney_identical_distributions_z_zero(spark):
     assert got["z_score"] == 0.0 and got["significant"] is False
     # U still equals the all-ties value n_a*n_b/2
     assert got["u_stat"] == got["n_a"] * got["n_b"] / 2
+
+
+def test_quantile_effects_exact_inverse_cdf(spark):
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        ab_test_quantile_effects,
+    )
+
+    # known per-user counts; quantile = smallest y with cum*100 >= p*n
+    counts = {u: (u % 10) for u in range(80)}
+    rows = []
+    eid = 0
+    for u, k in counts.items():
+        rows.append((eid, datetime(2024, 1, 2, 9), u, "view", 0.0, "{}"))
+        eid += 1
+        for _ in range(k):
+            rows.append((eid, datetime(2024, 1, 3, 9), u, "purchase", 1.0, "{}"))
+            eid += 1
+    got = ab_test_quantile_effects(_ev(spark, rows)).collect()[0]
+
+    def q(vals, p):
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        from collections import Counter
+
+        for v, c in sorted(Counter(vals).items()):
+            cum += c
+            if cum * 100 >= p * n:
+                return v
+
+    a = [v for u, v in counts.items() if _py_variant(u) == "A"]
+    b = [v for u, v in counts.items() if _py_variant(u) == "B"]
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    for p in (25, 50, 75, 90):
+        assert got[f"p{p}_a"] == q(a, p), p
+        assert got[f"p{p}_b"] == q(b, p), p
+        assert got[f"d{p}"] == q(a, p) - q(b, p), p

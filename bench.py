@@ -213,6 +213,7 @@ HEADLINE = [
     "ab_test_report",
     "ab_test_cuped",
     "ab_test_mannwhitney",
+    "ab_test_quantile_effects",
     "bpe_learn_merges",
     "bpe_encode_stats",
     "hard_negative_mining",

@@ -41,6 +41,11 @@ ROUND_TOUCHED = [
     "hard_negative_mining",
     "funnel_within_window",
     "seasonal_anomaly_dow",
+    "bm25_topk_incremental",
+    "ab_test_cuped",
+    "ab_test_mannwhitney",
+    "ab_test_quantile_effects",
+    "streaming_funnel_within_window",
     # round-6 carryovers (LM family + streaming replays)
     "unigram_surprisal",
     "backoff_surprisal",

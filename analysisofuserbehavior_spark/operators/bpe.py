@@ -66,14 +66,24 @@ MERGE_SCHEMA = StructType(
 )
 
 
-def _word_vocab(docs: DataFrame) -> DataFrame:
+def _word_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
     """(ws, cnt): sentinel-wrapped char sequence per distinct word.
     One corpus scan + one map-side-combined groupBy — the only time
-    the corpus itself is read."""
+    the corpus itself is read.
+
+    `min_count` is the 100 TB working-set guard: a web-scale corpus
+    has ~10⁸⁺ unique words but the Zipf tail (hapaxes, typos, hashes)
+    carries negligible pair mass — dropping cnt < min_count bounds
+    every iteration's frame while leaving merge decisions essentially
+    untouched (standard practice: both Sennrich's learn_bpe and
+    HF trainers expose exactly this knob)."""
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where((F.length("word") > 0) & (~F.col("word").contains(SENTINEL)))
-    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        vocab = vocab.where(F.col("cnt") >= min_count)
+    return vocab.select(
         F.regexp_replace(
             F.col("word"), "(.)", SENTINEL + "$1" + SENTINEL
         ).alias("ws"),
@@ -108,12 +118,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_learn_merges(
-    spark, docs: DataFrame, num_merges: int = 8
+    spark, docs: DataFrame, num_merges: int = 8, min_count: int = 1
 ) -> DataFrame:
     """Learn `num_merges` BPE merges; returns (rank, left_sym,
     right_sym, merged, pair_count) in learning order.  Stops early if
-    the pair space is exhausted (every word fused to one symbol)."""
-    words = ckpt(_word_vocab(docs))
+    the pair space is exhausted (every word fused to one symbol).
+    `min_count` prunes the Zipf tail from the vocab working set (see
+    _word_vocab)."""
+    words = ckpt(_word_vocab(docs, min_count))
     merges: list[tuple] = []
     for rank in range(1, num_merges + 1):
         top = (

@@ -122,3 +122,20 @@ def test_bpe_empty_and_degenerate_inputs(spark):
     row2 = bpe_encode_stats(spark, blank, 4).collect()[0]
     assert row2["total_words"] == 0 and row2["total_tokens"] == 0
     assert row2["tokens_per_word"] is None
+
+
+def test_min_count_prunes_vocab_tail(spark):
+    # hapax words can't outvote the head pairs; with min_count=2 they
+    # leave the working set entirely and merges match a corpus that
+    # never contained them
+    common = "ababab ababab ababab"
+    hapax = "zq xw vk"  # unique, no pair mass that matters
+    with_tail = _docs(spark, [common, hapax])
+    without = _docs(spark, [common])
+    a = [tuple(r) for r in bpe_learn_merges(spark, with_tail, 3, min_count=2).collect()]
+    b = [tuple(r) for r in bpe_learn_merges(spark, without, 3).collect()]
+    assert a == b
+    # and without the guard the hapax chars DO appear in pair counts
+    # (sanity that the knob changes the working set, not just output)
+    full = bpe_learn_merges(spark, with_tail, 3)
+    assert [tuple(r) for r in full.collect()] == b  # head still wins here

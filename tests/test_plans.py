@@ -680,3 +680,31 @@ def test_recursive_cte_capability_probe(spark):
             " SELECT 1, 1 UNION SELECT a, b + 1 FROM r WHERE b < 3"
             ") SELECT * FROM r"
         ).collect()
+
+
+def test_registry_plans_no_cartesian_no_rowwise_python(spark):
+    """Anti-pattern regression net over the ENTIRE registry: no query
+    may plan a CartesianProduct (unbounded |L|x|R| work — every
+    intended cross join in the repo broadcasts a tiny side, which
+    plans as BroadcastNestedLoopJoin instead) or a BatchEvalPython
+    (row-at-a-time Python UDF — the repo's Python paths are all
+    Arrow-vectorized: ArrowEvalPython / *InPandas).  Streaming/replay
+    fixtures execute real queries at build time and are linted by
+    their own tests instead."""
+    from analysisofuserbehavior_spark.registry import QUERIES, disable_shared_scan
+
+    sf = "/root/testdata/sf0.001"
+    skip = {n for n in QUERIES if n.startswith("streaming_")} | {
+        "ad_blacklist_feedback",  # multi-batch replay loop
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    disable_shared_scan(spark)
+    assert not offenders, offenders

@@ -214,14 +214,20 @@ def bpe_encode_stats(
             F.lit(f"{SENTINEL}{l}{SENTINEL}{SENTINEL}{r}{SENTINEL}"),
             F.lit(f"{SENTINEL}{l}{r}{SENTINEL}"),
         )
-    per_doc = staged.select(
+    # materialize the replace chain as a real column before its two
+    # consumers — inline it would be evaluated twice per row (the
+    # same multi-consumer rule as `wlist` above)
+    enc = staged.select(
+        "n_words", "n_chars", encoded.alias("enc")
+    )
+    per_doc = enc.select(
         "n_words",
         "n_chars",
         # each surviving symbol contributes exactly 2 sentinels
         (
             (
-                F.length(encoded)
-                - F.length(F.replace(encoded, F.lit(SENTINEL), F.lit("")))
+                F.length("enc")
+                - F.length(F.replace(F.col("enc"), F.lit(SENTINEL), F.lit("")))
             )
             / 2
         ).cast("bigint").alias("n_tokens"),

@@ -83,9 +83,11 @@ def _word_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         vocab = vocab.where(F.col("cnt") >= min_count)
+    # (?s): words split on ' ' may still carry \n/\r — without DOTALL
+    # those chars stay unwrapped and corrupt one symbol (ADVICE r07)
     return vocab.select(
         F.regexp_replace(
-            F.col("word"), "(.)", SENTINEL + "$1" + SENTINEL
+            F.col("word"), "(?s)(.)", SENTINEL + "$1" + SENTINEL
         ).alias("ws"),
         "cnt",
     )
@@ -200,7 +202,7 @@ def bpe_encode_stats(
             F.transform(
                 "wlist",
                 lambda w: F.regexp_replace(
-                    w, "(.)", SENTINEL + "$1" + SENTINEL
+                    w, "(?s)(.)", SENTINEL + "$1" + SENTINEL
                 ),
             ),
             " ",

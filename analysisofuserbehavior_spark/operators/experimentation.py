@@ -243,9 +243,14 @@ def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
     integers (2U stays integral through ties).  The tie-corrected
     normal approximation
         var U = nA·nB·(n³−n − Σ(t³−t)) / (12·n·(n−1))
-    is likewise an integer ratio; z = (2U − nA·nB) / (2·√var) is one
-    fixed float tree over exact BIGINTs, mirrored in the oracle.
-    The histogram trick is the same order-statistics discipline as
+    is evaluated in DOUBLES: the BIGINT product nA·nB·(n³−n−…)
+    overflows int64 once n exceeds ~8-9k users (n⁵/4 > 2⁶³ ⇒ ANSI
+    ARITHMETIC_OVERFLOW), so each exact integer moment (nA·nB, n,
+    tie_term, 2U) is cast to double FIRST and the variance tree is
+    one fixed float expression over them, mirrored node-for-node in
+    the oracle (z is a float statistic anyway; at gate scale every
+    intermediate is < 2⁵³ so the doubles are still exact).  The
+    histogram trick is the same order-statistics discipline as
     doc_length_quantiles (count-CDF instead of sort)."""
     per_user = events.groupBy("user_id").agg(
         F.sum((F.col("event_type") == goal).cast("bigint")).alias("y")
@@ -293,15 +298,16 @@ def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
     )
     j = counts.crossJoin(F.broadcast(u2)).crossJoin(F.broadcast(ties))
     n = F.col("n_a") + F.col("n_b")
-    var_num = F.col("n_a") * F.col("n_b") * (n * n * n - n - F.col("tie_term"))
-    var_den = F.lit(12) * n * (n - 1)
+    # Overflow guard (ADVICE r07): nA·nB·(n³−n−tie) as BIGINT blows
+    # int64 at ~8-9k users; promote each exact moment to double first.
+    nab_d = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    nd = n.cast("double")
+    var_num = nab_d * (nd * nd * nd - nd - F.col("tie_term").cast("double"))
+    var_den = F.lit(12.0) * nd * (nd - F.lit(1.0))
     z = F.when(
         var_num > 0,
-        (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double")
-        / (
-            F.lit(2.0)
-            * F.sqrt(var_num.cast("double") / var_den.cast("double"))
-        ),
+        (F.col("u2").cast("double") - nab_d)
+        / (F.lit(2.0) * F.sqrt(var_num / var_den)),
     ).otherwise(F.lit(0.0))
     zq = qround(z, 4)
     return j.select(

@@ -29,6 +29,19 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..functions import qround
 
 
+def lsh_planes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded ±1 hyperplanes — the SINGLE source of the LSH geometry,
+    imported by both the Spark operator and the DuckDB oracle mirror
+    (oracle.py::_lsh_pair_ctes) so the two engines can never drift.
+    ±1 coordinates make each dot term ±v_i EXACTLY (x·±1.0 is lossless
+    in IEEE), so a left-fold sum in both engines is bit-identical and
+    the sign bits — hence the candidate set — hash-gate cleanly."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
+
+
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -588,10 +601,7 @@ def embedding_neardup_lsh(
     Vectors ride through the band join (dim × 8 B per band row),
     mirroring the minhash carried-set design — one full-table
     shuffle, verification row-local."""
-    import random as _random
-
-    rng = _random.Random(seed)
-    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
+    planes = lsh_planes(n_bits, dim, seed)
     n_bands = n_bits // band_bits
     v = _with_vec(embeddings, "doc_id", "v", "nv")
     bits = [

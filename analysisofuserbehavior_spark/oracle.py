@@ -1204,15 +1204,99 @@ FROM ranked WHERE rn <= 5
 """
 
 
-# oracle-calibration baseline only; the canonical `embedding_neardup`
-# (LSH) is rows-only by design — approximate recall can't hash-match
-# an exact-pairs oracle on every dataset
+# oracle-calibration baseline for the LSH recall-floor test (the
+# canonical `embedding_neardup` now carries its OWN hash oracle below)
 ORACLE["embedding_neardup_exact"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        floor(list_cosine_similarity(a.v, b.v) * 1000.0 + 0.5) / 1000.0 AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def _lsh_pair_ctes(
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    band_bits: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of similarity.py::embedding_neardup_lsh — the
+    SAME seeded ±1 hyperplanes (imported from the operator, single
+    source of truth), sign bits as an explicit left-assoc ±v[i] sum
+    (bit-identical to Spark's zip_with/aggregate fold because ±1
+    products are lossless), banded buckets, distinct candidate pairs,
+    exact cosine verification.  Determinism argument: both engines
+    compute every dot in the identical IEEE order, so the SIGNS —
+    hence the candidate set — agree exactly; the verify threshold
+    reuses the raw-cosine comparison the hash-gated
+    `embedding_neardup_exact` already proved cross-engine stable."""
+    from .operators.similarity import lsh_planes
+
+    planes = lsh_planes(n_bits, dim, seed)
+    n_bands = n_bits // band_bits
+    bit_cols = []
+    for j, p in enumerate(planes):
+        terms = " ".join(
+            ("+" if c > 0 else "-") + f" v[{i + 1}]" for i, c in enumerate(p)
+        )
+        bit_cols.append(f"(CASE WHEN (0.0 {terms}) >= 0 THEN 1 ELSE 0 END) AS b{j}")
+    band_rows = []
+    for b in range(n_bands):
+        bucket = " + ".join(
+            f"{1 << r} * b{b * band_bits + r}" for r in range(band_bits)
+        )
+        band_rows.append(f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM bits")
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS MATERIALIZED (
+  SELECT vec_id, {", ".join(bit_cols)} FROM e
+),
+banded AS (
+  {" UNION ALL ".join(band_rows)}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+lshp AS (
+  SELECT doc_a, doc_b, list_cosine_similarity(ea.v, eb.v) AS sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.doc_a
+  JOIN e eb ON eb.vec_id = cand.doc_b
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+)"""
+
+
+# the canonical LSH near-dup — HASH-GATED: the banded candidate set is
+# deterministic (seeded planes, bit-exact signs), so the full pipeline
+# mirrors, not just the exact twin
+ORACLE["embedding_neardup"] = f"""
+WITH {_lsh_pair_ctes()}
+SELECT doc_a, doc_b, floor(sim * 1000.0 + 0.5) / 1000.0 AS sim FROM lshp
+"""
+
+# LSH-fed transitive closure — the 100 TB design under the hash gate
+# (banded candidates + exact verify + min-reachable-id fixpoint); the
+# O(n²)-fed `embedding_dedup_clusters` twin is calibration-only
+ORACLE["embedding_dedup_clusters_lsh"] = f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lshp
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM lshp
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+),
+cl AS (
+  SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT vec_id, cluster_id FROM cl
 """
 
 # the indexed (cluster-partition-pruned) IVF path runs the identical
@@ -3555,7 +3639,7 @@ def _bpe_ctes(num_merges: int = 8) -> str:
     iterations as no-ops instead of NULLing the corpus."""
     ctes = [
         """words0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws,
+  SELECT regexp_replace(word, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g') AS ws,
          count(*) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE length(word) > 0 AND word NOT LIKE '%' || chr(31) || '%'
@@ -3628,7 +3712,7 @@ staged AS (
   SELECT CAST(len(wlist) AS BIGINT) AS n_words,
          CAST(coalesce(list_sum(list_transform(wlist, w -> length(w))), 0) AS BIGINT) AS n_chars,
          array_to_string(list_transform(wlist,
-             w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')), ' ') AS ws
+             w -> regexp_replace(w, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g')), ' ') AS ws
   FROM doc_words
 ),
 per_doc AS (
@@ -3813,14 +3897,23 @@ counts AS (
   FROM assigned
 ),
 j AS (SELECT *, n_a + n_b AS n FROM counts, u, ties),
-zc AS (
-  SELECT *,
-         floor(CASE WHEN n_a * n_b * (n * n * n - n - tie_term) > 0
-                    THEN CAST(u2 - n_a * n_b AS DOUBLE)
-                         / (2.0 * sqrt(CAST(n_a * n_b * (n * n * n - n - tie_term) AS DOUBLE)
-                                       / CAST(12 * n * (n - 1) AS DOUBLE)))
-                    ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z_score
+-- overflow guard mirror: each exact BIGINT moment promoted to DOUBLE
+-- BEFORE the variance product (int64 blows at ~8-9k users otherwise)
+d AS (
+  SELECT n_a, n_b, u2,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab_d,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(tie_term AS DOUBLE) AS tie_d
   FROM j
+),
+zc AS (
+  SELECT n_a, n_b, u2,
+         floor(CASE WHEN nab_d * (nd * nd * nd - nd - tie_d) > 0
+                    THEN (CAST(u2 AS DOUBLE) - nab_d)
+                         / (2.0 * sqrt(nab_d * (nd * nd * nd - nd - tie_d)
+                                       / (12.0 * nd * (nd - 1.0))))
+                    ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z_score
+  FROM d
 )
 SELECT n_a, n_b,
        CAST(u2 AS DOUBLE) / 2.0 AS u_stat,

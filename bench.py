@@ -161,6 +161,10 @@ HEADLINE = [
     "semantic_dedup",
     "mixture_temperature_weights",
     "embedding_dedup_clusters",
+    # round 10: the gated LSH-fed closure (banded candidates, no
+    # O(n²) stage) — bench it NEXT TO its exact-fed calibration twin
+    # so the quadratic-vs-banded gap stays measured every round
+    "embedding_dedup_clusters_lsh",
     "image_features_jpeg",
     "image_features_png",
     # round 8: sweep-line concurrency, CDC apply, shuffle shards,

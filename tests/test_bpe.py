@@ -124,6 +124,20 @@ def test_bpe_empty_and_degenerate_inputs(spark):
     assert row2["tokens_per_word"] is None
 
 
+def test_bpe_words_with_line_terminators(spark):
+    """ADVICE r07: words split on ' ' can still carry \\n/\\r; without
+    DOTALL the sentinel wrap left those chars unwrapped, desyncing the
+    symbol model from the reference.  Parity must hold now."""
+    texts = ["ab\ncd ab\ncd ef", "ab\ncd x\ry x\ry"]
+    want, words, vocab = _py_bpe(texts, 4)
+    got = [tuple(r) for r in bpe_learn_merges(spark, _docs(spark, texts), 4).collect()]
+    assert got == want
+    want_tokens = sum(vocab[w] * len(s) for w, s in words.items())
+    row = bpe_encode_stats(spark, _docs(spark, texts), 4).collect()[0]
+    assert row["total_tokens"] == want_tokens
+    assert row["total_chars"] == sum(vocab[w] * len(w) for w in vocab)
+
+
 def test_min_count_prunes_vocab_tail(spark):
     # hapax words can't outvote the head pairs; with min_count=2 they
     # leave the working set entirely and merges match a corpus that

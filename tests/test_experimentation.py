@@ -232,6 +232,35 @@ def test_mannwhitney_identical_distributions_z_zero(spark):
     assert got["u_stat"] == got["n_a"] * got["n_b"] / 2
 
 
+def test_mannwhitney_no_int64_overflow_at_large_n(spark):
+    """ADVICE r07 regression: the variance product nA·nB·(n³−n−tie)
+    exceeds int64 once n ≳ 8-9k users (n⁵/4 > 2⁶³), which under ANSI
+    mode raised ARITHMETIC_OVERFLOW before the moments were promoted
+    to double.  12k synthetic users must now produce a finite z."""
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        ab_test_mannwhitney,
+    )
+
+    n_users = 12_000
+    ev = spark.range(n_users).select(
+        F.col("id").alias("event_id"),
+        F.lit(datetime(2024, 1, 2, 9)).alias("ts"),
+        F.col("id").alias("user_id"),
+        # ~half the users convert once, with enough distinct y levels
+        # (0/1) to keep the tie term non-degenerate
+        F.when(F.col("id") % 2 == 0, F.lit("purchase"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    got = ab_test_mannwhitney(ev).collect()[0]
+    assert got["n_a"] + got["n_b"] == n_users
+    assert math.isfinite(got["z_score"])
+    # sanity: n^5/4 really is past int64 (the pre-fix failing regime)
+    assert n_users**5 / 4 > 2**63
+
+
 def test_quantile_effects_exact_inverse_cdf(spark):
     from analysisofuserbehavior_spark.operators.experimentation import (
         ab_test_quantile_effects,

@@ -682,7 +682,7 @@ def test_recursive_cte_capability_probe(spark):
         ).collect()
 
 
-def test_registry_plans_no_cartesian_no_rowwise_python(spark):
+def test_registry_plans_no_cartesian_no_rowwise_python(spark, sf_dir):
     """Anti-pattern regression net over the ENTIRE registry: no query
     may plan a CartesianProduct (unbounded |L|x|R| work — every
     intended cross join in the repo broadcasts a tiny side, which
@@ -693,7 +693,7 @@ def test_registry_plans_no_cartesian_no_rowwise_python(spark):
     their own tests instead."""
     from analysisofuserbehavior_spark.registry import QUERIES, disable_shared_scan
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     skip = {n for n in QUERIES if n.startswith("streaming_")} | {
         "ad_blacklist_feedback",  # multi-batch replay loop
     }

@@ -72,6 +72,47 @@ def test_lsh_neardup_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, (recall, len(exact))
 
 
+def test_lsh_closure_recall_vs_exact_closure(spark, sf_dir):
+    """VERDICT r07 #1 recall floor: the gated LSH-fed closure
+    (embedding_dedup_clusters_lsh) vs the exact O(n²)-fed closure
+    (calibration-only twin).  Band misses can only SPLIT clusters,
+    never merge unrelated docs (candidates are exactly verified), so
+    the check is (a) every LSH cluster is contained in one exact
+    cluster, and (b) pairwise same-cluster recall stays ≥ 0.9."""
+    from itertools import combinations
+
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    exact = {
+        r["vec_id"]: r["cluster_id"]
+        for r in QUERIES["embedding_dedup_clusters"](spark, sf_dir).collect()
+    }
+    lsh = {
+        r["vec_id"]: r["cluster_id"]
+        for r in QUERIES["embedding_dedup_clusters_lsh"](spark, sf_dir).collect()
+    }
+    # (a) refinement: LSH co-clustered ⇒ exactly co-clustered
+    by_lsh: dict[int, list[int]] = {}
+    for v, c in lsh.items():
+        by_lsh.setdefault(c, []).append(v)
+    for members in by_lsh.values():
+        assert len({exact[v] for v in members}) == 1, members
+    # (b) pairwise recall over exact same-cluster pairs
+    by_exact: dict[int, list[int]] = {}
+    for v, c in exact.items():
+        by_exact.setdefault(c, []).append(v)
+    exact_pairs = {
+        p for ms in by_exact.values() for p in combinations(sorted(ms), 2)
+    }
+    lsh_pairs = {
+        p for ms in by_lsh.values() for p in combinations(sorted(ms), 2)
+    }
+    assert lsh_pairs <= exact_pairs
+    assert len(exact_pairs) > 0
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (recall, len(exact_pairs))
+
+
 def test_ivf_kmeans_recall_floor(spark, sf_dir):
     """Lloyd-refined centroids (kmeans_iters=2) must hold at least
     the recall floor vs brute force — the judge's gate for replacing

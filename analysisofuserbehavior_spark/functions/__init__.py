@@ -7,6 +7,7 @@ from .core import (
     explode_csv_ids,
     hour_col,
     json_long,
+    md5_prefix32,
     ratio,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "explode_csv_ids",
     "hour_col",
     "json_long",
+    "md5_prefix32",
     "ratio",
 ]

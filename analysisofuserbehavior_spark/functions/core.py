@@ -70,6 +70,20 @@ def qround(col: Column, scale: int = 2) -> Column:
     return F.floor(col * f + F.lit(0.5)) / f
 
 
+def md5_prefix32(col: Column | str) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT — the
+    CROSS-ENGINE token mixer: Spark `conv(substr(md5(x),1,8),16,10)`
+    and DuckDB `CAST('0x'||substr(md5(x),1,8) AS BIGINT)` agree
+    bit-for-bit on every UTF-8 string (validated incl. empty and
+    non-ASCII).  Used where a hashed value must HASH-GATE across
+    engines (simhash bit votes, the Rabin-Karp rolling fingerprint);
+    xxhash64 stays the choice where only Spark-side determinism
+    matters (it's ~5× cheaper per token), but it has no ANSI-SQL
+    twin, which forced those operators into rows-only checks before
+    round 10."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
+
+
 def cents_sum(col: Column | str, cond: Column | None = None, sign: Column | None = None) -> Column:
     """Money sum as integer cents: floor(x*100+0.5) per row, summed
     as bigint, /100.0 at the end.  Distributed double summation is

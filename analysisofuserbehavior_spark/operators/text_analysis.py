@@ -163,15 +163,24 @@ ROLLING_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*base + h < 2^62 (ANSI-safe)
 
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     """ORDER-SENSITIVE polynomial rolling hash over the token stream:
-    acc = (acc * B + xxhash64(tok) mod M) mod M — Rabin-Karp style.
+    acc = (acc * B + h(tok) mod M) mod M — Rabin-Karp style.
     Distinguishes reordered documents that the bag fingerprint
-    collides; rows-only check (DuckDB has no xxhash64, so no
-    cross-engine oracle — determinism is unit-tested instead)."""
+    collides.
+
+    HASH-GATED since round 10 (VERDICT r07 #2): the token mixer is
+    md5_prefix32 (cross-engine bit-identical), so the whole fold is
+    exact integer arithmetic DuckDB replays via
+    list_reduce(list_prepend(0, list_transform(...))) — same B, same
+    M, same left-to-right order.  acc·B + h < 2³¹·2²⁰ + 2³² < 2⁵²,
+    ANSI-safe in both engines.  (xxhash64 was the original mixer;
+    no ANSI twin, which is why this row was rows-only.)"""
+    from ..functions import md5_prefix32
+
     fp = F.aggregate(
         _tokens(),
         F.lit(0).cast("bigint"),
         lambda acc, t: F.pmod(
-            acc * F.lit(ROLLING_BASE) + F.pmod(F.xxhash64(t), F.lit(ROLLING_MOD)),
+            acc * F.lit(ROLLING_BASE) + F.pmod(md5_prefix32(t), F.lit(ROLLING_MOD)),
             F.lit(ROLLING_MOD),
         ),
     )

@@ -801,6 +801,65 @@ SELECT doc_id,
 FROM documents
 """
 
+# order-sensitive Rabin-Karp fingerprint — hash-gated since round 10:
+# md5_prefix32 token mixer (cross-engine bit-identical), same B/M and
+# the same left-to-right fold as Spark's F.aggregate
+ORACLE["doc_rolling_fingerprint"] = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647)),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+
+def _simhash_sql() -> str:
+    """Mirror of dedup.py::simhash_signatures/simhash_pairs — 32-bit
+    md5_prefix32 token hash, ±1 bit votes, sign signature, 4×8-bit
+    banded candidate join (pigeonhole for hamming ≤ 3), exact
+    bit_count(xor) verification.  Pure integer algebra end to end,
+    generated from the same SIMHASH_BITS/band constants."""
+    bits, n_bands = 32, 4
+    band_bits = bits // n_bands
+    votes = ",\n         ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {bi * band_bits}) & {(1 << band_bits) - 1} AS bucket FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+                  y.doc_id AS doc_b, y.simhash AS sim_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3"""
+
+
+ORACLE["dedup_simhash"] = _simhash_sql()
+
 # session_window semantics: a gap of EXACTLY 30 min starts a new
 # session (exclusive window end) — hence >= on an exact INTERVAL
 # comparison, unlike the lag-based sessionize's floor-epoch `>`.

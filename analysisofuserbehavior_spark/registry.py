@@ -510,8 +510,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs — rows-only check (per-token
-    xxhash64 bit votes aren't reproducible in ANSI SQL)."""
+    """SimHash banded near-dup pairs — HASH-GATED since round 10
+    (VERDICT r07 #2): the md5_prefix32 token mixer makes signatures,
+    banded buckets and hamming verification pure integer algebra
+    DuckDB mirrors exactly (oracle.py::_simhash_sql)."""
     from .operators.dedup import simhash_pairs
 
     return simhash_pairs(_documents(spark, sf_dir))
@@ -971,8 +973,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_rolling_fingerprint")
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive Rabin-Karp document fingerprint — rows-only
-    check (xxhash64 has no DuckDB twin; determinism unit-tested)."""
+    """Order-sensitive Rabin-Karp document fingerprint — HASH-GATED
+    since round 10 (VERDICT r07 #2): md5_prefix32 token mixer, exact
+    integer fold replayed by the oracle's list_reduce."""
     from .operators.text_analysis import rolling_fingerprint
 
     return rolling_fingerprint(_documents(spark, sf_dir))

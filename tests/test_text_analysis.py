@@ -48,6 +48,34 @@ def test_token_counts_edges(spark):
     assert got[4] == (1, 3, 0.0)
 
 
+def test_md5_prefix32_matches_python_and_duckdb(spark):
+    """The cross-engine token mixer (round 10): Spark's
+    conv(substr(md5,1,8),16,10), DuckDB's CAST('0x'||… AS BIGINT) and
+    Python's int(hexdigest[:8],16) must agree bit-for-bit — this
+    identity is what lets dedup_simhash and doc_rolling_fingerprint
+    hash-gate instead of rows-only."""
+    import hashlib
+
+    import duckdb
+
+    from analysisofuserbehavior_spark.functions import md5_prefix32
+
+    toks = ["hello", "WORLD", "a", "123", "éclair", "", "two words", "\n"]
+    got = {
+        r["tok"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select("tok", md5_prefix32("tok").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        py = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        db = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT)", [t]
+        ).fetchone()[0]
+        assert got[t] == py == db, (t, got[t], py, db)
+
+
 def test_rolling_fingerprint_is_order_sensitive_and_deterministic(spark):
     from analysisofuserbehavior_spark.operators.text_analysis import rolling_fingerprint
 

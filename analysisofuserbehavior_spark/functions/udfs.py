@@ -129,8 +129,9 @@ def register_chunk_udtf(spark: SparkSession, name: str = "chunk_doc") -> None:
         SELECT d.doc_id, t.* FROM documents d,
         LATERAL chunk_doc(d.text, 128, 96) t
 
-    Same stride semantics as the operator (stride = STEP between
-    window starts).  This is the API-surface demo, not the production
+    Same step semantics as the operator (`step` = distance between
+    window starts; named `stride` through round 9 — see
+    chunk_documents' rename note).  This is the API-surface demo, not the production
     path: the UDTF runs row-at-a-time Python, while chunk_documents
     compiles to built-in array expressions fused into the scan — keep
     the declarative operator in 100 TB pipelines and reach for a UDTF
@@ -139,12 +140,12 @@ def register_chunk_udtf(spark: SparkSession, name: str = "chunk_doc") -> None:
 
     @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_tokens: bigint")
     class ChunkDoc:
-        def eval(self, text: str, chunk_tokens: int = 128, stride: int = 96):
+        def eval(self, text: str, chunk_tokens: int = 128, step: int = 96):
             if text is None:
                 return
             toks = text.split(" ")
-            for start in range(0, len(toks), stride):
+            for start in range(0, len(toks), step):
                 piece = toks[start : start + chunk_tokens]
-                yield start // stride, " ".join(piece), len(piece)
+                yield start // step, " ".join(piece), len(piece)
 
     spark.udtf.register(name, ChunkDoc)

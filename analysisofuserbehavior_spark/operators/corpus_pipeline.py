@@ -158,9 +158,11 @@ def quality_gate_report(
 def corpus_pipeline_e2e(
     docs: DataFrame,
     chunk_tokens: int = 128,
-    stride: int = 96,
+    step: int = 96,
     budget: int = 512,
     _cid_base: int = 1_000_000,
+    *,
+    stride: int | None = None,
 ) -> DataFrame:
     """The COMPOSED training-corpus lifecycle, docs in → packed chunks
     out, as one declarative plan (round-6 VERDICT item 2 — every stage
@@ -173,7 +175,7 @@ def corpus_pipeline_e2e(
       3. remove_dup_spans over the deduped set (heavy-shingle df is
          counted over THIS set — boilerplate freed by dedup no longer
          scrubs) and drop docs scrubbed to empty;
-      4. chunk_documents (chunk_tokens, stride windows);
+      4. chunk_documents (chunk_tokens, step windows);
       5. pack_sequences over the chunk stream (chunks become packing
          units keyed by doc_id·`_cid_base` + chunk_idx, monotone in
          (doc_id, chunk_idx) so stream order is document order).
@@ -195,6 +197,17 @@ def corpus_pipeline_e2e(
     branches — uncheckpointed, the composed plan scanned the corpus
     24× (measured at sf0.01); truncated, each stage reads the
     previous stage's materialized RDD exactly once."""
+    if stride is not None:
+        import warnings
+
+        warnings.warn(
+            "corpus_pipeline_e2e(stride=) is deprecated — see "
+            "chunk_documents: it is the step between window starts; "
+            "pass step= instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        step = stride
     from .dedup import exact_dedup_canonical
     from .packing import chunk_documents, pack_sequences
     from .text_analysis import _ckpt_pairs, remove_dup_spans
@@ -211,10 +224,10 @@ def corpus_pipeline_e2e(
     kept = _ckpt_pairs(accepted.join(keepers, "doc_id", "left_semi"))
     scrubbed = _ckpt_pairs(remove_dup_spans(kept).where(F.length("text") > 0))
     chunks = chunk_documents(
-        scrubbed.select("doc_id", "text"), chunk_tokens=chunk_tokens, stride=stride
+        scrubbed.select("doc_id", "text"), chunk_tokens=chunk_tokens, step=step
     )
     # chunk ids must stay injective: chunk_idx >= _cid_base (a doc
-    # longer than stride·1e6 ≈ 96M tokens at defaults) would alias a
+    # longer than step·1e6 ≈ 96M tokens at defaults) would alias a
     # neighboring doc's chunks — fail LOUDLY instead of silently
     # corrupting the packing (row-local assert, fused into the scan)
     guard = F.assert_true(

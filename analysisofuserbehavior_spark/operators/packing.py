@@ -35,30 +35,48 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def chunk_documents(
-    docs: DataFrame, chunk_tokens: int = 128, stride: int = 96
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    step: int = 96,
+    *,
+    stride: int | None = None,
 ) -> DataFrame:
     """Overlapping context-window chunking of long documents — the
     complement of `pack_sequences` (which merges SHORT docs): every
     document is split into fixed-size token windows starting at
-    0, stride, 2·stride, … < n_tokens, each window carrying up to
+    0, step, 2·step, … < n_tokens, each window carrying up to
     `chunk_tokens` tokens (the last window may be shorter).
 
-    NAMING CAVEAT: `stride` here is the STEP between window starts —
-    consecutive windows overlap by `chunk_tokens - stride` tokens
-    (128/96 defaults → 32-token overlap).  HuggingFace tokenizers use
-    `stride` for the OVERLAP (their step = max_length - stride), so a
-    1:1 port of an HF config must pass `stride = max_length -
-    hf_stride`.  chunk_idx = start / stride, so output identity is
-    deterministic and SQL-mirrorable.
+    `step` is the DISTANCE between window starts — consecutive
+    windows overlap by `chunk_tokens - step` tokens (128/96 defaults
+    → 32-token overlap).  The parameter was named `stride` through
+    round 9, a porting trap because HuggingFace tokenizers use
+    `stride` for the OVERLAP (their step = max_length - stride);
+    renamed per VERDICT r07 #6.  `stride=` survives as a deprecated
+    keyword alias with the OLD (step) meaning — an HF config ports as
+    `step = max_length - hf_stride`.  chunk_idx = start / step, so
+    output identity is deterministic and SQL-mirrorable; the rename
+    is hash-neutral (same defaults, same arithmetic).
 
     Scale shape: pure row-local array expressions (sequence + slice +
     posexplode) fused into the scan — no shuffle at any corpus size;
-    output row count is Σ ceil(n_tokens/stride).  Exact integer
+    output row count is Σ ceil(n_tokens/step).  Exact integer
     arithmetic throughout, so the whole transform hash-gates."""
+    if stride is not None:
+        import warnings
+
+        warnings.warn(
+            "chunk_documents(stride=) is deprecated — it is the STEP "
+            "between window starts, NOT the HuggingFace overlap; "
+            "pass step= instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        step = stride
     toks_col = F.split(F.col("text"), " ")
     with_toks = docs.select("doc_id", toks_col.alias("toks"))
     n = F.size(F.col("toks"))
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
     exploded = with_toks.where(n > 0).select(
         "doc_id",
         "toks",
@@ -67,7 +85,7 @@ def chunk_documents(
     piece = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
     return exploded.select(
         "doc_id",
-        (F.col("start") / stride).cast("bigint").alias("chunk_idx"),
+        (F.col("start") / step).cast("bigint").alias("chunk_idx"),
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("bigint").alias("n_tokens"),
     )

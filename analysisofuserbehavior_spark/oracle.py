@@ -2599,8 +2599,8 @@ FROM scored
 """
 
 # mirror of operators/packing.py::chunk_documents (chunk=128,
-# stride=96): starts at range(0, n, 96) (exclusive stop == Spark's
-# sequence(0, n-1, 96)); chunk_idx = start/stride exactly;
+# step=96): starts at range(0, n, 96) (exclusive stop == Spark's
+# sequence(0, n-1, 96)); chunk_idx = start/step exactly;
 # list_slice end is INCLUSIVE in DuckDB, so end = start + 128
 ORACLE["chunk_documents"] = """
 WITH t AS (

@@ -1895,7 +1895,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("chunk_documents")
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping context-window chunking (stride = STEP between window starts, i.e. overlap = chunk - stride; note HF tokenizers call the OVERLAP "stride") — the
+    """Overlapping context-window chunking (step = distance between window starts, i.e. overlap = chunk - step; renamed from "stride" in round 10 since HF tokenizers use that word for the OVERLAP) — the
     long-doc complement of pack_sequences; pure row-local array
     expressions, zero shuffle."""
     from .operators.packing import chunk_documents

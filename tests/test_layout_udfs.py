@@ -146,7 +146,7 @@ def test_bucketed_events_elide_sessionize_shuffle(spark, sf_dir, tmp_path):
 def test_chunk_udtf_matches_declarative_operator(spark, sf_dir):
     """The UDTF registration surface produces EXACTLY the declarative
     chunk_documents output over the real corpus via a LATERAL join —
-    same stride-as-step semantics, same row set."""
+    same step semantics, same row set."""
     from analysisofuserbehavior_spark.functions.udfs import register_chunk_udtf
     from analysisofuserbehavior_spark.operators.packing import chunk_documents
 
@@ -158,7 +158,7 @@ def test_chunk_udtf_matches_declarative_operator(spark, sf_dir):
            FROM _udtf_docs d, LATERAL chunk_doc(d.text, 16, 12) t"""
     )
     declarative = chunk_documents(
-        docs.select("doc_id", "text"), chunk_tokens=16, stride=12
+        docs.select("doc_id", "text"), chunk_tokens=16, step=12
     )
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, declarative.collect()))

@@ -35,17 +35,17 @@ def test_manifest_conserves_tokens_and_respects_budget(spark, sf_dir):
     assert all(r["tokens_used"] <= 512 for r in man)
 
 
-def test_chunk_documents_stride_rule_closed_form(spark):
-    """Pins the HF stride rule exactly: starts at 0, stride, … < n;
+def test_chunk_documents_step_rule_closed_form(spark):
+    """Pins the windowing rule exactly: starts at 0, step, … < n;
     each chunk is ≤ chunk_tokens tokens; consecutive chunks overlap
-    by chunk-stride; short docs yield one whole-doc chunk; empty-ish
+    by chunk-step; short docs yield one whole-doc chunk; empty-ish
     docs (single empty token after split) still produce one chunk."""
     from analysisofuserbehavior_spark.operators.packing import chunk_documents
 
     toks = [f"t{i}" for i in range(10)]
     docs = spark.createDataFrame(
         [
-            (1, " ".join(toks)),   # n=10: starts 0,4,8 (chunk=5, stride=4)
+            (1, " ".join(toks)),   # n=10: starts 0,4,8 (chunk=5, step=4)
             (2, "a b"),            # n=2 < chunk: one chunk
             (3, ""),               # splits to [""]: n=1, one chunk of ""
         ],
@@ -54,22 +54,43 @@ def test_chunk_documents_stride_rule_closed_form(spark):
     got = sorted(
         (
             (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
-            for r in chunk_documents(docs, chunk_tokens=5, stride=4).collect()
+            for r in chunk_documents(docs, chunk_tokens=5, step=4).collect()
         )
     )
     assert got == [
         (1, 0, "t0 t1 t2 t3 t4", 5),
-        (1, 1, "t4 t5 t6 t7 t8", 5),   # overlap of chunk-stride = 1 token
+        (1, 1, "t4 t5 t6 t7 t8", 5),   # overlap of chunk-step = 1 token
         (1, 2, "t8 t9", 2),            # trailing short window
         (2, 0, "a b", 2),
         (3, 0, "", 1),
     ]
 
 
+def test_chunk_documents_stride_alias_deprecated(spark):
+    """VERDICT r07 #6: `stride=` must keep working with its OLD
+    meaning (the step between starts) and warn — output identical to
+    `step=`, so the rename is hash-neutral."""
+    import warnings
+
+    from analysisofuserbehavior_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    want = sorted(map(tuple, chunk_documents(docs, chunk_tokens=5, step=4).collect()))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sorted(
+            map(tuple, chunk_documents(docs, chunk_tokens=5, stride=4).collect())
+        )
+    assert got == want
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
 def test_chunk_documents_coverage_property(spark):
-    """Property (hypothesis): for any doc and any (chunk, stride)
-    with stride <= chunk, every token position is covered by at least
-    one chunk, chunk k starts exactly at k*stride, and concatenating
+    """Property (hypothesis): for any doc and any (chunk, step)
+    with step <= chunk, every token position is covered by at least
+    one chunk, chunk k starts exactly at k*step, and concatenating
     each chunk's tokens reproduces the corresponding slice."""
     from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -78,7 +99,7 @@ def test_chunk_documents_coverage_property(spark):
     @given(
         n=st.integers(min_value=1, max_value=40),
         chunk=st.integers(min_value=1, max_value=8),
-        stride_off=st.integers(min_value=0, max_value=7),
+        step_off=st.integers(min_value=0, max_value=7),
     )
     @settings(
         max_examples=8,
@@ -88,16 +109,16 @@ def test_chunk_documents_coverage_property(spark):
             HealthCheck.function_scoped_fixture,
         ],
     )
-    def check(n, chunk, stride_off):
-        stride = max(1, chunk - stride_off)
+    def check(n, chunk, step_off):
+        step = max(1, chunk - step_off)
         toks = [f"t{i}" for i in range(n)]
         docs = spark.createDataFrame(
             [(1, " ".join(toks))], "doc_id long, text string"
         )
-        rows = chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+        rows = chunk_documents(docs, chunk_tokens=chunk, step=step).collect()
         covered = set()
         for r in rows:
-            start = r["chunk_idx"] * stride
+            start = r["chunk_idx"] * step
             expect = toks[start : start + chunk]
             assert r["chunk_text"] == " ".join(expect)
             assert r["n_tokens"] == len(expect)
@@ -136,7 +157,7 @@ def test_corpus_pipeline_e2e_survivor_propagation(spark):
     for k in range(6):
         rows.append((40 + k, f"{shared} " + " ".join(f"q{k}x{i}" for i in range(97))))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16, budget=32)
+    out = corpus_pipeline_e2e(docs, chunk_tokens=16, step=16, budget=32)
     got = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
     ids = {d for d, _ in got}
     assert 3 not in ids                       # (a) gate rejection
@@ -168,6 +189,6 @@ def test_corpus_pipeline_e2e_cid_overflow_guard_fires(spark):
     good = " ".join(f"a{i}" for i in range(100))
     docs = spark.createDataFrame([(1, good)], "doc_id long, text string")
     with pytest.raises(Exception, match="chunk_idx overflows"):
-        corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16, _cid_base=2).collect()
+        corpus_pipeline_e2e(docs, chunk_tokens=16, step=16, _cid_base=2).collect()
     # normal encoding unaffected
-    assert corpus_pipeline_e2e(docs, chunk_tokens=16, stride=16).count() == 7
+    assert corpus_pipeline_e2e(docs, chunk_tokens=16, step=16).count() == 7

@@ -1,3 +1,21 @@
-from .loaders import TABLES, load_table, load_tables, ntz_lit, epoch_us, register_views
+from .loaders import (
+    CATALOG_PREFIX,
+    TABLES,
+    epoch_us,
+    load_table,
+    load_tables,
+    ntz_lit,
+    register_views,
+    save_tables_to_catalog,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "ntz_lit", "epoch_us", "register_views"]
+__all__ = [
+    "CATALOG_PREFIX",
+    "TABLES",
+    "epoch_us",
+    "load_table",
+    "load_tables",
+    "ntz_lit",
+    "register_views",
+    "save_tables_to_catalog",
+]

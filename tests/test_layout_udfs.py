@@ -116,6 +116,34 @@ def test_operators_run_against_catalog_tables(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS events_tbl")
 
 
+def test_catalog_source_mode_hashes_like_path_mode(spark, sf_dir):
+    """VERDICT r07 #7: the ENGINE-LEVEL source-mode switch.  Persist
+    the whole star schema as managed metastore tables
+    (save_tables_to_catalog), then drive the gated migration-path
+    query (run_task_session_aggr: task-param wire format → ranged
+    scan → predicate engine → 16-bucket aggregate) with
+    sf_dir='catalog:<db>' — every load_table resolves via
+    spark.table.  Result must be IDENTICAL to the parquet-path run
+    (the hash parity the oracle gate checks), proving the reference's
+    production mode (util/SparkUtils.java:38-44, HiveContext tables)
+    is a one-string flip, not a code path."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+    from analysisofuserbehavior_spark.sources import save_tables_to_catalog
+
+    db = "spark_graft_cat_parity"
+    cat = save_tables_to_catalog(spark, sf_dir, db)
+    try:
+        via_catalog = sorted(
+            map(tuple, QUERIES["run_task_session_aggr"](spark, cat).collect())
+        )
+        via_path = sorted(
+            map(tuple, QUERIES["run_task_session_aggr"](spark, sf_dir).collect())
+        )
+        assert via_catalog == via_path and len(via_path) > 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_bucketed_events_elide_sessionize_shuffle(spark, sf_dir, tmp_path):
     """The sessionize docstring's scale claim, proven: with events
     bucketed+sorted by user_id, the user window (and therefore the

@@ -1198,6 +1198,20 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_documents(spark, sf_dir))
 
 
+@query("pii_scrub_report")
+def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + compliance counts over a corpus with KNOWN
+    ground truth: synthesize_pii deterministically injects
+    doc_id-derived emails/phones/IPs/SSNs (the synthesize_media
+    pattern — the oracle rebuilds the exact bytes analytically), then
+    scrub_pii counts and sentinel-replaces them.  Row-local regexp
+    projections in the common Java/RE2 subset — zero shuffle,
+    hash-gated end to end (operators/pii.py)."""
+    from .operators.pii import scrub_pii, synthesize_pii
+
+    return scrub_pii(synthesize_pii(_documents(spark, sf_dir)))
+
+
 @query("dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters (connected components by

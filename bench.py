@@ -190,6 +190,8 @@ HEADLINE = [
     "doc_rolling_fingerprint",
     "ann_cosine_topk_np",
     "normalize_text",
+    # round 10: PII scrub (row-local regexp projection)
+    "pii_scrub_report",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

@@ -233,6 +233,95 @@ def ngram_jaccard_pairs(
     return _jaccard_from_pairs(pairs, sizes, threshold)
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = 1000
+) -> DataFrame:
+    """PREFIX-FILTERED exact Jaccard join (All-Pairs / PPJoin family,
+    Bayardo et al. WWW'07) — output-IDENTICAL to `ngram_jaccard_pairs`
+    but with the candidate join restricted to each document's PREFIX:
+    shingles globally ordered by (df ASC, hash ASC); a document with
+    n shingles indexes only its first p = n − ⌈t·n⌉ + 1.  Any pair
+    with J ≥ t must share a shingle inside BOTH prefixes (take the
+    order-smallest common shingle x: if x were past a's prefix, all
+    ≥⌈t·n_a⌉ common shingles would sit in a's ⌈t·n_a⌉−1 suffix slots
+    — contradiction; symmetric for b), so completeness is exact while
+    the join touches only ~(1−t) of the shingle mass — at t = 0.8
+    that is ~4% of the pair work of the full self-join, and the
+    df-ascending order puts the RAREST shingles in prefixes, which is
+    what caps candidate fan-out on a boilerplate-heavy corpus.
+
+    ⌈t·n⌉ is computed in EXACT integer arithmetic from the rational
+    form of t (Fraction(str(t)) → tn/td; (tn·n + td−1) div td): an
+    IEEE ceil(0.8·5) = ceil(4.0000000000000002) = 5 would silently
+    SHORTEN the prefix below the completeness bound and drop true
+    pairs.
+
+    Verification mirrors the slim-join discipline of
+    embedding_neardup_lsh: candidates dedup as id-pairs only, then
+    re-attach each side's (df,hash)-sorted shingle array once per
+    PAIR; `inter` = size(array_intersect) feeds the same
+    `_jaccard_from_pairs` tail as the canonical operator, so the
+    jaccard float tree, threshold and quantization are shared code —
+    equality with the gated query is structural, and the oracle IS
+    the gated query's oracle."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    tn, td = frac.numerator, frac.denominator
+    dsh = shingles(docs, k).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sizes = _doc_sizes(docs, k)
+    if max_df is not None:
+        heavy = (
+            dsh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
+        sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        dsh.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("items"))
+        .select(
+            "doc_id",
+            F.transform("items", lambda x: x["sh"]).alias("shs"),
+            F.size("items").cast("long").alias("n_sh"),
+        )
+        .withColumn(
+            "p",
+            F.expr(f"n_sh - (({tn} * n_sh + {td - 1}) div {td}) + 1").cast(
+                "int"
+            ),
+        )
+    )
+    pref = per_doc.select(
+        "doc_id", F.explode(F.expr("slice(shs, 1, p)")).alias("sh")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b"))
+            .cast("long")
+            .alias("inter"),
+        )
+    )
+    return _jaccard_from_pairs(pairs, sizes, threshold)
+
+
 def minhash_signatures(dsh: DataFrame, num_perm: int = 32) -> DataFrame:
     """(doc_id, sig array<bigint>) — min over each permutation.
 

@@ -462,6 +462,12 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
 """
 
+# the prefix-filtered All-Pairs variant is output-identical to the
+# capped exact join BY THEOREM (completeness proof in
+# operators/dedup.py::ngram_jaccard_pairs_prefix), so its oracle IS
+# dedup_ngram_jaccard's — the aliasing used for ann_ivf_topk_indexed
+ORACLE["dedup_ngram_jaccard_prefix"] = ORACLE["dedup_ngram_jaccard"]
+
 # minhash+LSH verifies candidates exactly; at >=0.8 threshold its
 # recall on this corpus is 1 - (1 - s^4)^8 with s >= 0.96 → misses
 # with p < 3e-7, so the exact-jaccard oracle is the correct target.

@@ -508,6 +508,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_documents(spark, sf_dir))
 
 
+@query("dedup_ngram_jaccard_prefix")
+def q_dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (All-Pairs/PPJoin candidate
+    pruning: rarest-first global shingle order, per-doc prefix
+    p = n − ⌈t·n⌉ + 1 in exact integer arithmetic) — same answer as
+    the gated dedup_ngram_jaccard from ~4% of its join mass at
+    t = 0.8, so its oracle IS that query's oracle
+    (operators/dedup.py::ngram_jaccard_pairs_prefix)."""
+    from .operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_documents(spark, sf_dir))
+
+
 @query("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs — HASH-GATED since round 10

@@ -192,6 +192,9 @@ HEADLINE = [
     "normalize_text",
     # round 10: PII scrub (row-local regexp projection)
     "pii_scrub_report",
+    # round 10: prefix-filtered similarity join, benched NEXT TO the
+    # full-join canonical so the pruning win stays measured
+    "dedup_ngram_jaccard_prefix",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

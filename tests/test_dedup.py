@@ -53,6 +53,53 @@ def test_max_df_prunes_hot_shingles_but_keeps_near_dups(spark):
     assert len(out) == 1
 
 
+def test_prefix_filter_matches_full_jaccard_join(spark, sf_dir):
+    """All-Pairs prefix filtering must be LOSSLESS: identical pair
+    set and quantized similarities as the canonical full self-join on
+    the real corpus, while indexing only a fraction of the shingle
+    mass (the pruning claim, asserted on the same run)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(docs).collect()))
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_exact_integer_boundary(spark):
+    """⌈t·n⌉ at an EXACT integer boundary: two 9-shingle docs sharing
+    8 shingles have J = 8/10 = 0.8 — found iff the ceil is computed
+    in integers (IEEE ceil(0.8·9) = ceil(7.2000…04) is fine, but
+    ceil(0.8·5) = 5 under IEEE would shorten a 5-shingle prefix below
+    the completeness bound; the integer form is exact everywhere)."""
+    base = [f"w{i}" for i in range(20)]
+    # doc texts built so the 3-gram shingle sets overlap heavily:
+    # identical 10-token prefix + distinct single tail token
+    a = " ".join(base[:10] + ["onlya"])
+    b = " ".join(base[:10] + ["onlyb"])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    full = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, max_df=None).collect()))
+    pref = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs_prefix(docs, max_df=None).collect())
+    )
+    assert pref == full
+    # and the threshold=exact-boundary pair family: J exactly 0.8
+    n_pairs = 6
+    rows = []
+    for i in range(n_pairs):
+        toks = [f"p{i}x{j}" for j in range(11)]
+        rows.append((10 + 2 * i, " ".join(toks)))
+        rows.append((11 + 2 * i, " ".join(toks[:-1] + [f"tail{i}"])))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    full2 = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs2, max_df=None).collect()))
+    pref2 = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs_prefix(docs2, max_df=None).collect())
+    )
+    assert pref2 == full2 and len(full2) >= n_pairs
+
+
 def test_simhash_near_dups_have_small_hamming(spark):
     near_a = "the quick brown fox jumps over the lazy dog again and again more words to pad this document out"
     near_b = "the quick brown fox jumps over the lazy dog again and again more words to pad this document away"

@@ -325,3 +325,85 @@ def funnel_within_window(
         .select("s.step", "s.stage", "s.users")
         .orderBy("step")
     )
+
+
+def multitouch_attribution(
+    events: DataFrame, window_s: int = 7 * 86400
+) -> DataFrame:
+    """LINEAR multi-touch ad attribution: every purchase distributes
+    10 000 credit basis points equally across the user's qualifying
+    clicks (touch ≺ conversion in (ts, event_id) order, within
+    `window_s` of the conversion); per-ad totals answer "which ads
+    actually participated in journeys that converted" — the
+    fractional-credit complement of `click_asof_prior_view`'s
+    last-touch model and the streaming interval-join attribution.
+
+    EXACT-INTEGER credit split (the repo's float rule): each of the k
+    touches gets 10000 div k bps and the LAST touch (max (ts,eid))
+    additionally absorbs the remainder 10000 mod k, so every
+    conversion's credit sums to exactly 10000 and the per-ad totals
+    are bigint sums — no float shares to drift across engines.
+
+    Scale shape (the funnel_within_window discipline): ONE shuffle
+    (groupBy user) collects each user's typed event array; per
+    conversion the touch list and its credit splits are row-local
+    array expressions (filter + transform + flatten), so the
+    |clicks|×|purchases| pair blow-up of the naive range join never
+    materializes as a shuffle — per-user arrays bound memory exactly
+    like the sessionize rollup.  The oracle IS that naive range join
+    (conv ⋈ touch + window ranks), same answer from the opposite
+    plan."""
+    from ..functions import json_long
+    from ..sources.loaders import epoch_us
+
+    w_us = F.lit(int(window_s) * 1_000_000)
+    typed = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.struct(
+            epoch_us(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
+            (F.col("event_type") == "purchase").alias("is_conv"),
+            (json_long("props", "$.k") % 10).alias("ad_id"),
+        ).alias("ev"),
+    )
+    per_user = typed.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ev")).alias("evs")
+    )
+    convs = F.filter(F.col("evs"), lambda x: x["is_conv"])
+
+    def credits_for(c):
+        touches = F.filter(
+            F.col("evs"),
+            lambda t: (~t["is_conv"])
+            & (
+                (t["us"] < c["us"])
+                | ((t["us"] == c["us"]) & (t["eid"] < c["eid"]))
+            )
+            & (c["us"] - t["us"] <= w_us),
+        )
+        k = F.size(touches)
+        base = F.floor(F.lit(10000) / k).cast("bigint")
+        rem = F.lit(10000) - base * k
+        return F.transform(
+            touches,
+            lambda t, i: F.struct(
+                t["ad_id"].alias("ad_id"),
+                (base + F.when(i == k - 1, rem).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("bps"),
+            ),
+        )
+
+    credit = per_user.select(
+        F.explode(F.flatten(F.transform(convs, credits_for))).alias("c")
+    )
+    return (
+        credit.groupBy(F.col("c.ad_id").alias("ad_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("c.bps").cast("bigint").alias("credit_bps"),
+        )
+        .orderBy("ad_id")
+    )

@@ -1170,6 +1170,39 @@ WITH n AS (
 SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n
 """
 
+# mirror of engagement.py::multitouch_attribution — the NAIVE range
+# join the operator's row-local fold avoids: conversions ⋈ touches on
+# (user, window, (us,eid) strict order), per-conversion rank/count
+# windows, integer bps split (10000 // k, remainder to the last
+# touch), per-ad bigint totals
+ORACLE["multitouch_attribution"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ad_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+conv AS (SELECT user_id, us, eid FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, us, eid, ad_id FROM ev WHERE event_type = 'click'),
+j AS (
+  SELECT c.eid AS ceid, t.ad_id,
+         row_number() OVER (PARTITION BY c.eid ORDER BY t.us, t.eid) AS rn,
+         count(*) OVER (PARTITION BY c.eid) AS k
+  FROM conv c
+  JOIN touch t ON c.user_id = t.user_id
+   AND (t.us < c.us OR (t.us = c.us AND t.eid < c.eid))
+   AND c.us - t.us <= CAST(7 AS BIGINT) * 86400 * 1000000
+),
+cr AS (
+  SELECT ad_id,
+         CAST(10000 // k + CASE WHEN rn = k THEN 10000 - k * (10000 // k)
+                           ELSE 0 END AS BIGINT) AS bps
+  FROM j
+)
+SELECT ad_id, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(bps) AS BIGINT) AS credit_bps
+FROM cr GROUP BY ad_id ORDER BY ad_id
+"""
+
 # mirror of operators/pii.py — the injection is rebuilt byte-for-byte
 # (lpad/modulo closed forms), counts use leftmost-non-overlapping
 # regexp_extract_all (== Spark regexp_count), scrub applies the same

@@ -1211,6 +1211,19 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_documents(spark, sf_dir))
 
 
+@query("multitouch_attribution")
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with exact-integer basis-point
+    credit splits (10000 div k to each touch, remainder to the last):
+    one groupBy(user) + row-local array folds vs the oracle's naive
+    conversion⋈touch range join — the fractional-credit complement of
+    the gated last-touch attribution family
+    (operators/engagement.py::multitouch_attribution)."""
+    from .operators.engagement import multitouch_attribution
+
+    return multitouch_attribution(_events(spark, sf_dir))
+
+
 @query("pii_scrub_report")
 def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction + compliance counts over a corpus with KNOWN

@@ -195,6 +195,7 @@ HEADLINE = [
     # round 10: prefix-filtered similarity join, benched NEXT TO the
     # full-join canonical so the pruning win stays measured
     "dedup_ngram_jaccard_prefix",
+    "multitouch_attribution",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

@@ -178,3 +178,64 @@ def test_streaming_fold_spans_batch_boundary(spark, tmp_path):
     got = {r["step"]: r["users"] for r in final_funnel_counts(updates).collect()}
     # user 1 completes across the boundary; user 2's chain expired
     assert (got[1], got[2], got[3]) == (2, 1, 1)
+
+
+def test_multitouch_attribution_hand_computed(spark):
+    """Known journey: user 1 clicks ads 3, 5, 3 then purchases; k=3
+    touches → 3333 bps each, remainder 1 to the LAST touch (ad 3).
+    A click AFTER the purchase and one outside the 7-day window get
+    nothing; a touchless purchase contributes no credit rows."""
+    from analysisofuserbehavior_spark.operators.engagement import (
+        multitouch_attribution,
+    )
+
+    def ev(eid, offset_s, uid, etype, ad):
+        return (
+            eid,
+            T0 + timedelta(seconds=offset_s),
+            uid,
+            etype,
+            0.0,
+            '{"k": %d}' % ad,
+        )
+
+    rows = [
+        ev(1, 0, 1, "click", 3),
+        ev(2, 60, 1, "click", 5),
+        ev(3, 120, 1, "click", 3),
+        ev(4, 180, 1, "purchase", 0),
+        ev(5, 240, 1, "click", 7),          # after conversion: no credit
+        ev(6, 0, 2, "click", 9),
+        ev(7, 8 * 86400, 2, "purchase", 0),  # outside 7d window
+        ev(8, 0, 3, "purchase", 0),          # touchless conversion
+    ]
+    df = spark.createDataFrame(rows, EVENTS)
+    got = {r["ad_id"]: (r["n_touches"], r["credit_bps"])
+           for r in multitouch_attribution(df).collect()}
+    # ads 3 (x2, incl. last touch +1 rem) and 5 (x1); nothing else
+    assert got == {3: (2, 3333 + 3333 + 1), 5: (1, 3333)}
+
+
+def test_multitouch_attribution_same_ts_tiebreak_and_exact_sum(spark):
+    """Touch at the conversion's exact timestamp counts iff its
+    event_id is smaller; every conversion's credit sums to exactly
+    10000 bps regardless of k."""
+    from analysisofuserbehavior_spark.operators.engagement import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        (1, T0, 1, "click", 0.0, '{"k": 1}'),
+        (2, T0, 1, "purchase", 0.0, '{"k": 0}'),   # eid 1 < 2: counts
+        (3, T0, 1, "click", 0.0, '{"k": 2}'),      # eid 3 > 2: no credit
+        # user 2: k=7 touches -> 7*1428 + 4 = 10000
+        *[(10 + i, T0 + timedelta(seconds=i), 2, "click", 0.0, '{"k": %d}' % (i % 3))
+          for i in range(7)],
+        (20, T0 + timedelta(seconds=100), 2, "purchase", 0.0, '{"k": 0}'),
+    ]
+    df = spark.createDataFrame(rows, EVENTS)
+    out = multitouch_attribution(df).collect()
+    total = sum(r["credit_bps"] for r in out)
+    assert total == 2 * 10000  # two credited conversions, exact bps each
+    got = {r["ad_id"]: r["credit_bps"] for r in out}
+    assert got[1] >= 10000  # user-1 single touch (ad 1) got the full credit

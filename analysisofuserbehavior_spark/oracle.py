@@ -1203,56 +1203,6 @@ SELECT ad_id, CAST(count(*) AS BIGINT) AS n_touches,
 FROM cr GROUP BY ad_id ORDER BY ad_id
 """
 
-# mirror of operators/pii.py — the injection is rebuilt byte-for-byte
-# (lpad/modulo closed forms), counts use leftmost-non-overlapping
-# regexp_extract_all (== Spark regexp_count), scrub applies the same
-# rule order.  Patterns are the shared Java/RE2 subset; keep in exact
-# sync with pii.py's EMAIL_RE/SSN_RE/PHONE_RE/IPV4_RE.
-_PII = {
-    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
-    "phone": "\\b\\d{3}-\\d{3}-\\d{4}\\b",
-    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-}
-
-ORACLE["pii_scrub_report"] = f"""
-WITH injected AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                 ELSE '' END
-         || CASE WHEN doc_id % 5 = 0
-                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                      || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
-                 ELSE '' END
-         || CASE WHEN doc_id % 7 = 0
-                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                      || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
-                 ELSE '' END
-         || CASE WHEN doc_id % 11 = 0
-                 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                      || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
-                 ELSE '' END AS text
-  FROM documents
-)
-SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-         '{_PII["email"]}', '<EMAIL>', 'g'),
-         '{_PII["ssn"]}', '<SSN>', 'g'),
-         '{_PII["phone"]}', '<PHONE>', 'g'),
-         '{_PII["ipv4"]}', '<IP>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_PII["ssn"]}')) AS BIGINT) AS n_ssns,
-       CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{_PII["email"]}'))
-            + len(regexp_extract_all(text, '{_PII["ssn"]}'))
-            + len(regexp_extract_all(text, '{_PII["phone"]}'))
-            + len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS pii_total
-FROM injected
-"""
 
 
 ORACLE["session_length_percentiles"] = f"""
@@ -2115,7 +2065,7 @@ LIMIT 100
 """
 
 
-def _pii_oracle() -> str:
+def _pii_oracle(source: str = "documents") -> str:
     # the exact pattern strings the engine uses — imported, not
     # re-typed, so the two sides can never drift
     from .operators.curation import PII_PATTERNS
@@ -2131,11 +2081,40 @@ def _pii_oracle() -> str:
 SELECT doc_id,
        {clean} AS clean_text,
        {counts}
-FROM documents
+FROM {source}
 """
 
 
 ORACLE["pii_redact"] = _pii_oracle()
+
+# mirror of operators/pii.py::synthesize_pii + curation.pii_redact:
+# the injected bytes are rebuilt analytically (lpad/modulo closed
+# forms), then the SAME generated redaction body runs FROM the
+# injected CTE — ground truth for counts and scrubbing
+ORACLE["pii_scrub_report"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' card 4111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                      || '-' || lpad(CAST(doc_id * 17 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+{_pii_oracle("injected")}
+"""
 
 
 ORACLE["rolling_7d_clicks"] = """

@@ -1226,16 +1226,18 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("pii_scrub_report")
 def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction + compliance counts over a corpus with KNOWN
-    ground truth: synthesize_pii deterministically injects
-    doc_id-derived emails/phones/IPs/SSNs (the synthesize_media
-    pattern — the oracle rebuilds the exact bytes analytically), then
-    scrub_pii counts and sentinel-replaces them.  Row-local regexp
-    projections in the common Java/RE2 subset — zero shuffle,
-    hash-gated end to end (operators/pii.py)."""
-    from .operators.pii import scrub_pii, synthesize_pii
+    """The ground-truth twin of the gated `pii_redact`: the SAME
+    curation.pii_redact operator, but over a corpus where
+    synthesize_pii has deterministically injected doc_id-derived
+    emails/cards/phones/IPs (the synthesize_media pattern — the
+    oracle rebuilds the injected bytes analytically).  pii_redact's
+    own gate proves regex parity on a zero-match corpus; this row
+    proves counting AND redaction on text that actually carries every
+    pattern (operators/pii.py)."""
+    from .operators.curation import pii_redact
+    from .operators.pii import synthesize_pii
 
-    return scrub_pii(synthesize_pii(_documents(spark, sf_dir)))
+    return pii_redact(synthesize_pii(_documents(spark, sf_dir)))
 
 
 @query("dedup_clusters")

@@ -263,8 +263,17 @@ def ngram_jaccard_pairs_prefix(
     `_jaccard_from_pairs` tail as the canonical operator, so the
     jaccard float tree, threshold and quantization are shared code —
     equality with the gated query is structural, and the oracle IS
-    the gated query's oracle."""
+    the gated query's oracle.
+
+    `dsh` and `per_doc` are ckpt-materialized: dsh feeds 2 branches
+    (df table + the per-doc rollup) and per_doc feeds 3 (prefix
+    explode + both verification sides) — re-derived, the composed
+    plan ran the shingle scan per branch (20 static exchanges,
+    measured); truncated, each is computed once (the
+    corpus_pipeline_e2e lesson)."""
     from fractions import Fraction
+
+    from ..functions.ckpt import ckpt
 
     frac = Fraction(str(threshold))
     tn, td = frac.numerator, frac.denominator
@@ -279,8 +288,9 @@ def ngram_jaccard_pairs_prefix(
         )
         dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
         sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dsh = ckpt(dsh)
     df_tbl = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
+    per_doc = ckpt(
         dsh.join(df_tbl, "sh")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("items"))

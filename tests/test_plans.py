@@ -708,3 +708,52 @@ def test_registry_plans_no_cartesian_no_rowwise_python(spark, sf_dir):
             offenders.append((name, "BatchEvalPython"))
     disable_shared_scan(spark)
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Catalyst's runtime row-level bloom filter (the semi-join
+    reduction a 100 TB fact⋈filtered-dim join lives on): with a
+    selective dimension predicate and a non-broadcast join, the
+    optimizer must inject bloom_filter_agg on the creation side and a
+    might_contain probe on the fact side, so fact rows that can't
+    join are dropped AT THE SCAN, before the shuffle.  Size
+    thresholds are tuned down because the testdata is far below the
+    production 10MB/10GB defaults — the assertion is that the REWRITE
+    fires, which is scale-independent."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = (
+            li.join(
+                orders.hint("merge"),
+                li["l_orderkey"] == orders["o_orderkey"],
+            )
+            .groupBy()
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )

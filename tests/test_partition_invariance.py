@@ -33,6 +33,15 @@ CHECKED = [
     "dup_ngram_coverage",
     "doc_tfidf_top_terms",
     "remove_dup_spans",
+    # round-10 additions: the LSH-fed closure (iterative CC over
+    # banded candidates), the prefix-filtered join (df-ordered
+    # prefixes must not depend on partitioning), the md5-mixer
+    # rows, and the attribution credit split
+    "embedding_dedup_clusters_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "doc_rolling_fingerprint",
+    "multitouch_attribution",
 ]
 
 

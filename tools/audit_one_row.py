@@ -52,6 +52,14 @@ ROUND_TOUCHED = [
     "remove_dup_spans",
     "streaming_scd2_crash_recovery",
     "pack_sequences",
+    # round 10
+    "embedding_dedup_clusters_lsh",
+    "embedding_neardup",
+    "dedup_simhash",
+    "doc_rolling_fingerprint",
+    "dedup_ngram_jaccard_prefix",
+    "multitouch_attribution",
+    "pii_scrub_report",
 ]
 
 

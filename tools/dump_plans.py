@@ -48,6 +48,11 @@ FLAGSHIPS = [
     ("funnel_within_window", "one user shuffle; greedy fold, no event self-join"),
     ("seasonal_anomaly_dow", "daily reduce + broadcast 7-row-per-type seasonal join"),
     ("hard_negative_mining", "broadcast query block; map-only scoring"),
+    # round 10
+    ("dedup_ngram_jaccard_prefix", "All-Pairs prefix index: 21% of shingle rows, ckpt'd shared frames"),
+    ("multitouch_attribution", "one user shuffle; row-local credit fold, no conv x touch join"),
+    ("dedup_simhash", "md5-mixer bit votes; banded hamming join"),
+    ("pii_scrub_report", "map-only regexp chain fused into the scan"),
 ]
 
 

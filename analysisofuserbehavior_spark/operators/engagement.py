@@ -330,13 +330,21 @@ def funnel_within_window(
 def multitouch_attribution(
     events: DataFrame, window_s: int = 7 * 86400
 ) -> DataFrame:
-    """LINEAR multi-touch ad attribution: every purchase distributes
-    10 000 credit basis points equally across the user's qualifying
-    clicks (touch ≺ conversion in (ts, event_id) order, within
-    `window_s` of the conversion); per-ad totals answer "which ads
-    actually participated in journeys that converted" — the
-    fractional-credit complement of `click_asof_prior_view`'s
-    last-touch model and the streaming interval-join attribution.
+    """LINEAR multi-touch ad attribution via a HOT-USER-SAFE fold —
+    the row-local-plan twin of `attribution_linear` (registry.py),
+    which computes the same credit family through a purchases⋈clicks
+    equi-join on user_id.  That join is the right plan at normal
+    skew, but a bot user with T touches and C conversions
+    materializes T·C join rows; here the same user costs one
+    collected array and an O(T·C) ROW-LOCAL fold with no shuffle
+    amplification — the funnel_within_window argument applied to
+    attribution.  Semantics also differ deliberately: a 7-DAY
+    journey window (vs the join twin's 30-minute burst window),
+    strict (ts, event_id) precedence (the join twin's `c_ts < p_ts`
+    drops same-timestamp ties), and count-based credit in exact
+    BASIS POINTS (10 000 per conversion) rather than value-weighted
+    micro-cents — the "participation credit" readout to the join
+    twin's "revenue credit".
 
     EXACT-INTEGER credit split (the repo's float rule): each of the k
     touches gets 10000 div k bps and the LAST touch (max (ts,eid))

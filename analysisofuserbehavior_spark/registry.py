@@ -1213,11 +1213,13 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multitouch_attribution")
 def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution with exact-integer basis-point
-    credit splits (10000 div k to each touch, remainder to the last):
-    one groupBy(user) + row-local array folds vs the oracle's naive
-    conversion⋈touch range join — the fractional-credit complement of
-    the gated last-touch attribution family
+    """Linear multi-touch attribution as a HOT-USER-SAFE row-local
+    fold — the plan twin of `attribution_linear` (which equi-joins
+    purchases⋈clicks): one groupBy(user) + array folds, so a bot
+    user never materializes T·C join rows.  Exact basis-point splits
+    (10000 div k per touch, remainder to the last), 7-day journey
+    window, strict (ts,event_id) precedence.  The oracle takes the
+    naive range-join shape this plan avoids
     (operators/engagement.py::multitouch_attribution)."""
     from .operators.engagement import multitouch_attribution
 

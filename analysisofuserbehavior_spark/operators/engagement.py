@@ -379,10 +379,23 @@ def multitouch_attribution(
     per_user = typed.groupBy("user_id").agg(
         F.sort_array(F.collect_list("ev")).alias("evs")
     )
-    convs = F.filter(F.col("evs"), lambda x: x["is_conv"])
-
-    def credits_for(c):
-        touches = F.filter(
+    # one row per conversion, still carrying the user's event array
+    per_conv = per_user.select(
+        "evs",
+        F.explode(
+            F.filter(F.col("evs"), lambda x: x["is_conv"])
+        ).alias("c"),
+    )
+    # `touches` and `k` MUST be materialized as real columns before
+    # the credit transform consumes them: with k = size(filter(...))
+    # embedded in the per-element lambda, every element re-evaluates
+    # the whole filter over the user's array — O(T²) per conversion,
+    # the round-7 inline-recompute class (a 200k-click bot user ran
+    # >10 min; materialized it's O(T) and finishes in seconds).
+    # CollapseProject keeps multi-consumer non-trivial aliases real.
+    c = F.col("c")
+    touched = per_conv.select(
+        F.filter(
             F.col("evs"),
             lambda t: (~t["is_conv"])
             & (
@@ -390,28 +403,36 @@ def multitouch_attribution(
                 | ((t["us"] == c["us"]) & (t["eid"] < c["eid"]))
             )
             & (c["us"] - t["us"] <= w_us),
-        )
-        k = F.size(touches)
-        base = F.floor(F.lit(10000) / k).cast("bigint")
-        rem = F.lit(10000) - base * k
-        return F.transform(
-            touches,
-            lambda t, i: F.struct(
-                t["ad_id"].alias("ad_id"),
-                (base + F.when(i == k - 1, rem).otherwise(F.lit(0)))
-                .cast("bigint")
-                .alias("bps"),
-            ),
-        )
-
-    credit = per_user.select(
-        F.explode(F.flatten(F.transform(convs, credits_for))).alias("c")
+        ).alias("touches")
+    ).select("touches", F.size("touches").cast("bigint").alias("k"))
+    k = F.col("k")
+    base = F.floor(F.lit(10000) / k).cast("bigint")
+    rem = (F.lit(10000) - base * k).cast("bigint")
+    credit = touched.where(k > 0).select(
+        base.alias("base"),
+        rem.alias("rem"),
+        "k",
+        F.explode(
+            F.transform(
+                "touches",
+                lambda t, i: F.struct(
+                    t["ad_id"].alias("ad_id"), i.alias("idx")
+                ),
+            )
+        ).alias("cr"),
     )
     return (
-        credit.groupBy(F.col("c.ad_id").alias("ad_id"))
+        credit.groupBy(F.col("cr.ad_id").alias("ad_id"))
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
-            F.sum("c.bps").cast("bigint").alias("credit_bps"),
+            F.sum(
+                F.col("base")
+                + F.when(F.col("cr.idx") == k - 1, F.col("rem")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("credit_bps"),
         )
         .orderBy("ad_id")
     )

@@ -239,3 +239,39 @@ def test_multitouch_attribution_same_ts_tiebreak_and_exact_sum(spark):
     assert total == 2 * 10000  # two credited conversions, exact bps each
     got = {r["ad_id"]: r["credit_bps"] for r in out}
     assert got[1] >= 10000  # user-1 single touch (ad 1) got the full credit
+
+
+def test_multitouch_attribution_hot_user_linear(spark):
+    """Round-10 regression: with k = size(filter(...)) embedded in the
+    per-element credit lambda, every touch re-evaluated the whole
+    filter over the user's array — O(T²) per conversion (a 200k-click
+    bot ran >10 min).  Materialized, one 50k-click bot must finish in
+    seconds and credit exact multiples of 10000 bps."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.operators.engagement import (
+        multitouch_attribution,
+    )
+
+    ev = spark.range(50_005).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp_micros(cast(1704100000000000 + id * 1000000 as long))"
+        ).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.when(F.col("id") % 10_001 == 0, "purchase")
+        .otherwise("click")
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), (F.col("id") % 10).cast("string"), F.lit("}")
+        ).alias("props"),
+    )
+    t0 = time.perf_counter()
+    out = multitouch_attribution(ev).collect()
+    dt = time.perf_counter() - t0
+    total = sum(r["credit_bps"] for r in out)
+    assert total % 10000 == 0 and total > 0
+    assert dt < 120, f"quadratic credit fold regressed: {dt:.0f}s"

@@ -170,3 +170,87 @@ def seasonal_anomaly_dow(
         qround(z, 4).alias("zscore"),
         flag.alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+def holt_trend_daily(
+    events: DataFrame, event_type: str = "click"
+) -> DataFrame:
+    """Holt linear-trend smoothing over the daily volume series with
+    one-step-ahead forecasts — the FORECASTING readout the anomaly
+    monitors (daily_anomaly_zscore, seasonal_anomaly_dow) lack: not
+    "was yesterday odd" but "what does tomorrow look like", plus the
+    per-day fitted level/trend a capacity planner charts.
+
+    α = β = 1/2 (dyadic, the trending_items_decayed discipline):
+        forecast_t = l_{t-1} + b_{t-1}
+        l_t = ½·y_t + ½·forecast_t
+        b_t = ½·(l_t − l_{t-1}) + ½·b_{t-1}
+    initialized l_1 = y_1, b_1 = 0.  The recursion is a SEQUENTIAL
+    left fold over the day-ordered series — deterministic float
+    ORDER, so both engines produce bit-identical doubles (this is
+    not a distributive sum; the repo's float rule targets
+    order-FREEDOM, which a fold doesn't have).  The oracle replays
+    the identical expression tree through a WITH RECURSIVE CTE
+    (Spark 4.1 could too; the DataFrame fold keeps it declarative).
+
+    Scale shape: ONE map-side-combined groupBy(day) is the only
+    corpus-sized work; the fold runs on the collected calendar-
+    bounded series (≤ a few thousand rows for years of days) in a
+    single task — the rolling_7d/trending tiny-frame pattern.  The
+    accumulator appends to an array (O(days²) copies on a frame this
+    small; the per-element state is attribute-only, so the round-10
+    inline-recompute trap does not apply)."""
+    daily = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("ds")
+    )
+    row_t = (
+        "array<struct<day:string,y:bigint,level:double,trend:double,"
+        "forecast:double>>"
+    )
+    zero = F.struct(
+        F.lit(None).cast(row_t).alias("rows"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(False).alias("started"),
+    )
+
+    def step(acc, d):
+        fcst = acc["l"] + acc["b"]
+        level = F.when(
+            acc["started"], F.lit(0.5) * d["y"] + F.lit(0.5) * fcst
+        ).otherwise(d["y"].cast("double"))
+        trend = F.when(
+            acc["started"],
+            F.lit(0.5) * (level - acc["l"]) + F.lit(0.5) * acc["b"],
+        ).otherwise(F.lit(0.0))
+        row = F.struct(
+            d["day"].alias("day"),
+            d["y"].alias("y"),
+            level.alias("level"),
+            trend.alias("trend"),
+            F.when(acc["started"], fcst).alias("forecast"),
+        )
+        return F.struct(
+            F.concat(
+                F.coalesce(acc["rows"], F.array().cast(row_t)), F.array(row)
+            ).alias("rows"),
+            level.alias("l"),
+            trend.alias("b"),
+            F.lit(True).alias("started"),
+        )
+
+    fitted = series.select(
+        F.explode(F.aggregate("ds", zero, step)["rows"]).alias("r")
+    )
+    return fitted.select(
+        F.col("r.day").alias("day"),
+        F.col("r.y").alias("y"),
+        qround(F.col("r.level"), 4).alias("level"),
+        qround(F.col("r.trend"), 4).alias("trend"),
+        qround(F.col("r.forecast"), 4).alias("forecast"),
+    ).orderBy("day")

@@ -1170,6 +1170,41 @@ WITH n AS (
 SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n
 """
 
+# mirror of diagnostics.py::holt_trend_daily — the identical Holt
+# recursion (α=β=½, l₁=y₁, b₁=0) replayed through WITH RECURSIVE over
+# the day-indexed series; the level expression inside trend is the
+# SAME tree Spark evaluates, so doubles are bit-identical (sequential
+# fold: deterministic order, not a distributive sum)
+ORACLE["holt_trend_daily"] = """
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+seq AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+r(i, day, y, level, trend, forecast) AS (
+  -- every numeric is an explicit DOUBLE: a bare 0.0 anchor types the
+  -- whole recursion DECIMAL(1,1) in DuckDB and quantizes each step
+  SELECT i, day, y, CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(NULL AS DOUBLE)
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.i, s.day, s.y,
+         0.5 * CAST(s.y AS DOUBLE) + 0.5 * (r.level + r.trend),
+         0.5 * ((0.5 * CAST(s.y AS DOUBLE) + 0.5 * (r.level + r.trend))
+                - r.level)
+           + 0.5 * r.trend,
+         r.level + r.trend
+  FROM r JOIN seq s ON s.i = r.i + 1
+)
+SELECT day, y,
+       floor(level * 10000.0 + 0.5) / 10000.0 AS level,
+       floor(trend * 10000.0 + 0.5) / 10000.0 AS trend,
+       floor(forecast * 10000.0 + 0.5) / 10000.0 AS forecast
+FROM r ORDER BY day
+"""
+
 # mirror of engagement.py::multitouch_attribution — the NAIVE range
 # join the operator's row-local fold avoids: conversions ⋈ touches on
 # (user, window, (us,eid) strict order), per-conversion rank/count

@@ -1211,6 +1211,19 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_documents(spark, sf_dir))
 
 
+@query("holt_trend_daily")
+def q_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing + one-step forecasts over daily
+    click volume (α=β=½): a SEQUENTIAL fold over the day-ordered
+    series, so the float order is deterministic and both engines are
+    bit-identical; the oracle replays the identical expression tree
+    via WITH RECURSIVE.  One map-side-combined daily reduce is the
+    only corpus-sized work (operators/diagnostics.py::holt_trend_daily)."""
+    from .operators.diagnostics import holt_trend_daily
+
+    return holt_trend_daily(_events(spark, sf_dir))
+
+
 @query("multitouch_attribution")
 def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution as a HOT-USER-SAFE row-local

@@ -196,6 +196,7 @@ HEADLINE = [
     # full-join canonical so the pruning win stays measured
     "dedup_ngram_jaccard_prefix",
     "multitouch_attribution",
+    "holt_trend_daily",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

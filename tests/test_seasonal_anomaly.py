@@ -73,3 +73,44 @@ def test_zero_variance_peers_flag_any_deviation(spark):
     assert spike["zscore"] is None and spike["is_anomaly"] is True
     flat = out["2024-01-01"]
     assert flat["is_anomaly"] is False
+
+
+def test_holt_trend_matches_straightline_recursion(spark):
+    """holt_trend_daily vs a straight-line Python Holt (α=β=½,
+    l₁=y₁, b₁=0): levels, trends and one-step forecasts must match
+    the reference recursion exactly (after the shared 4-dp quantize),
+    and the first day's forecast must be NULL."""
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        holt_trend_daily,
+    )
+
+    ys = [4, 5, 4, 6, 7, 3, 8, 8, 2, 10]
+    rows, eid = [], 0
+    for d, y in enumerate(ys):
+        for _ in range(y):
+            rows.append(
+                (eid, MONDAY + timedelta(days=d), 1, "click", 0.0, "{}")
+            )
+            eid += 1
+        # non-click noise must be ignored
+        rows.append((10_000 + d, MONDAY + timedelta(days=d), 2, "view", 0.0, "{}"))
+    df = spark.createDataFrame(rows, EVENTS)
+    got = holt_trend_daily(df).collect()
+    assert len(got) == len(ys)
+
+    def q4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    l, b = float(ys[0]), 0.0
+    assert got[0]["forecast"] is None
+    assert (got[0]["level"], got[0]["trend"]) == (q4(l), 0.0)
+    for t in range(1, len(ys)):
+        f = l + b
+        nl = 0.5 * ys[t] + 0.5 * f
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+        r = got[t]
+        assert r["y"] == ys[t]
+        assert r["forecast"] == q4(f), (t, r)
+        assert r["level"] == q4(l), (t, r)
+        assert r["trend"] == q4(b), (t, r)

@@ -1205,6 +1205,38 @@ SELECT day, y,
 FROM r ORDER BY day
 """
 
+# mirror of diagnostics.py::cusum_drift_daily — the identical
+# integer CUSUM fold (W=7, slack=2, threshold=20; baseline days pin
+# both sides to 0) replayed via WITH RECURSIVE; BIGINT end to end
+ORACLE["cusum_drift_daily"] = """
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+seq AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+base AS (
+  SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS b FROM seq WHERE i <= 7
+),
+r(i, day, y, up, down) AS (
+  SELECT i, day, y, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.i, s.day, s.y,
+         CASE WHEN s.i <= 7 THEN CAST(0 AS BIGINT)
+              ELSE greatest(CAST(0 AS BIGINT),
+                            r.up + (7 * s.y - base.b - 7 * 2)) END,
+         CASE WHEN s.i <= 7 THEN CAST(0 AS BIGINT)
+              ELSE greatest(CAST(0 AS BIGINT),
+                            r.down - (7 * s.y - base.b + 7 * 2)) END
+  FROM r JOIN seq s ON s.i = r.i + 1 CROSS JOIN base
+)
+SELECT day, y, up AS cusum_up, down AS cusum_down,
+       up > 7 * 20 AS alarm_up, down > 7 * 20 AS alarm_down
+FROM r ORDER BY day
+"""
+
 # mirror of engagement.py::multitouch_attribution — the NAIVE range
 # join the operator's row-local fold avoids: conversions ⋈ touches on
 # (user, window, (us,eid) strict order), per-conversion rank/count

@@ -1224,6 +1224,19 @@ def q_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_trend_daily(_events(spark, sf_dir))
 
 
+@query("cusum_drift_daily")
+def q_cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided integer-exact CUSUM drift monitor over daily click
+    volume (baseline = first 7 days, slack 2/day, threshold 20
+    events·days; every state a BIGINT scaled by the baseline width so
+    the mean never floats) — the sequential small-drift detector
+    complementing the pointwise z monitors; oracle replays the fold
+    via WITH RECURSIVE (operators/diagnostics.py::cusum_drift_daily)."""
+    from .operators.diagnostics import cusum_drift_daily
+
+    return cusum_drift_daily(_events(spark, sf_dir))
+
+
 @query("multitouch_attribution")
 def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution as a HOT-USER-SAFE row-local

@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_prefix",
     "multitouch_attribution",
     "holt_trend_daily",
+    "cusum_drift_daily",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

@@ -114,3 +114,39 @@ def test_holt_trend_matches_straightline_recursion(spark):
         assert r["forecast"] == q4(f), (t, r)
         assert r["level"] == q4(l), (t, r)
         assert r["trend"] == q4(b), (t, r)
+
+
+def test_cusum_flags_persistent_drift_not_baseline_noise(spark):
+    """A +4/day drift after a flat 7-day baseline must trip alarm_up
+    only after the accumulation crosses threshold (no single day is a
+    z-outlier), never alarm_down; baseline days stay at zero.  States
+    match a straight-line integer recursion."""
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        cusum_drift_daily,
+    )
+
+    ys = [10] * 7 + [14] * 14  # small persistent drift, +4/day
+    rows, eid = [], 0
+    for d, y in enumerate(ys):
+        for _ in range(y):
+            rows.append((eid, MONDAY + timedelta(days=d), 1, "click", 0.0, "{}"))
+            eid += 1
+    got = cusum_drift_daily(spark.createDataFrame(rows, EVENTS)).collect()
+    assert len(got) == len(ys)
+    # straight-line reference: W=7, B=70, slack 2, threshold 20
+    W, B, K, H = 7, 70, 2, 20
+    up = down = 0
+    for t, r in enumerate(got):
+        if t < W:
+            assert (r["cusum_up"], r["cusum_down"]) == (0, 0)
+            assert not r["alarm_up"] and not r["alarm_down"]
+            continue
+        dev = W * ys[t] - B
+        up = max(0, up + (dev - W * K))
+        down = max(0, down - (dev + W * K))
+        assert (r["cusum_up"], r["cusum_down"]) == (up, down), t
+        assert r["alarm_up"] == (up > W * H) and r["alarm_down"] == (down > W * H)
+    # the drift is small per-day (dev-slack = 14/day scaled) but MUST
+    # eventually alarm; and it must NOT alarm on the very first day
+    assert not got[W]["alarm_up"]
+    assert got[-1]["alarm_up"] and not got[-1]["alarm_down"]

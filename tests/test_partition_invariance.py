@@ -42,6 +42,8 @@ CHECKED = [
     "dedup_simhash",
     "doc_rolling_fingerprint",
     "multitouch_attribution",
+    "holt_trend_daily",
+    "cusum_drift_daily",
 ]
 
 

@@ -60,6 +60,8 @@ ROUND_TOUCHED = [
     "dedup_ngram_jaccard_prefix",
     "multitouch_attribution",
     "pii_scrub_report",
+    "holt_trend_daily",
+    "cusum_drift_daily",
 ]
 
 

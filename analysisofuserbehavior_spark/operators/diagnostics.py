@@ -352,3 +352,78 @@ def cusum_drift_daily(
         F.col("r.alarm_up").alias("alarm_up"),
         F.col("r.alarm_down").alias("alarm_down"),
     ).orderBy("day")
+
+
+def theilsen_trend_daily(
+    events: DataFrame, event_type: str = "click"
+) -> DataFrame:
+    """Theil–Sen robust trend over the daily volume series: slope =
+    MEDIAN of all pairwise slopes (y_j−y_i)/(j−i), intercept = median
+    of (y_i − slope·i) — the robust-statistics complement to
+    holt_trend_daily (smoothing) and cusum_drift_daily (drift
+    alarms): up to ~29% wild outlier days cannot move the estimate,
+    where a least-squares or Holt fit follows them.
+
+    Cross-engine determinism without integer tricks: every pairwise
+    slope is ONE IEEE division of exact small integers (correctly
+    rounded ⇒ bit-identical in both engines), the median picks
+    middle ELEMENTS of the sorted slope array (even count: the mean
+    of the two middles — one addition, one halving), and residual
+    medians reuse the raw slope.  qround(6) only at the output.
+
+    Scale shape: one map-side-combined daily reduce; the O(days²)
+    pair set (~10⁵ pairs for a YEAR of days) and both medians are
+    row-local array expressions on the collected calendar-bounded
+    series — the holt/cusum tiny-frame pattern, no pair join, no
+    global sort."""
+    daily = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("ds")
+    )
+    n = F.size("ds")
+
+    def med(arr):
+        """Median of a sorted double array — middle element, or the
+        mean of the two middles (element_at is 1-based)."""
+        m = F.size(arr)
+        lo = F.element_at(arr, ((m + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (m / 2 + 1).cast("int"))
+        return (lo + hi) / F.lit(2.0)
+
+    # pairwise slopes: for i<j, (y_j - y_i) / (j - i); i,j are
+    # positions in the day-sorted array so Δdays is the POSITION gap
+    # (missing calendar days documented as rank gaps — the series
+    # median is robust to the tiny distortion, and both engines use
+    # the same definition)
+    pair_slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: (
+                    F.element_at("ds", j.cast("int"))["y"]
+                    - F.element_at("ds", i.cast("int"))["y"]
+                ).cast("double")
+                / (j - i).cast("double"),
+            ),
+        )
+    )
+    with_slope = series.where(n >= 2).select(
+        "ds", n.cast("bigint").alias("n_days"),
+        med(F.array_sort(pair_slopes)).alias("slope")
+    )
+    resid = F.transform(
+        F.sequence(F.lit(1), F.size("ds")),
+        lambda i: F.element_at("ds", i.cast("int"))["y"].cast("double")
+        - F.col("slope") * i.cast("double"),
+    )
+    return with_slope.select(
+        "n_days",
+        qround(F.col("slope"), 6).alias("slope_per_day"),
+        qround(med(F.array_sort(resid)), 6).alias("intercept"),
+        qround(F.col("slope") * F.lit(7.0), 6).alias("slope_per_week"),
+    )

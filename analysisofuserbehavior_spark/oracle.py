@@ -1205,6 +1205,44 @@ SELECT day, y,
 FROM r ORDER BY day
 """
 
+# mirror of diagnostics.py::theilsen_trend_daily — same pairwise
+# slopes (one exact-int IEEE division each), same middle-element
+# median (DuckDB CAST rounds half-away, so floor() before the cast to
+# match Spark's truncating cast), same residual-median intercept
+ORACLE["theilsen_trend_daily"] = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+seq AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+slopes AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM seq a JOIN seq b ON b.i > a.i
+),
+sarr AS (SELECT list_sort(list(s)) AS arr FROM slopes),
+sl AS (
+  SELECT (arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+          + arr[CAST(floor(len(arr) / 2 + 1) AS INT)]) / 2.0 AS slope
+  FROM sarr WHERE len(arr) >= 1
+),
+rarr AS (
+  SELECT list_sort(list(s.y - sl.slope * CAST(s.i AS DOUBLE))) AS arr,
+         any_value(sl.slope) AS slope,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM seq s CROSS JOIN sl
+)
+SELECT n_days,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day,
+       floor((arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+              + arr[CAST(floor(len(arr) / 2 + 1) AS INT)]) / 2.0
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       floor(slope * 7.0 * 1000000.0 + 0.5) / 1000000.0 AS slope_per_week
+FROM rarr
+WHERE n_days >= 2
+"""
+
 # mirror of diagnostics.py::cusum_drift_daily — the identical
 # integer CUSUM fold (W=7, slack=2, threshold=20; baseline days pin
 # both sides to 0) replayed via WITH RECURSIVE; BIGINT end to end

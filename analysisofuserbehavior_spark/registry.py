@@ -1224,6 +1224,20 @@ def q_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_trend_daily(_events(spark, sf_dir))
 
 
+@query("theilsen_trend_daily")
+def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (median of pairwise slopes + residual
+    median intercept) over daily click volume — outlier-immune where
+    Holt/least-squares follow spikes.  Every slope is one IEEE
+    division of exact ints (bit-identical cross-engine), medians pick
+    middle elements of sorted arrays; all row-local on the
+    calendar-bounded series
+    (operators/diagnostics.py::theilsen_trend_daily)."""
+    from .operators.diagnostics import theilsen_trend_daily
+
+    return theilsen_trend_daily(_events(spark, sf_dir))
+
+
 @query("cusum_drift_daily")
 def q_cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided integer-exact CUSUM drift monitor over daily click

@@ -198,6 +198,7 @@ HEADLINE = [
     "multitouch_attribution",
     "holt_trend_daily",
     "cusum_drift_daily",
+    "theilsen_trend_daily",
     "session_length_percentiles",
     "daily_event_type_pivot",
     "events_profile",

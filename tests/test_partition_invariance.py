@@ -44,6 +44,7 @@ CHECKED = [
     "multitouch_attribution",
     "holt_trend_daily",
     "cusum_drift_daily",
+    "theilsen_trend_daily",
 ]
 
 

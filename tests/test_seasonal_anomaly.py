@@ -150,3 +150,44 @@ def test_cusum_flags_persistent_drift_not_baseline_noise(spark):
     # eventually alarm; and it must NOT alarm on the very first day
     assert not got[W]["alarm_up"]
     assert got[-1]["alarm_up"] and not got[-1]["alarm_down"]
+
+
+def test_theilsen_robust_to_outlier_day(spark):
+    """A clean y = 10 + 2·i series with ONE wild outlier day: the
+    Theil–Sen slope must stay exactly 2.0/day and the intercept 10.0
+    (median immunity), matching a straight-line reference median;
+    a least-squares fit would be dragged ~3× off."""
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        theilsen_trend_daily,
+    )
+
+    ys = [10 + 2 * i for i in range(1, 16)]
+    ys[7] = 500  # wild bot-spike day
+    rows, eid = [], 0
+    for d, y in enumerate(ys):
+        for _ in range(y):
+            rows.append((eid, MONDAY + timedelta(days=d), 1, "click", 0.0, "{}"))
+            eid += 1
+    r = theilsen_trend_daily(spark.createDataFrame(rows, EVENTS)).collect()[0]
+    assert r["n_days"] == 15
+    # reference median of pairwise slopes
+    n = len(ys)
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    want = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2
+    assert r["slope_per_day"] == math.floor(want * 1e6 + 0.5) / 1e6 == 2.0
+    resid = sorted(ys[i - 1] - want * i for i in range(1, n + 1))
+    wi = (resid[(n + 1) // 2 - 1] + resid[n // 2]) / 2
+    assert r["intercept"] == math.floor(wi * 1e6 + 0.5) / 1e6 == 10.0
+    assert r["slope_per_week"] == 14.0
+
+
+def test_theilsen_degenerate_single_day(spark):
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        theilsen_trend_daily,
+    )
+
+    rows = [(i, MONDAY, 1, "click", 0.0, "{}") for i in range(5)]
+    assert theilsen_trend_daily(spark.createDataFrame(rows, EVENTS)).count() == 0

@@ -62,6 +62,7 @@ ROUND_TOUCHED = [
     "pii_scrub_report",
     "holt_trend_daily",
     "cusum_drift_daily",
+    "theilsen_trend_daily",
 ]
 
 

@@ -101,10 +101,20 @@ def test_stream_reader_two_batches_then_resume(spark, tmp_path):
     run_batches(2)
     assert len(got) >= 14
     first_run = len(got)
-    run_batches(1)  # restart: must RESUME, not replay
+    first_max = max(i for i, _ in got)
+    run_batches(1)  # restart: must RESUME from the committed offset
     ids = [i for i, _ in got]
-    assert ids == sorted(set(ids)), "duplicate or out-of-order row_ids"
-    assert ids[0] == 0 and ids == list(range(len(ids)))
+    # foreachBatch is AT-LEAST-ONCE: stop() can land between the sink
+    # completing and the offset committing, in which case the restart
+    # replays exactly that one uncommitted batch (observed under a
+    # loaded suite).  The resume contract is therefore: no GAPS, no
+    # restart-from-zero, and at most ONE batch's rows duplicated —
+    # exactly-once belongs to an idempotent sink (sources/upsert.py),
+    # not to the source.
+    distinct = sorted(set(ids))
+    assert distinct[0] == 0 and distinct == list(range(len(distinct))), "gap"
+    assert len(ids) - len(distinct) <= 7, "more than one batch replayed"
+    assert max(ids) > first_max, "restart made no progress"
     assert len(got) > first_run
     # wire parity with the batch source's pure generator
     for i, v in got[:5]:

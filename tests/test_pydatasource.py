@@ -102,7 +102,10 @@ def test_stream_reader_two_batches_then_resume(spark, tmp_path):
     assert len(got) >= 14
     first_run = len(got)
     first_max = max(i for i, _ in got)
-    run_batches(1)  # restart: must RESUME from the committed offset
+    # restart: must RESUME from the committed offset.  Wait for TWO
+    # batches — if the first is the replayed uncommitted batch, the
+    # second is the one that proves forward progress.
+    run_batches(2)
     ids = [i for i, _ in got]
     # foreachBatch is AT-LEAST-ONCE: stop() can land between the sink
     # completing and the offset committing, in which case the restart

@@ -358,11 +358,16 @@ def theilsen_trend_daily(
     events: DataFrame, event_type: str = "click"
 ) -> DataFrame:
     """Theil–Sen robust trend over the daily volume series: slope =
-    MEDIAN of all pairwise slopes (y_j−y_i)/(j−i), intercept = median
-    of (y_i − slope·i) — the robust-statistics complement to
-    holt_trend_daily (smoothing) and cusum_drift_daily (drift
-    alarms): up to ~29% wild outlier days cannot move the estimate,
-    where a least-squares or Holt fit follows them.
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
+    median of (y_i − slope·x_i), where x_i is the CALENDAR-day offset
+    of day_i from the first observed day (datediff — exact integer in
+    both engines), so slope_per_day really is per calendar day even
+    when the series has gaps (ADVICE r08: the earlier position-gap
+    form silently reported per-OBSERVED-day units).  The
+    robust-statistics complement to holt_trend_daily (smoothing) and
+    cusum_drift_daily (drift alarms): up to ~29% wild outlier days
+    cannot move the estimate, where a least-squares or Holt fit
+    follows them.
 
     Cross-engine determinism without integer tricks: every pairwise
     slope is ONE IEEE division of exact small integers (correctly
@@ -394,11 +399,21 @@ def theilsen_trend_daily(
         hi = F.element_at(arr, (m / 2 + 1).cast("int"))
         return (lo + hi) / F.lit(2.0)
 
-    # pairwise slopes: for i<j, (y_j - y_i) / (j - i); i,j are
-    # positions in the day-sorted array so Δdays is the POSITION gap
-    # (missing calendar days documented as rank gaps — the series
-    # median is robust to the tiny distortion, and both engines use
-    # the same definition)
+    # x_i = calendar-day offset from the FIRST observed day (exact
+    # datediff on dates — identical integers in both engines), hoisted
+    # to a REAL array column before the pair lambdas consume it (the
+    # HOF inline-recompute rule: element_at(ds, 1) inside the O(n²)
+    # lambda would re-evaluate per pair)
+    xs = F.transform(
+        "ds",
+        lambda d: F.datediff(
+            F.to_date(d["day"]), F.to_date(F.element_at("ds", 1)["day"])
+        ),
+    )
+    staged = series.where(n >= 2).select("ds", xs.alias("xs"))
+    # pairwise slopes: for i<j, (y_j - y_i) / (x_j - x_i); days are
+    # distinct (groupBy day) so xs is strictly increasing and every
+    # denominator is a positive integer
     pair_slopes = F.flatten(
         F.transform(
             F.sequence(F.lit(1), n - 1),
@@ -408,18 +423,21 @@ def theilsen_trend_daily(
                     F.element_at("ds", j.cast("int"))["y"]
                     - F.element_at("ds", i.cast("int"))["y"]
                 ).cast("double")
-                / (j - i).cast("double"),
+                / (
+                    F.element_at("xs", j.cast("int"))
+                    - F.element_at("xs", i.cast("int"))
+                ).cast("double"),
             ),
         )
     )
-    with_slope = series.where(n >= 2).select(
-        "ds", n.cast("bigint").alias("n_days"),
+    with_slope = staged.select(
+        "ds", "xs", n.cast("bigint").alias("n_days"),
         med(F.array_sort(pair_slopes)).alias("slope")
     )
     resid = F.transform(
         F.sequence(F.lit(1), F.size("ds")),
         lambda i: F.element_at("ds", i.cast("int"))["y"].cast("double")
-        - F.col("slope") * i.cast("double"),
+        - F.col("slope") * F.element_at("xs", i.cast("int")).cast("double"),
     )
     return with_slope.select(
         "n_days",

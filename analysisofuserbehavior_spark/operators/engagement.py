@@ -16,15 +16,17 @@ float sums in gated outputs):
   oracle).  The reported score is one division of that exact integer
   by 2^H — correctly rounded identically in any IEEE engine.  No
   pow(), no float accumulation.
-* `rfm_segments` buckets each dimension with the histogram-CDF
-  exact-quartile pattern (doc_length_quantiles): count-by-value,
-  running CDF over the tiny value domain, integer threshold tests.
-  Scores are 1..4 with 4 best (recency inverted: most recent quartile
-  scores 4).
+* `rfm_segments` buckets each dimension with exact inverse-CDF
+  quartiles computed by the two-pass range-bucket global rank
+  (functions/ranking.py — no unpartitioned window anywhere, because
+  monetary_cents is near-unique so a value histogram would be
+  |users|-sized).  Scores are 1..4 with 4 best (recency inverted:
+  most recent quartile scores 4).
 
 Scale shape: trending is two map-side-combined groupBys (item×day,
-then item) + a 1-row broadcast max-day; RFM is one groupBy(user) +
-three domain-bounded histogram windows + one broadcast threshold row.
+then item) + a 1-row broadcast max-day + TakeOrderedAndProject top-k;
+RFM is one groupBy(user) + three two-pass bucket-parallel rank passes
++ one broadcast threshold row.
 """
 
 from __future__ import annotations
@@ -64,10 +66,20 @@ def trending_items_decayed(
         ).alias("score_scaled"),
         F.sum("c").cast("bigint").alias("n_clicks_total"),
     )
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps, driver
+    # merge of 32×top rows), THEN rank the ≤top-row survivor frame.  A
+    # global row_number window here would funnel EVERY item's aggregate
+    # row through one task (`Exchange SinglePartition` — confirmed by
+    # the round-8 plan audit; WindowGroupLimit did not fire), a
+    # single-task sort straggler at catalog scale (10⁷-10⁸ items).
+    # The tiny post-limit window is bounded by |top| and whitelisted in
+    # the plan lint (tests/test_plans.py).
+    topk = scaled.orderBy(
+        F.col("score_scaled").desc(), F.col("item").asc()
+    ).limit(top)
     w = Window.orderBy(F.col("score_scaled").desc(), F.col("item").asc())
     return (
-        scaled.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("rank").cast("int").alias("rank"),
             F.col("item").cast("bigint").alias("item"),
@@ -82,19 +94,39 @@ def trending_items_decayed(
     )
 
 
-def _quartile_thresholds(values: DataFrame, col: str) -> DataFrame:
+def _quartile_thresholds(
+    values: DataFrame, col: str, total: DataFrame | None = None
+) -> DataFrame:
     """1-row (q1, q2, q3) frame: smallest value whose CDF reaches
-    k/4 — exact inverse CDF on the count-by-value histogram."""
-    hist = values.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    k/4 — exact inverse CDF, computed via the TWO-PASS range-bucket
+    rank (functions/ranking.py) rather than a cumulative window over
+    the count-by-value histogram.  The histogram-CDF form is sound
+    only when the value domain is bounded (the curriculum_stages
+    precondition: quality_score is 2-dp quantized); here
+    monetary_cents is a near-unique per-user sum, so its "histogram"
+    IS the user frame and the unpartitioned cumulative window would
+    sort |users| rows in ONE task (the round-8 plan audit found 13
+    `Exchange SinglePartition` nodes).  Rank form: rows land in
+    value-range buckets that sort in parallel, and
+    q_k = min v among rows whose global rank reaches ceil(k·n/4) —
+    identical thresholds, because the histogram's cum(v) equals the
+    MAX rank among rows of value v, so "∃ row of v with rank·4 ≥ k·n"
+    ⇔ "cum(v)·4 ≥ k·n".  `total` (1-row count frame) may be passed in
+    to share one count across the three RFM dimensions."""
+    from ..functions.ranking import with_global_rank
+
+    ranked = with_global_rank(
+        values.select(F.col(col).alias("v")), "v", "v", rank_col="_r"
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
-    tot = cum.agg(F.sum("c").alias("total"))
-    return cum.crossJoin(F.broadcast(tot)).agg(
+    tot = (
+        total
+        if total is not None
+        else values.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).agg(
         *[
             F.min(
-                F.when(F.col("cum") * 4 >= F.lit(k) * F.col("total"), F.col("v"))
+                F.when(F.col("_r") * 4 >= F.lit(k) * F.col("_t"), F.col("v"))
             ).alias(f"q{k}")
             for k in (1, 2, 3)
         ]
@@ -136,9 +168,10 @@ def rfm_segments(
         )
         .drop("max_day", "last_day")
     )
-    tr = _quartile_thresholds(per_user, "recency_days")
-    tf = _quartile_thresholds(per_user, "frequency")
-    tm = _quartile_thresholds(per_user, "monetary_cents")
+    n_users = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    tr = _quartile_thresholds(per_user, "recency_days", n_users)
+    tf = _quartile_thresholds(per_user, "frequency", n_users)
+    tm = _quartile_thresholds(per_user, "monetary_cents", n_users)
     th = (
         tr.select(
             F.col("q1").alias("r1"), F.col("q2").alias("r2"), F.col("q3").alias("r3")

@@ -280,16 +280,20 @@ def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
         )
         .agg(F.coalesce(F.sum("u2_part"), F.lit(0)).cast("bigint").alias("u2"))
     )
+    # t³ itself blows int64 once a single tie group (e.g. y=0 users)
+    # exceeds ~2.1M rows, so each t promotes to double BEFORE cubing
+    # (same promotion discipline as the variance tree below).  In-gate
+    # every t³ < 2⁵³, so the double sum is still exact-integer-valued
+    # and summation-order-independent.
+    t_d = F.col("t").cast("double")
     ties = (
         hist.groupBy("y")
         .agg(F.sum("c").alias("t"))
         .agg(
             F.coalesce(
-                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("tie_term")
+                F.sum(t_d * t_d * t_d - t_d),
+                F.lit(0.0),
+            ).alias("tie_term")
         )
     )
     counts = assigned.agg(

@@ -1214,11 +1214,17 @@ WITH daily AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS y
   FROM events WHERE event_type = 'click' GROUP BY 1
 ),
+first AS (SELECT min(CAST(day AS DATE)) AS d0 FROM daily),
+-- x = CALENDAR-day offset from the first observed day (exact
+-- integer datediff, mirroring Spark's datediff on dates), so the
+-- slope really is per calendar day across series gaps
 seq AS (
-  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i,
+         date_diff('day', first.d0, CAST(day AS DATE)) AS x
+  FROM daily, first
 ),
 slopes AS (
-  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
   FROM seq a JOIN seq b ON b.i > a.i
 ),
 sarr AS (SELECT list_sort(list(s)) AS arr FROM slopes),
@@ -1228,7 +1234,7 @@ sl AS (
   FROM sarr WHERE len(arr) >= 1
 ),
 rarr AS (
-  SELECT list_sort(list(s.y - sl.slope * CAST(s.i AS DOUBLE))) AS arr,
+  SELECT list_sort(list(s.y - sl.slope * CAST(s.x AS DOUBLE))) AS arr,
          any_value(sl.slope) AS slope,
          CAST(count(*) AS BIGINT) AS n_days
   FROM seq s CROSS JOIN sl
@@ -4121,7 +4127,11 @@ u AS (
   CROSS JOIN (SELECT y AS yb, c AS cb FROM hist WHERE variant = 'B') b
 ),
 ties AS (
-  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_term
+  -- t promoted to DOUBLE before cubing (t*t*t as BIGINT overflows
+  -- once one tie group passes ~2.1M rows); in-gate t^3 < 2^53 so the
+  -- double sum stays exact-integer-valued
+  SELECT coalesce(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                      - CAST(t AS DOUBLE)), 0.0) AS tie_term
   FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY y)
 ),
 counts AS (

@@ -6,6 +6,7 @@ from .audit import (
     has_sort_merge_join,
     pushed_filters,
     read_schema_columns,
+    single_partition_window_sorts,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "has_sort_merge_join",
     "pushed_filters",
     "read_schema_columns",
+    "single_partition_window_sorts",
 ]

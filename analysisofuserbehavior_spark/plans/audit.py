@@ -53,6 +53,40 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
 
 
+_TREE_LINE = re.compile(r"^([ :+\-]*)(\*\(\d+\)\s*)?(.*)$")
+
+
+def single_partition_window_sorts(plan: str) -> list[str]:
+    """Parent node names of every `Exchange SinglePartition` that
+    feeds a Sort / Window / WindowGroupLimit in the plan string.
+
+    This is the 100 TB straggler class the round-8 audit found twice
+    (an unpartitioned ranking window over all items; a cumulative CDF
+    window over a |users|-sized histogram): EVERY row of the child
+    frame funnels through ONE task to be sorted.  A SinglePartition
+    exchange feeding a global HashAggregate is NOT flagged — that is
+    the normal final step of a partial-aggregate reduction and moves
+    one row per partial, not the frame.
+
+    Parsing: plan toString renders one node per line, children
+    indented by 3 chars of tree-drawing prefix ([ :+-]*, plus a
+    codegen `*(n) ` marker); a node's parent is the nearest line
+    above with a shorter prefix."""
+    parsed = [_TREE_LINE.match(l) for l in plan.splitlines()]
+    nodes = [(len(m.group(1)), m.group(3)) for m in parsed]
+    out = []
+    for i, (depth, name) in enumerate(nodes):
+        if not name.startswith("Exchange SinglePartition"):
+            continue
+        for j in range(i - 1, -1, -1):
+            pdepth, pname = nodes[j]
+            if pdepth < depth:
+                if pname.startswith(("Sort", "Window", "WindowGroupLimit")):
+                    out.append(pname.split("[")[0].strip())
+                break
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets each file scan actually reads (pruning check).
 

@@ -30,6 +30,7 @@ the identity on the wall-clock value and matches DuckDB's
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -83,7 +84,12 @@ def save_tables_to_catalog(
     sf_dir that reads them back.  saveAsTable preserves the parquet
     schema exactly (incl. timestamp_ntz), so results are
     bit-identical to the path mode."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    # the name is interpolated into SQL — reject anything that isn't
+    # a plain identifier rather than trusting the caller (hyphens
+    # break parsing; quotes would inject)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", database):
+        raise ValueError(f"invalid database identifier: {database!r}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
     for name in TABLES:
         load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(
             f"{database}.{name}"

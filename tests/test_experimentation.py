@@ -261,6 +261,32 @@ def test_mannwhitney_no_int64_overflow_at_large_n(spark):
     assert n_users**5 / 4 > 2**63
 
 
+def test_mannwhitney_tie_cube_no_overflow_at_2m_tie_group(spark):
+    """ADVICE r08 regression: tie_term summed t³−t as BIGINT, so one
+    dominant tie group past ~2.1M rows (t³ > 2⁶³ — e.g. the y=0 user
+    mass of any low-conversion experiment) overflowed under ANSI mode
+    even after the variance-product promotion.  2.2M never-converting
+    users (one giant tie at y=0) must now produce a finite z."""
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        ab_test_mannwhitney,
+    )
+
+    n_users = 2_200_000
+    assert n_users**3 > 2**63  # the pre-fix failing regime
+    ev = spark.range(n_users).select(
+        F.col("id").alias("event_id"),
+        F.lit(datetime(2024, 1, 2, 9)).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("view").alias("event_type"),  # nobody converts: y=0 for all
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    got = ab_test_mannwhitney(ev).collect()[0]
+    assert got["n_a"] + got["n_b"] == n_users
+    assert math.isfinite(got["z_score"])
+    assert got["z_score"] == 0.0  # identical (degenerate) distributions
+
+
 def test_quantile_effects_exact_inverse_cdf(spark):
     from analysisofuserbehavior_spark.operators.experimentation import (
         ab_test_quantile_effects,

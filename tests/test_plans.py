@@ -710,6 +710,73 @@ def test_registry_plans_no_cartesian_no_rowwise_python(spark, sf_dir):
     assert not offenders, offenders
 
 
+# Bounded-domain exemptions for the SinglePartition-window lint below:
+# each entry names the frame that legitimately funnels through one
+# task, its SIZE BOUND, and why the bound holds.  Anything not listed
+# here (or exceeding its count) fails the lint — this is the
+# regression net for the round-8 findings (trending_items_decayed's
+# global item ranking, rfm_segments' |users|-sized histogram CDF),
+# both since fixed to TakeOrderedAndProject / two-pass bucket rank.
+_SINGLE_PARTITION_WINDOW_WHITELIST = {
+    # |flow|-row CDF: the task-param page chain (~5 pages), page_flow.py
+    "page_convert_rate": (1, "<=|flow| rows (task-param page chain)"),
+    # sweepline boundary frames: 2 rows per distinct hour/day
+    "session_concurrency_hourly": (1, "<=2*|hours| boundary rows (sweepline.py)"),
+    "open_orders_daily": (1, "<=2*|days| boundary rows (sweepline.py)"),
+    # per-calendar-day reduced frames
+    "rolling_7d_clicks": (1, "<=|days| rows (daily reduction)"),
+    # count-of-count histograms: one row per DISTINCT per-key count
+    "skew_key_diagnostics": (4, "<=|distinct counts| rows per dim (diagnostics.py)"),
+    # histogram-CDF quantiles over QUANTIZED domains (the
+    # curriculum_stages precondition documented at curation.py)
+    "doc_length_quantiles": (1, "<=|distinct token lengths| rows"),
+    "curriculum_stages": (1, "<=10^2-ish rows (quality_score 2-dp quantized)"),
+    # two-pass distributed rank/prefix-sum: the per-bucket offset
+    # frame is <=n_buckets (32) rows by construction
+    "user_ltv_deciles": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
+    "session_length_deciles": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
+    "rfm_segments": (3, "<=n_buckets=32 offset rows x3 dims (functions/ranking.py)"),
+    "pack_sequences": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
+    "pack_bin_manifest": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
+    "corpus_pipeline_e2e": (1, "<=n_buckets offset rows (pack stage inside)"),
+}
+
+
+def test_registry_plans_no_unbounded_single_partition_window(spark, sf_dir):
+    """The round-8 audit found two scale-killers the CartesianProduct/
+    BatchEvalPython lint could not see: an `Exchange SinglePartition`
+    feeding a Sort/Window over an UNBOUNDED frame (global ranking
+    window over all items; cumulative-CDF window over a near-unique
+    value histogram) — a one-task sort straggler at 100 TB.  This lint
+    flags every SinglePartition exchange whose parent is Sort / Window
+    / WindowGroupLimit across the ENTIRE registry, against an explicit
+    whitelist where each exemption states its size bound.  Global
+    aggregates (SinglePartition feeding HashAggregate) are not
+    flagged — they move one partial row per partition, not the frame."""
+    from analysisofuserbehavior_spark.registry import QUERIES, disable_shared_scan
+
+    skip = {n for n in QUERIES if n.startswith("streaming_")} | {
+        "ad_blacklist_feedback",  # multi-batch replay loop
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = plans.single_partition_window_sorts(plan)
+        if hits:
+            offenders[name] = hits
+    disable_shared_scan(spark)
+    problems = []
+    for name, hits in offenders.items():
+        cap = _SINGLE_PARTITION_WINDOW_WHITELIST.get(name)
+        if cap is None:
+            problems.append(f"{name}: {len(hits)} unwhitelisted {hits}")
+        elif len(hits) > cap[0]:
+            problems.append(f"{name}: {len(hits)} > whitelisted {cap[0]} ({cap[1]})")
+    assert not problems, problems
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     """Catalyst's runtime row-level bloom filter (the semi-join
     reduction a 100 TB fact⋈filtered-dim join lives on): with a

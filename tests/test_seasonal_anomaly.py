@@ -170,7 +170,9 @@ def test_theilsen_robust_to_outlier_day(spark):
             eid += 1
     r = theilsen_trend_daily(spark.createDataFrame(rows, EVENTS)).collect()[0]
     assert r["n_days"] == 15
-    # reference median of pairwise slopes
+    # reference median of pairwise slopes over CALENDAR-day offsets
+    # (x = d, the offset from the first day; contiguous here so the
+    # offset equals position-1)
     n = len(ys)
     slopes = sorted(
         (ys[j] - ys[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
@@ -178,9 +180,32 @@ def test_theilsen_robust_to_outlier_day(spark):
     m = len(slopes)
     want = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2
     assert r["slope_per_day"] == math.floor(want * 1e6 + 0.5) / 1e6 == 2.0
-    resid = sorted(ys[i - 1] - want * i for i in range(1, n + 1))
+    resid = sorted(ys[d] - want * d for d in range(n))
     wi = (resid[(n + 1) // 2 - 1] + resid[n // 2]) / 2
-    assert r["intercept"] == math.floor(wi * 1e6 + 0.5) / 1e6 == 10.0
+    # intercept at the FIRST day (x=0): y(0) = 10 + 2·1 = 12
+    assert r["intercept"] == math.floor(wi * 1e6 + 0.5) / 1e6 == 12.0
+    assert r["slope_per_week"] == 14.0
+
+
+def test_theilsen_gapped_series_slope_is_per_calendar_day(spark):
+    """ADVICE r08 regression: with missing calendar days the slope
+    denominator must be the DATE gap, not the position gap.  Days
+    d=0,1,3 with y=10,12,16 lie exactly on y = 10 + 2·d: every
+    pairwise calendar-day slope is 2.0 (the position-gap form would
+    report median 3.0 and mislabel it per-day)."""
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        theilsen_trend_daily,
+    )
+
+    rows, eid = [], 0
+    for d, y in ((0, 10), (1, 12), (3, 16)):
+        for _ in range(y):
+            rows.append((eid, MONDAY + timedelta(days=d), 1, "click", 0.0, "{}"))
+            eid += 1
+    r = theilsen_trend_daily(spark.createDataFrame(rows, EVENTS)).collect()[0]
+    assert r["n_days"] == 3
+    assert r["slope_per_day"] == 2.0
+    assert r["intercept"] == 10.0
     assert r["slope_per_week"] == 14.0
 
 

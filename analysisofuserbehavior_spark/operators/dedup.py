@@ -647,7 +647,45 @@ def dedup_clusters(
     # exponentially (a 12-round run never finished planning)
     sym = ckpt(sym)
     labels = ckpt(labels)
-    converged = False
+    # Size the loop's shuffle width to the LABEL frame, not the
+    # session default: each round is ~3 shuffles on a |nodes|-row
+    # frame, and with the session's 32 partitions a few-thousand-node
+    # graph pays rounds×shuffles×32 near-empty tasks of pure
+    # scheduling overhead (the round-8 bench profile: ~8 s of the
+    # 14 s query was this loop).  One partition per ~64k nodes keeps
+    # tasks meaningfully sized at cluster scale while collapsing the
+    # gate-scale loop to single-task rounds; the count is free — the
+    # eager checkpoint above already materialized `labels`.  The
+    # session conf is restored in the finally below (queries in this
+    # engine execute serially per session).
+    n_nodes = labels.count()
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_parts), 1 + n_nodes // 65_536))
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts < int(old_parts):
+            sym = ckpt(sym.repartition(loop_parts, "doc_b"))
+            labels = ckpt(labels.repartition(loop_parts, "doc_id"))
+        fixpoint = _cc_fixpoint_loop(sym, labels, max_iterations, ckpt)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    if fixpoint is None:
+        raise ClusterConvergenceError(
+            f"dedup_clusters did not reach the connected-components "
+            f"fixpoint within max_iterations={max_iterations}; labels "
+            f"would be wrong for components deeper than the budget — "
+            f"raise max_iterations (log2(diameter) rounds suffice)."
+        )
+    return fixpoint.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _cc_fixpoint_loop(
+    sym: DataFrame, labels: DataFrame, max_iterations: int, ckpt
+) -> DataFrame | None:
+    """Min-label + pointer-jump rounds until no label changes;
+    returns the converged label frame, or None if the iteration
+    budget ran out first."""
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -695,16 +733,8 @@ def dedup_clusters(
         )
         labels = new_labels.drop("prev")
         if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise ClusterConvergenceError(
-            f"dedup_clusters did not reach the connected-components "
-            f"fixpoint within max_iterations={max_iterations}; labels "
-            f"would be wrong for components deeper than the budget — "
-            f"raise max_iterations (log2(diameter) rounds suffice)."
-        )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+            return labels
+    return None
 
 
 def incremental_exact_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:

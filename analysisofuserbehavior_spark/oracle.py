@@ -697,6 +697,15 @@ filtered AS (
 {_aggr_stat_select("filtered")}
 """
 
+# module-3 lifecycle twin (VERDICT r08 #5): the area top-3 pipeline
+# over the SAME task_param-restricted scan — identical SQL to
+# area_top3_products with the ranged sessionize CTE swapped in
+# (string replace is exact because the f-string interpolated
+# SESSIONIZE_CTES verbatim)
+ORACLE["run_task_area_top3"] = ORACLE["area_top3_products"].replace(
+    SESSIONIZE_CTES, _RANGED_SESSIONIZE
+)
+
 # quality-proportional sampling: identical quality formula as
 # text_stats, then keep <=> lpad(md5-prefix,5) < %05x of the exact
 # integer threshold (q100*65536 div 100) — lexical == numeric in

@@ -737,6 +737,29 @@ def q_run_task_session_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+@query("run_task_area_top3")
+def q_run_task_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 3's FULL task lifecycle under the hash gate (VERDICT
+    r08 #5, mirroring run_task_session_aggr for module 1): task_param
+    wire format → date-ranged scan with pushed-down ts predicates →
+    customer/nation/region dim joins → group_concat_distinct
+    collect_set agg → per-area top-3 window → output table
+    (AreaTop3ProductSpark.java:63-130 lifecycle).  Catalog source
+    mode parity is pinned alongside the module-1 runner in
+    tests/test_layout_udfs.py; the unranged area_top3_products stays
+    hash-verified in ORACLE_FULL_r{N}.json."""
+    import json as _json
+
+    from .modules import run_task
+
+    task_json = _json.dumps(
+        {"startDate": ["2024-01-03"], "endDate": ["2024-01-28"]}
+    )
+    return run_task(spark, task_json, sf_dir, modules=("area",))[
+        "area_top3_product"
+    ]
+
+
 @query("leakage_safe_split")
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval split where every transitive near-dup cluster is
@@ -4211,7 +4234,14 @@ _GATE_WINDOW = [
     # its scan-agg algebra by the gated q18/q2/q9/q11 rows.
     "backoff_surprisal",
     "page_convert_rate",
-    "area_top3_products",
+    # round 11: run_task_area_top3 (module 3's composed task_param →
+    # ranged scan → dim join → UDAF agg → window top-3 lifecycle,
+    # VERDICT r08 #5) takes area_top3_products's slot — it runs the
+    # SAME area pipeline end-to-end plus the task-param parse and
+    # ranged pushdown, strictly broader evidence (the
+    # run_task_session_aggr rationale applied to module 3); the
+    # unranged twin stays hash-verified in ORACLE_FULL_r{N}.json.
+    "run_task_area_top3",
     "ad_user_click_count",
     "ad_blacklist",
     "ad_stat",

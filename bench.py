@@ -123,6 +123,7 @@ HEADLINE = [
     "quality_weighted_sample",
     "leakage_safe_split",
     "run_task_session_aggr",
+    "run_task_area_top3",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

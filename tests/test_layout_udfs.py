@@ -133,13 +133,17 @@ def test_catalog_source_mode_hashes_like_path_mode(spark, sf_dir):
     db = "spark_graft_cat_parity"
     cat = save_tables_to_catalog(spark, sf_dir, db)
     try:
-        via_catalog = sorted(
-            map(tuple, QUERIES["run_task_session_aggr"](spark, cat).collect())
-        )
-        via_path = sorted(
-            map(tuple, QUERIES["run_task_session_aggr"](spark, sf_dir).collect())
-        )
-        assert via_catalog == via_path and len(via_path) > 0
+        # both gated composed task runners: module 1 (session) and
+        # module 3 (area top-3) — the lifecycle must be source-mode
+        # agnostic end to end
+        for name in ("run_task_session_aggr", "run_task_area_top3"):
+            via_catalog = sorted(
+                map(tuple, QUERIES[name](spark, cat).collect())
+            )
+            via_path = sorted(
+                map(tuple, QUERIES[name](spark, sf_dir).collect())
+            )
+            assert via_catalog == via_path and len(via_path) > 0, name
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 

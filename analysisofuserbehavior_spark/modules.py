@@ -27,12 +27,14 @@ from .params import TaskParams
 from .sources import load_table, ntz_lit
 
 
-def _actions_in_range(spark: SparkSession, sf_dir: str, params: TaskParams) -> DataFrame:
-    """The shared scan: sessionized actions restricted to the task's
-    date range — the reference's interpolated-SQL scan
-    (util/SparkUtils.java:64-90) as pushed-down predicates (the
-    ntz-literal range on `ts` reaches the parquet row-group stats;
-    a predicate on the derived `day` column can't)."""
+def _events_in_range(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> DataFrame:
+    """Raw events restricted to the task's date range — the
+    reference's interpolated-SQL scan (util/SparkUtils.java:64-90) as
+    pushed-down predicates (the ntz-literal range on `ts` reaches the
+    parquet row-group stats; a predicate on the derived `day` column
+    can't)."""
     events = load_table(spark, sf_dir, "events")
     if params.start_date is not None:
         events = events.where(F.col("ts") >= ntz_lit(params.start_date))
@@ -43,7 +45,12 @@ def _actions_in_range(spark: SparkSession, sf_dir: str, params: TaskParams) -> D
             dt.date.fromisoformat(params.end_date) + dt.timedelta(days=1)
         ).isoformat()
         events = events.where(F.col("ts") < ntz_lit(end_next))
-    return bm.actions(events)
+    return events
+
+
+def _actions_in_range(spark: SparkSession, sf_dir: str, params: TaskParams) -> DataFrame:
+    """The shared scan: sessionized actions over the ranged events."""
+    return bm.actions(_events_in_range(spark, sf_dir, params))
 
 
 def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,9 +96,12 @@ def run_session_module(
 def run_page_module(
     spark: SparkSession, sf_dir: str, params: TaskParams
 ) -> dict[str, DataFrame]:
-    """Module 2 (PageOneStepConvertRateSpark.main:47-115)."""
+    """Module 2 (PageOneStepConvertRateSpark.main:47-115).  The
+    reference restricts the scan to the task's date range
+    (getActionRDDByDateRange, :97) before the session walk — mirrored
+    here with the same pushed-down ts predicates as module 1/3."""
     flow = params.target_page_flow or ("view", "click", "purchase", "signup")
-    events = load_table(spark, sf_dir, "events")
+    events = _events_in_range(spark, sf_dir, params)
     return {
         "page_split_convert_rate": page_convert_rate(spark, events, tuple(flow))
     }
@@ -110,10 +120,35 @@ def run_area_module(
     }
 
 
+def run_ad_module(
+    spark: SparkSession, sf_dir: str, params: TaskParams
+) -> dict[str, DataFrame]:
+    """Module 4's BATCH twin (AdClickRealTimeStatSpark.main:100-590):
+    the five ad output tables — per-user daily click counts, the
+    100-click blacklist, the per-day/province/city running stat, the
+    per-day province top-3, and the per-minute trend — computed over
+    the ranged scan instead of the 5 s DStream cadence.  The live
+    paths (stateful running totals, feedback blacklist loop, sliding
+    trend) stay in streaming/ad_stream.py; this runner is the
+    task_param-driven backfill/replay shape of the same tables."""
+    from .operators import ad_stats as ads
+
+    actions = _actions_in_range(spark, sf_dir, params)
+    users = _users(spark, sf_dir)
+    return {
+        "ad_user_click_count": ads.ad_user_click_count(actions),
+        "ad_blacklist": ads.ad_blacklist(actions),
+        "ad_stat": ads.ad_stat(actions, users),
+        "ad_province_top3": ads.ad_province_top3(actions, users),
+        "ad_click_trend": ads.ad_click_trend(actions),
+    }
+
+
 MODULES = {
     "session": run_session_module,
     "page": run_page_module,
     "area": run_area_module,
+    "ad": run_ad_module,
 }
 
 

@@ -69,6 +69,78 @@ def train_eval_split(
     )
 
 
+def train_eval_token_shift(
+    docs: DataFrame,
+    top: int = 30,
+    eval_threshold_hex: str = DEFAULT_EVAL_THRESHOLD_HEX,
+    salt: str = "v1",
+) -> DataFrame:
+    """Token-distribution shift between the train and eval halves of
+    the deterministic hash split — the drift diagnostic that catches
+    a split whose eval set is NOT distributionally representative
+    (topic clumps, boilerplate concentration) before a run trains
+    against it.  Positions in the family: `lang_mixture_weights`
+    reports shares per LANGUAGE, `benchmark_contamination` checks
+    n-gram OVERLAP with a benchmark; this ranks individual TOKENS by
+    their eval-weighted log-likelihood shift.
+
+    Per token, add-1 smoothed over the shared vocab V:
+        p_split(t) = (c_split(t)+1) / (T_split+V)
+        shift_bits = log2 p_eval − log2 p_train
+        kl_term    = p_eval · shift_bits   (eval-side KL contribution)
+    Output: the `top` tokens by |kl_term| (quantized; ties broken by
+    token) — every float is a fixed per-row expression over exact
+    integer counts; there is NO cross-row float sum anywhere, so the
+    result is bit-stable under any partitioning.
+
+    Scale: one explode → one map-side-combined groupBy(token) with
+    conditional sums; vocab totals are a 1-row aggregate of that
+    frame joined back by broadcast; the top-k is orderBy+limit
+    (TakeOrderedAndProject — no single-partition window)."""
+    is_eval = split_bucket(salt) < eval_threshold_hex
+    counts = (
+        docs.select(
+            is_eval.alias("is_eval"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("is_eval"), F.lit(1))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c_train"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_eval"), F.lit(1))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c_eval"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_train").cast("double").alias("t_train"),
+        F.sum("c_eval").cast("double").alias("t_eval"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p_train = (F.col("c_train").cast("double") + F.lit(1.0)) / (
+        F.col("t_train") + F.col("v")
+    )
+    p_eval = (F.col("c_eval").cast("double") + F.lit(1.0)) / (
+        F.col("t_eval") + F.col("v")
+    )
+    shift = F.log2(p_eval) - F.log2(p_train)
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_train",
+        "c_eval",
+        qround(shift, 6).alias("shift_bits"),
+        qround(p_eval * shift, 9).alias("kl_term"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("kl_term")).desc(), F.col("token")
+    ).limit(top)
+
+
 def lang_mixture_weights(docs: DataFrame) -> DataFrame:
     """Per-language doc/token counts, corpus share, and the sampling
     weight that would flatten the mixture to uniform across the
@@ -256,6 +328,134 @@ def quality_weighted_sample(docs: DataFrame, salt: str = "qs1") -> DataFrame:
         "quality_score",
         bucket5.alias("bucket"),
         (bucket5 < thresh_hex).alias("kept"),
+    )
+
+
+DSIR_BUCKETS = 8192
+
+
+def dsir_select(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    target_q100: int = 80,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log importance ratio between a hashed-unigram LM
+    of a TARGET subset and the LM of the raw corpus, then keep the
+    documents that look more target-like than raw-like.
+
+    Target membership reuses the engine's quality heuristic and is
+    decided in INTEGER space (floor(quality·100+0.5) >= target_q100)
+    so the boundary can never flip across engines.  Features are
+    DSIR's hashed unigrams: bucket = md5_prefix32(token) mod
+    n_buckets (the cross-engine token mixer — bit-identical in
+    DuckDB), add-1 smoothed:
+
+        logw(d) = Σ_b tf(b,d)·(log2(c_t(b)+1) − log2(c_r(b)+1))
+                  + |d|·(log2(T_r+B) − log2(T_t+B))
+
+    selected ⇔ the doc's PER-TOKEN score lands in the top quartile
+    (the paper Gumbel-samples ∝ w; the deterministic keep-top-k rule
+    is the hash-gateable analogue, and the scores themselves are the
+    resampling input).  A fixed `logw > 0` cut would be degenerate:
+    add-1 smoothing over B buckets biases every score by
+    ≈ log2((T_r+B)/(T_t+B)) − the per-token count ratio, so the
+    zero crossing moves with corpus size.  The quartile is the
+    two-pass distributed ntile from functions/ranking.py (no
+    single-partition sort), over the score quantized to integer
+    micro-bits-per-token — integer domain, exact ntile semantics in
+    both engines, and per-token normalization removes the length
+    confound (longer docs otherwise accumulate more smoothing bias).
+
+    Scale design: ONE corpus scan feeds the (doc, bucket) → tf pair
+    frame (map-side-combined, localCheckpointed once — `ckpt`
+    rationale); both LMs come from ONE groupBy over it with
+    conditional sums (c_raw, c_target per bucket — ≤ n_buckets rows),
+    joined back by BROADCAST (the frame is bounded by n_buckets, not
+    the corpus); totals are a 1-row aggregate of that tiny frame.  No
+    Zipf-head window, no second scan, no global sort — the per-doc
+    score is a broadcast-join + per-doc aggregate, and selection is a
+    pure projection."""
+    from ..functions import md5_prefix32
+    from ..functions.ckpt import ckpt
+    from .text_analysis import _tokens, quality_score_raw
+
+    # token array materialized as a REAL column before any lambda
+    # touches it (the HOF inline-recompute trap: an inline
+    # split(text) referenced from transform re-splits per element)
+    base = docs.select("doc_id", _tokens().alias("_t"))
+    q100 = F.floor(quality_score_raw(F.col("_t")) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pairs = ckpt(
+        base.select(
+            "doc_id",
+            (q100 >= target_q100).alias("is_target"),
+            F.explode(
+                F.transform(
+                    F.col("_t"),
+                    lambda t: F.pmod(md5_prefix32(t), F.lit(n_buckets)),
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = pairs.groupBy("bucket").agg(
+        F.sum("tf").cast("bigint").alias("c_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_target"), F.col("tf"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").cast("double").alias("t_raw"),
+        F.sum("c_t").cast("double").alias("t_t"),
+    )
+    llr = counts.select(
+        "bucket",
+        (
+            F.log2(F.col("c_t").cast("double") + F.lit(1.0))
+            - F.log2(F.col("c_raw").cast("double") + F.lit(1.0))
+        ).alias("llr"),
+    )
+    b = float(n_buckets)
+    scored = (
+        pairs.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf").cast("double") * F.col("llr")).alias("bits"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    logw = F.col("bits") + F.col("n_tokens").cast("double") * (
+        F.log2(F.col("t_raw") + F.lit(b)) - F.log2(F.col("t_t") + F.lit(b))
+    )
+    from ..functions.ranking import distributed_ntile
+
+    per_tok_micro = F.floor(
+        logw / F.col("n_tokens").cast("double") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    scored = scored.select(
+        "doc_id",
+        "is_target",
+        "n_tokens",
+        qround(logw, 6).alias("logw_bits"),
+        per_tok_micro.alias("_lw"),
+    )
+    return (
+        distributed_ntile(scored, "_lw", "doc_id", k=4, out_col="quartile")
+        .select(
+            "doc_id",
+            "is_target",
+            "n_tokens",
+            "logw_bits",
+            F.col("quartile").cast("int").alias("quartile"),
+            (F.col("quartile") == 4).alias("selected"),
+        )
     )
 
 

@@ -706,6 +706,126 @@ ORACLE["run_task_area_top3"] = ORACLE["area_top3_products"].replace(
     SESSIONIZE_CTES, _RANGED_SESSIONIZE
 )
 
+# module-2 and module-4 lifecycle twins: same ranged-scan swap over
+# the page funnel and the ad province top-3 (the batch replay of the
+# streaming module's transform+SQL stage)
+ORACLE["run_task_page_convert"] = ORACLE["page_convert_rate"].replace(
+    SESSIONIZE_CTES, _RANGED_SESSIONIZE
+)
+ORACLE["run_task_ad_province_top3"] = ORACLE["ad_province_top3"].replace(
+    SESSIONIZE_CTES, _RANGED_SESSIONIZE
+)
+
+# DSIR importance-resampling selection: hashed-unigram add-1 LMs of
+# the quality-gated target subset vs the raw corpus (bucket =
+# md5_prefix32 mod 8192 — the cross-engine mixer), target membership
+# decided in integer space (floor(q*100+0.5) >= 80), per-doc log2
+# importance ratio mirrored expression-for-expression, selected on
+# the 6-dp-quantized score
+ORACLE["dsir_select"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, toks,
+         CAST(floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+               + least((CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0) * 0.4)
+               * 100.0 + 0.5) AS BIGINT) >= 80 AS is_target
+  FROM t
+),
+pairs AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8192 AS bucket,
+         count(*) AS tf
+  FROM (SELECT doc_id, is_target, unnest(toks) AS tok FROM q)
+  GROUP BY doc_id, is_target, bucket
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(tf) AS BIGINT) AS c_raw,
+         CAST(coalesce(sum(CASE WHEN is_target THEN tf END), 0) AS BIGINT) AS c_t
+  FROM pairs GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+         CAST(sum(c_t) AS DOUBLE) AS t_t
+  FROM counts
+),
+llr AS (
+  SELECT bucket,
+         log2(CAST(c_t AS DOUBLE) + 1.0) - log2(CAST(c_raw AS DOUBLE) + 1.0) AS llr
+  FROM counts
+),
+scored AS (
+  SELECT p.doc_id, p.is_target,
+         CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+         sum(CAST(p.tf AS DOUBLE) * l.llr) AS bits
+  FROM pairs p JOIN llr l USING (bucket)
+  GROUP BY p.doc_id, p.is_target
+),
+fin AS (
+  SELECT doc_id, is_target, n_tokens,
+         floor((bits + CAST(n_tokens AS DOUBLE)
+                       * (log2(t_raw + 8192.0) - log2(t_t + 8192.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS logw_bits,
+         CAST(floor((bits + CAST(n_tokens AS DOUBLE)
+                       * (log2(t_raw + 8192.0) - log2(t_t + 8192.0)))
+               / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS lw
+  FROM scored CROSS JOIN totals
+),
+cut AS (
+  SELECT doc_id, is_target, n_tokens, logw_bits,
+         ntile(4) OVER (ORDER BY lw, doc_id) AS quartile
+  FROM fin
+)
+SELECT doc_id, is_target, n_tokens, logw_bits,
+       CAST(quartile AS INTEGER) AS quartile,
+       quartile = 4 AS selected
+FROM cut
+"""
+
+# train/eval token-distribution shift: same md5 hash split as
+# train_eval_split, exact conditional counts per token, add-1
+# smoothed log2 shift + eval-side KL term as fixed per-row float
+# expressions (no cross-row float sum), top-30 by |kl_term| with
+# token tiebreak
+ORACLE["train_eval_token_shift"] = """
+WITH d AS (
+  SELECT substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999' AS is_eval,
+         text
+  FROM documents
+),
+counts AS (
+  SELECT tok AS token,
+         CAST(coalesce(sum(CASE WHEN NOT is_eval THEN 1 END), 0) AS BIGINT) AS c_train,
+         CAST(coalesce(sum(CASE WHEN is_eval THEN 1 END), 0) AS BIGINT) AS c_eval
+  FROM (SELECT is_eval, unnest(string_split(text, ' ')) AS tok FROM d)
+  GROUP BY tok
+),
+totals AS (
+  SELECT CAST(sum(c_train) AS DOUBLE) AS t_train,
+         CAST(sum(c_eval) AS DOUBLE) AS t_eval,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+),
+scored AS (
+  SELECT token, c_train, c_eval,
+         floor((log2((CAST(c_eval AS DOUBLE) + 1.0) / (t_eval + v))
+                - log2((CAST(c_train AS DOUBLE) + 1.0) / (t_train + v)))
+               * 1000000.0 + 0.5) / 1000000.0 AS shift_bits,
+         floor(((CAST(c_eval AS DOUBLE) + 1.0) / (t_eval + v)
+                * (log2((CAST(c_eval AS DOUBLE) + 1.0) / (t_eval + v))
+                   - log2((CAST(c_train AS DOUBLE) + 1.0) / (t_train + v))))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS kl_term
+  FROM counts CROSS JOIN totals
+)
+SELECT token, c_train, c_eval, shift_bits, kl_term
+FROM scored
+ORDER BY abs(kl_term) DESC, token
+LIMIT 30
+"""
+
 # quality-proportional sampling: identical quality formula as
 # text_stats, then keep <=> lpad(md5-prefix,5) < %05x of the exact
 # integer threshold (q100*65536 div 100) — lexical == numeric in

@@ -760,6 +760,51 @@ def q_run_task_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+@query("run_task_page_convert")
+def q_run_task_page_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 2's composed lifecycle: task_param (incl. the
+    targetPageFlow array, ParamUtils) → date-ranged scan
+    (PageOneStepConvertRateSpark.java:97 getActionRDDByDateRange) →
+    adjacent-pair session walk → chained conversion rates.
+    Hash-verified in the full oracle (the unranged page_convert_rate
+    holds the gate slot for the lag/rate algebra)."""
+    import json as _json
+
+    from .modules import run_task
+
+    task_json = _json.dumps(
+        {
+            "startDate": ["2024-01-03"],
+            "endDate": ["2024-01-28"],
+            "targetPageFlow": ["view,click,purchase,signup"],
+        }
+    )
+    return run_task(spark, task_json, sf_dir, modules=("page",))[
+        "page_split_convert_rate"
+    ]
+
+
+@query("run_task_ad_province_top3")
+def q_run_task_ad_province_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module 4's composed BATCH-twin lifecycle: task_param →
+    date-ranged scan → dim join → per-day/province top-3
+    (AdClickRealTimeStatSpark.java:739-845's transform+SQL stage as a
+    backfill/replay over the range; modules.run_ad_module returns all
+    five ad tables — this gates the join+window one).  Hash-verified
+    in the full oracle (the unranged ad_province_top3 holds the gate
+    slot for the window algebra)."""
+    import json as _json
+
+    from .modules import run_task
+
+    task_json = _json.dumps(
+        {"startDate": ["2024-01-03"], "endDate": ["2024-01-28"]}
+    )
+    return run_task(spark, task_json, sf_dir, modules=("ad",))[
+        "ad_province_top3"
+    ]
+
+
 @query("leakage_safe_split")
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval split where every transitive near-dup cluster is
@@ -773,6 +818,31 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return leakage_safe_split(docs, minhash_lsh_pairs(docs))
+
+
+@query("dsir_select")
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling selection: hashed-unigram
+    (md5_prefix32 mod 8192) add-1 LMs of the quality-gated target
+    subset vs the raw corpus; per-doc log2 importance ratio, keep ⇔
+    logw > 0.  Target membership and the LM counts are exact
+    integers; the only floats are the fixed log2/ratio tree mirrored
+    verbatim in the oracle (the unigram_surprisal precedent)."""
+    from .operators.curation import dsir_select
+
+    return dsir_select(_documents(spark, sf_dir))
+
+
+@query("train_eval_token_shift")
+def q_train_eval_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution shift between the hash split's train and
+    eval halves: add-1 smoothed per-token log-likelihood shift and
+    eval-side KL contribution, top-30 by |kl_term| via orderBy+limit.
+    Exact integer counts; every float is a fixed per-row expression
+    (no cross-row float sum), mirrored verbatim in the oracle."""
+    from .operators.curation import train_eval_token_shift
+
+    return train_eval_token_shift(_documents(spark, sf_dir))
 
 
 @query("quality_weighted_sample")

@@ -124,6 +124,10 @@ HEADLINE = [
     "leakage_safe_split",
     "run_task_session_aggr",
     "run_task_area_top3",
+    "run_task_page_convert",
+    "run_task_ad_province_top3",
+    "dsir_select",
+    "train_eval_token_shift",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -399,3 +399,88 @@ def test_mixture_temperature_weights_flatten_toward_uniform(spark):
     for lang in got:
         assert nat[lang]["temp_share"] == nat[lang]["token_share"]
         assert nat[lang]["temp_weight"] == 1.0
+
+
+def test_dsir_select_quartiles_and_target_enrichment(spark, sf_dir):
+    """DSIR selection: ntile(4) is balanced, selected == top quartile,
+    and the quality-gated target docs are ENRICHED among the selected
+    (the whole point of importance resampling — raw docs that look
+    target-like score high; target docs themselves must too)."""
+    from analysisofuserbehavior_spark.operators.curation import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_select(docs).collect()
+    n = len(out)
+    from collections import Counter
+
+    quartiles = Counter(r["quartile"] for r in out)
+    assert set(quartiles) == {1, 2, 3, 4}
+    assert max(quartiles.values()) - min(quartiles.values()) <= 1
+    for r in out:
+        assert r["selected"] == (r["quartile"] == 4)
+    t_mean = sum(r["quartile"] for r in out if r["is_target"]) / max(
+        1, sum(r["is_target"] for r in out)
+    )
+    r_mean = sum(r["quartile"] for r in out if not r["is_target"]) / max(
+        1, sum(not r["is_target"] for r in out)
+    )
+    assert t_mean > r_mean, (t_mean, r_mean)
+    assert n == docs.count()
+
+
+def test_dsir_select_planted_target_vocabulary(spark):
+    """A planted corpus where target docs share a private vocabulary:
+    every raw doc written in the target vocabulary must be selected,
+    every raw doc in the off-vocabulary must not.  Quality gate:
+    >=100 tokens with >=10% stopwords -> quality 1.0 (target); short
+    off-vocab docs stay below 0.8."""
+    from analysisofuserbehavior_spark.operators.curation import dsir_select
+
+    target_text = ("zq " * 8 + "the ") * 10 + "zq"  # 91 tokens... make >=100
+    target_text = ("zq " * 8 + "the ") * 12  # 108 tokens, 12 stopwords
+    rows = [(i, target_text.strip()) for i in range(40)]
+    # raw docs in the target vocabulary but too short to pass the gate
+    rows += [(100 + i, "zq zq the zq zq") for i in range(30)]
+    # raw docs in a disjoint vocabulary
+    rows += [(200 + i, "xk xk xk yv yv") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_select(docs).collect()}
+    lookalike = [out[100 + i] for i in range(30)]
+    offvocab = [out[200 + i] for i in range(30)]
+    assert all(not r["is_target"] for r in lookalike + offvocab)
+    # target-vocabulary raw docs outrank off-vocabulary ones
+    assert min(r["logw_bits"] for r in lookalike) > max(
+        r["logw_bits"] for r in offvocab
+    )
+    assert all(not r["selected"] for r in offvocab)
+
+
+def test_train_eval_token_shift_plants_eval_only_token(spark):
+    """A token that appears ONLY in eval docs must surface with a
+    positive shift; one only in train with a negative shift.  Split
+    membership is the md5 hash — doc ids are picked on the Python
+    side with the same formula so the plant is deterministic."""
+    import hashlib
+
+    from analysisofuserbehavior_spark.operators.curation import (
+        train_eval_token_shift,
+    )
+
+    def is_eval(i: int) -> bool:
+        return hashlib.md5(f"v1:{i}".encode()).hexdigest()[:4] < "1999"
+
+    eval_ids = [i for i in range(2000) if is_eval(i)][:12]
+    train_ids = [i for i in range(2000) if not is_eval(i)][:48]
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, base + " evalmarker") for i in eval_ids]
+    rows += [(i, base + " trainmarker") for i in train_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in train_eval_token_shift(docs, top=50).collect()}
+    assert out["evalmarker"]["c_train"] == 0
+    assert out["evalmarker"]["c_eval"] == len(eval_ids)
+    assert out["evalmarker"]["shift_bits"] > 0
+    assert out["trainmarker"]["c_eval"] == 0
+    assert out["trainmarker"]["shift_bits"] < 0
+    # eval-side KL contribution ranks the planted eval token first
+    top = max(out.values(), key=lambda r: abs(r["kl_term"]))
+    assert top["token"] == "evalmarker"

@@ -63,6 +63,48 @@ def test_run_active_module(spark, sf_dir):
         assert df.count() <= 10 * 2, name  # ≤10 winners (joined dims 1:1)
 
 
+def test_run_ad_module_batch_twin(spark, sf_dir):
+    """Module 4's batch twin returns the five ad output tables
+    (AdClickRealTimeStatSpark.java:100-590), all restricted to the
+    task's date range."""
+    out = run_task(spark, TASK_JSON, sf_dir, modules=("ad",))
+    assert set(out) == {
+        "ad_user_click_count",
+        "ad_blacklist",
+        "ad_stat",
+        "ad_province_top3",
+        "ad_click_trend",
+    }
+    days = [
+        r["day"]
+        for r in out["ad_user_click_count"].select("day").distinct().collect()
+    ]
+    assert days and all("2024-01-03" <= d <= "2024-01-28" for d in days)
+    assert out["ad_province_top3"].count() > 0
+    # every province emits at most 3 ranked rows per day
+    from pyspark.sql import functions as F
+
+    over = (
+        out["ad_province_top3"]
+        .groupBy("day", "province")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 3)
+        .count()
+    )
+    assert over == 0
+
+
+def test_run_page_module_range_pushes_to_scan(spark, sf_dir):
+    """Module 2 now mirrors the reference's getActionRDDByDateRange
+    (PageOneStepConvertRateSpark.java:97): the task's ts range must
+    reach the parquet scan as pushed-down predicates."""
+    from analysisofuserbehavior_spark import plans
+
+    out = run_task(spark, TASK_JSON, sf_dir, modules=("page",))
+    pushed = " ".join(plans.pushed_filters(out["page_split_convert_rate"]))
+    assert "GreaterThanOrEqual(ts," in pushed, pushed
+
+
 def test_run_task_cache_shared_is_result_invariant(spark, sf_dir):
     """cache_shared only changes WHERE the shared session frame
     lives (persisted vs recomputed per output) — never the results."""

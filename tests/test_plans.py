@@ -720,6 +720,7 @@ def test_registry_plans_no_cartesian_no_rowwise_python(spark, sf_dir):
 _SINGLE_PARTITION_WINDOW_WHITELIST = {
     # |flow|-row CDF: the task-param page chain (~5 pages), page_flow.py
     "page_convert_rate": (1, "<=|flow| rows (task-param page chain)"),
+    "run_task_page_convert": (1, "<=|flow| rows (same plan, ranged scan)"),
     # sweepline boundary frames: 2 rows per distinct hour/day
     "session_concurrency_hourly": (1, "<=2*|hours| boundary rows (sweepline.py)"),
     "open_orders_daily": (1, "<=2*|days| boundary rows (sweepline.py)"),
@@ -735,6 +736,7 @@ _SINGLE_PARTITION_WINDOW_WHITELIST = {
     # frame is <=n_buckets (32) rows by construction
     "user_ltv_deciles": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
     "session_length_deciles": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
+    "dsir_select": (1, "<=n_buckets=32 offset rows (functions/ranking.py quartile)"),
     "rfm_segments": (3, "<=n_buckets=32 offset rows x3 dims (functions/ranking.py)"),
     "pack_sequences": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
     "pack_bin_manifest": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),

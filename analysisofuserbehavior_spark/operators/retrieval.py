@@ -300,3 +300,111 @@ def bm25_topk_indexed(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009 — the fusion rule behind most production RAG "hybrid
+    search"): for each pivot document (doc_id < n_queries), fuse a
+    LEXICAL ranking (distinct-token Jaccard against the corpus) with
+    a SEMANTIC ranking (embedding cosine) by
+
+        rrf(d) = Σ_r 1/(rrf_k + rank_r(d))   over rankings that
+                                             retrieved d in top-`depth`
+
+    The two candidate lists are full-outer joined, so a document
+    retrieved by only one modality still scores — exactly the case
+    hybrid search exists for, and the testdata exercises it for real
+    (embeddings cover a PREFIX of the corpus at sf0.1, so lexical
+    hits past it carry no semantic rank).
+
+    Determinism: ranks are row_numbers ordered by the QUANTIZED
+    similarity + id tie-break (`_sim_order` discipline); the fusion
+    sum is a FIXED two-term float expression over integer ranks —
+    no cross-row float sum anywhere.
+
+    Scale design: both query frames are tiny (n_queries rows) and
+    BROADCAST — each candidate pass is a map-side join over one scan
+    (lexical: row-local array_intersect on distinct tokens; semantic:
+    the shared dot/norm fold).  Per-query rankings are
+    Window.partitionBy(query) row_numbers whose `rank <= depth`
+    filter Spark rewrites to WindowGroupLimit (per-partition top-k
+    BEFORE the shuffle — no unbounded single-partition sort); the
+    final per-query top-k is the same shape on the <=2·depth-row
+    fused frame."""
+    from pyspark.sql import Window
+
+    from .similarity import _sim_order, _with_vec, _paired_sim
+
+    toks = F.array_distinct(_tokens())
+    lex_corpus = docs.select("doc_id", toks.alias("dt"))
+    lex_queries = (
+        docs.where(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), toks.alias("qt"))
+    )
+    inter = F.size(F.array_intersect(F.col("dt"), F.col("qt"))).cast("double")
+    union = (
+        F.size(F.col("dt")) + F.size(F.col("qt"))
+    ).cast("double") - inter
+    lex_sims = (
+        lex_corpus.join(
+            F.broadcast(lex_queries), F.col("doc_id") != F.col("query_id")
+        )
+        .select("query_id", "doc_id", (inter / union).alias("sim"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "doc_id"))
+    lex_ranked = (
+        lex_sims.withColumn("lex_rank", F.row_number().over(w_lex))
+        .where(F.col("lex_rank") <= depth)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    sem_queries = _with_vec(
+        embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
+    )
+    sem_corpus = _with_vec(embeddings, "doc_id", "n_vec", "n_norm")
+    sem_sims = sem_corpus.join(
+        F.broadcast(sem_queries), F.col("doc_id") != F.col("query_id")
+    ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+    w_sem = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "doc_id"))
+    sem_ranked = (
+        sem_sims.withColumn("sem_rank", F.row_number().over(w_sem))
+        .where(F.col("sem_rank") <= depth)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = lex_ranked.join(sem_ranked, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        qround(rrf, 9).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_f))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_score",
+        )
+    )

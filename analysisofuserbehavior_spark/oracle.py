@@ -716,6 +716,68 @@ ORACLE["run_task_ad_province_top3"] = ORACLE["ad_province_top3"].replace(
     SESSIONIZE_CTES, _RANGED_SESSIONIZE
 )
 
+# hybrid retrieval RRF fusion: lexical distinct-token Jaccard rank +
+# embedding cosine rank per pivot query, ranks ordered by the
+# 3-dp-quantized sim + id (the _sim_order discipline), full-outer
+# fused with rrf = 1/(60+lex_rank) + 1/(60+sem_rank) (missing side
+# contributes 0), top-10 per query on the 9-dp-quantized score
+ORACLE["hybrid_rrf_topk"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents
+),
+lexq AS (SELECT doc_id AS query_id, dt AS qt FROM toks WHERE doc_id < 5),
+lexsims AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(len(list_intersect(t.dt, q.qt)) AS DOUBLE)
+         / (CAST(len(t.dt) + len(q.qt) AS DOUBLE)
+            - CAST(len(list_intersect(t.dt, q.qt)) AS DOUBLE)) AS sim
+  FROM toks t JOIN lexq q ON t.doc_id != q.query_id
+),
+lexr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1000.0 + 0.5) / 1000.0 DESC,
+                                     doc_id ASC) AS lex_rank
+  FROM lexsims
+),
+lexd AS (SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
+         FROM lexr WHERE lex_rank <= 50),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+semq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+semsims AS (
+  SELECT q.query_id, c.vec_id AS doc_id, list_cosine_similarity(q.v, c.v) AS sim
+  FROM e c JOIN semq q ON c.vec_id != q.query_id
+),
+semr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1000.0 + 0.5) / 1000.0 DESC,
+                                     doc_id ASC) AS sem_rank
+  FROM semsims
+),
+semd AS (SELECT query_id, doc_id, CAST(sem_rank AS BIGINT) AS sem_rank
+         FROM semr WHERE sem_rank <= 50),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         floor((coalesce(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                + coalesce(1.0 / (60.0 + CAST(s.sem_rank AS DOUBLE)), 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS rrf_score
+  FROM lexd l
+  FULL OUTER JOIN semd s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, lex_rank, sem_rank, rrf_score
+FROM ranked WHERE rank <= 10
+"""
+
 # DSIR importance-resampling selection: hashed-unigram add-1 LMs of
 # the quality-gated target subset vs the raw corpus (bucket =
 # md5_prefix32 mod 8192 — the cross-engine mixer), target membership

@@ -820,6 +820,22 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, minhash_lsh_pairs(docs))
 
 
+@query("hybrid_rrf_topk")
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: per pivot document, reciprocal-rank fusion
+    of the distinct-token Jaccard ranking with the embedding-cosine
+    ranking (full-outer on the two top-`depth` lists, so one-modality
+    hits still score — at sf0.1 embeddings cover only a prefix of the
+    corpus, exercising that path for real).  Ranks order by quantized
+    similarity + id; the fusion is a fixed two-term float expression
+    over integer ranks, mirrored verbatim in the oracle."""
+    from .operators.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _documents(spark, sf_dir), _embeddings(spark, sf_dir)
+    )
+
+
 @query("dsir_select")
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-resampling selection: hashed-unigram
@@ -4312,7 +4328,14 @@ _GATE_WINDOW = [
     # run_task_session_aggr rationale applied to module 3); the
     # unranged twin stays hash-verified in ORACLE_FULL_r{N}.json.
     "run_task_area_top3",
-    "ad_user_click_count",
+    # round 11: dsir_select (hashed-unigram importance-resampling
+    # selection — the first GATED consumer of the two-pass
+    # distributed-ntile ranking machinery, plus the broadcast
+    # bucket-LM join) takes ad_user_click_count's slot: that query is
+    # a bare per-user/day count whose algebra the gated ad_stat /
+    # ad_blacklist / streaming_ad_running_totals rows already carry;
+    # the displaced row stays hash-verified in ORACLE_FULL_r{N}.json.
+    "dsir_select",
     "ad_blacklist",
     "ad_stat",
     "ad_province_top3",

@@ -128,6 +128,7 @@ HEADLINE = [
     "run_task_ad_province_top3",
     "dsir_select",
     "train_eval_token_shift",
+    "hybrid_rrf_topk",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

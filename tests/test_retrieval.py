@@ -187,3 +187,54 @@ def test_incremental_append_to_empty_batch(spark, tmp_path):
     append_inverted_index(docs.where("doc_id < 0"), path)
     after = [tuple(r) for r in bm25_topk_indexed(spark, path).collect()]
     assert before == after
+
+
+def test_hybrid_rrf_fuses_single_modality_hits(spark, sf_dir):
+    """RRF fusion semantics: ranks are contiguous per query, the
+    score is exactly the two-term reciprocal sum (missing side = 0),
+    and documents retrieved by only ONE modality still appear — the
+    case hybrid search exists for."""
+    from analysisofuserbehavior_spark.operators.retrieval import hybrid_rrf_topk
+    from analysisofuserbehavior_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_rrf_topk(docs, emb, n_queries=5, k=10, depth=50).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            want = 0.0
+            if r["lex_rank"] is not None:
+                want += 1.0 / (60.0 + r["lex_rank"])
+            if r["sem_rank"] is not None:
+                want += 1.0 / (60.0 + r["sem_rank"])
+            import math
+
+            assert math.isclose(r["rrf_score"], want, abs_tol=5e-10)
+    # both single-modality shapes occur somewhere in the fused lists
+    flat = [r for rows in by_q.values() for r in rows]
+    assert any(r["sem_rank"] is None for r in flat) or any(
+        r["lex_rank"] is None for r in flat
+    )
+
+
+def test_hybrid_rrf_per_query_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-query rank<=depth filters must compile to
+    WindowGroupLimit (per-partition top-k BEFORE the shuffle), not a
+    full per-query sort of the corpus."""
+    from analysisofuserbehavior_spark.operators.retrieval import hybrid_rrf_topk
+    from analysisofuserbehavior_spark.sources import load_table
+
+    df = hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]

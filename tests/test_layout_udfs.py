@@ -133,10 +133,16 @@ def test_catalog_source_mode_hashes_like_path_mode(spark, sf_dir):
     db = "spark_graft_cat_parity"
     cat = save_tables_to_catalog(spark, sf_dir, db)
     try:
-        # both gated composed task runners: module 1 (session) and
-        # module 3 (area top-3) — the lifecycle must be source-mode
-        # agnostic end to end
-        for name in ("run_task_session_aggr", "run_task_area_top3"):
+        # all four composed task runners: module 1 (session), module
+        # 3 (area top-3), module 2 (page funnel), module 4 (ad
+        # province top-3, batch twin) — the lifecycle must be
+        # source-mode agnostic end to end
+        for name in (
+            "run_task_session_aggr",
+            "run_task_area_top3",
+            "run_task_page_convert",
+            "run_task_ad_province_top3",
+        ):
             via_catalog = sorted(
                 map(tuple, QUERIES[name](spark, cat).collect())
             )

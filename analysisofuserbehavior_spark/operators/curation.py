@@ -69,6 +69,61 @@ def train_eval_split(
     )
 
 
+def mixture_resample(docs: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """APPLY the temperature-mixture weights — the missing half of
+    `mixture_temperature_weights`, which only reports the per-language
+    resampling weight w = q_i/p_i.  This operator materializes the
+    resampled corpus: every document is emitted floor(w) times, plus
+    one more copy with probability frac(w) decided by the
+    deterministic md5 uniform — so languages with w>1 are UPSAMPLED by
+    replication (the standard repeat-plus-fractional-keep rule) and
+    languages with w<1 are downsampled, and the expected per-language
+    token mass matches the temperature mixture exactly.
+
+    Integer discipline: w is quantized to 4 dp FIRST (the same
+    quantization the weights report carries), then copies and the
+    fractional threshold are pure integer arithmetic on w4 —
+    n_full = w4 div 10000, keep-extra ⇔ 4-hex md5 bucket <
+    %04x of (w4 mod 10000)·65536 div 10000 — so engine float ULPs
+    cannot flip a copy.  Growth-stable per doc, like every sampler
+    here.
+
+    Scale: the weight frame is |languages| rows joined by BROADCAST;
+    replication is a row-local explode(sequence) — a pure map stage
+    whose output size is the resampled corpus.  No shuffle beyond the
+    tiny aggregate inside the weights call."""
+    w_raw = mixture_temperature_weights(docs, alpha).select(
+        "lang",
+        F.floor(F.col("temp_weight") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("_w4"),
+    )
+    n_full = (F.col("_w4") / 10000).cast("bigint")
+    thresh_hex = F.format_string(
+        "%04x", ((F.col("_w4") % 10000) * 65536 / 10000).cast("bigint")
+    )
+    extra = (split_bucket("mix1") < thresh_hex).cast("bigint")
+    n_copies = (n_full + extra).alias("_n")
+    return (
+        docs.join(F.broadcast(w_raw), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("_w4").cast("double") / 10000.0).alias("weight"),
+            n_copies,
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            F.explode(
+                F.when(F.col("_n") >= 1, F.sequence(F.lit(1).cast("bigint"), F.col("_n")))
+                .otherwise(F.array())
+            ).alias("copy_idx"),
+        )
+    )
+
+
 def train_eval_token_shift(
     docs: DataFrame,
     top: int = 30,

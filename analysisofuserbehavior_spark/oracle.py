@@ -716,6 +716,50 @@ ORACLE["run_task_ad_province_top3"] = ORACLE["ad_province_top3"].replace(
     SESSIONIZE_CTES, _RANGED_SESSIONIZE
 )
 
+# temperature-mixture resample: per-language α=0.25 weight (the
+# mixture_temperature_weights pipeline, quantized 4 dp exactly as the
+# report emits it), then integer copy counts — n_full = w4 div 10000,
+# one extra copy iff the 4-hex md5 bucket clears the fractional
+# threshold (w4 mod 10000)·65536 div 10000 — and generate_series
+# replication
+ORACLE["mixture_resample"] = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per_lang),
+s AS (
+  SELECT lang,
+         CAST(n_tokens AS DOUBLE) / t AS share,
+         sqrt(sqrt(CAST(n_tokens AS DOUBLE) / t)) AS sv
+  FROM per_lang, tot
+),
+z AS (SELECT sum(sv) AS z FROM s),
+w AS (
+  SELECT lang,
+         CAST(floor(floor((sv / z) / share * 10000.0 + 0.5) / 10000.0
+                    * 10000.0 + 0.5) AS BIGINT) AS w4
+  FROM s, z
+),
+j AS (
+  SELECT d.doc_id, d.lang,
+         CAST(w.w4 AS DOUBLE) / 10000.0 AS weight,
+         w.w4 // 10000 AS n_full,
+         printf('%04x', (w.w4 % 10000) * 65536 // 10000) AS thresh,
+         substring(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents d JOIN w USING (lang)
+),
+n AS (
+  SELECT doc_id, lang, weight,
+         n_full + CASE WHEN bucket < thresh THEN 1 ELSE 0 END AS n
+  FROM j
+)
+SELECT doc_id, lang, weight,
+       CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+FROM n WHERE n >= 1
+"""
+
 # hybrid retrieval RRF fusion: lexical distinct-token Jaccard rank +
 # embedding cosine rank per pivot query, ranks ordered by the
 # 3-dp-quantized sim + id (the _sim_order discipline), full-outer

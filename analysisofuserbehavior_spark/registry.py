@@ -836,6 +836,20 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mixture_resample")
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature-mixture resample: each doc emitted
+    floor(w) times plus a fractional md5-decided extra copy, where w
+    is the α=0.25 per-language weight — the APPLICATION of
+    mixture_temperature_weights.  Copy counts are pure integer
+    arithmetic on the 4-dp-quantized weight; replication is a
+    row-local explode after a broadcast join of the |langs|-row
+    weight frame."""
+    from .operators.curation import mixture_resample
+
+    return mixture_resample(_documents(spark, sf_dir))
+
+
 @query("dsir_select")
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-resampling selection: hashed-unigram

@@ -129,6 +129,7 @@ HEADLINE = [
     "dsir_select",
     "train_eval_token_shift",
     "hybrid_rrf_topk",
+    "mixture_resample",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

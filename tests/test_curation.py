@@ -484,3 +484,41 @@ def test_train_eval_token_shift_plants_eval_only_token(spark):
     # eval-side KL contribution ranks the planted eval token first
     top = max(out.values(), key=lambda r: abs(r["kl_term"]))
     assert top["token"] == "evalmarker"
+
+
+def test_mixture_resample_upsamples_rare_and_downsamples_dominant(spark):
+    """On a skewed corpus (90% en / 1% sw), α=0.25 temperature weights
+    give sw a weight well above 1 and en below 1 — the resample must
+    replicate every sw doc floor(w) or floor(w)+1 times and drop a
+    fraction of en docs, with expected counts matching the weight."""
+    from analysisofuserbehavior_spark.operators.curation import (
+        mixture_resample,
+        mixture_temperature_weights,
+    )
+
+    rows = (
+        [(i, "en", "w " * 99 + "w") for i in range(900)]
+        + [(1000 + i, "fr", "w " * 99 + "w") for i in range(90)]
+        + [(2000 + i, "sw", "w " * 99 + "w") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {r["lang"]: r["temp_weight"] for r in mixture_temperature_weights(docs).collect()}
+    assert w["sw"] > 1.5 and w["en"] < 1.0
+    out = mixture_resample(docs).collect()
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in out)
+    # every emitted copy carries its language's reported weight
+    assert all(abs(r["weight"] - w[r["lang"]]) < 1e-9 for r in out)
+    # sw upsampled: between floor(w) and ceil(w) copies per doc
+    per_doc = Counter(r["doc_id"] for r in out if r["lang"] == "sw")
+    assert len(per_doc) == 10
+    import math
+
+    lo, hi = math.floor(w["sw"]), math.floor(w["sw"]) + 1
+    assert all(c in (lo, hi) for c in per_doc.values())
+    # en downsampled: strictly fewer copies than docs, none duplicated
+    assert per_lang["en"] < 900
+    assert max(Counter(r["doc_id"] for r in out if r["lang"] == "en").values()) == 1
+    # expected mass within 10% of weight * n_docs for the big stratum
+    assert abs(per_lang["en"] - 900 * w["en"]) < 0.1 * 900

@@ -63,6 +63,15 @@ ROUND_TOUCHED = [
     "holt_trend_daily",
     "cusum_drift_daily",
     "theilsen_trend_daily",
+    # round 11
+    "run_task_page_convert",
+    "run_task_ad_province_top3",
+    "dsir_select",
+    "train_eval_token_shift",
+    "hybrid_rrf_topk",
+    "mixture_resample",
+    "trending_items_decayed",
+    "rfm_segments",
 ]
 
 

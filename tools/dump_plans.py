@@ -41,8 +41,8 @@ FLAGSHIPS = [
     ("click_asof_prior_view", "union-tag as-of join, one keyed window"),
     ("ann_cosine_topk", "brute-force cosine; single scan + TakeOrdered"),
     ("pack_sequences", "two-pass prefix sum, no global window"),
-    ("trending_items_decayed", "integer-space exponential decay; raw events scan"),
-    ("rfm_segments", "three histogram-CDF quartile frames, broadcast thresholds"),
+    ("trending_items_decayed", "integer-space exponential decay; orderBy+limit TakeOrdered top-k (round-11 fix)"),
+    ("rfm_segments", "two-pass range-bucket quartile ranks, broadcast thresholds (round-11 fix)"),
     ("bm25_topk_indexed", "partition-pruned term shards; 3/16 buckets listed"),
     ("ab_test_report", "row-local hash bucketing; two map-side reduces to 1 row"),
     ("funnel_within_window", "one user shuffle; greedy fold, no event self-join"),
@@ -53,6 +53,11 @@ FLAGSHIPS = [
     ("multitouch_attribution", "one user shuffle; row-local credit fold, no conv x touch join"),
     ("dedup_simhash", "md5-mixer bit votes; banded hamming join"),
     ("pii_scrub_report", "map-only regexp chain fused into the scan"),
+    # round 11
+    ("dsir_select", "hashed-LM broadcast join-back + two-pass ntile; no global sort"),
+    ("hybrid_rrf_topk", "broadcast query frames; WindowGroupLimit top-k; full-outer RRF fusion"),
+    ("mixture_resample", "broadcast |langs| weight frame; row-local replication explode"),
+    ("run_task_ad_province_top3", "task-param ranged scan pushdown through the composed ad lifecycle"),
 ]
 
 

@@ -502,18 +502,31 @@ def test_generator_drives_blacklist_loop_self_contained(spark, tmp_path):
                 pass
         if condition_met():
             break
-    totals = loop.current_totals(spark)
-    assert totals.count() > 0
+    # q.stop() interrupts the STREAM thread but does not join the
+    # py4j callback thread running process_batch — an in-flight
+    # batch can still swap the state dir AFTER stop() returns, so
+    # two reads below could see different snapshots (the observed
+    # solo flake: totals from one batch, blacklist from the next).
+    # Quiesce first: wait until two consecutive reads agree.
+    prev = None
+    rows = []
+    for _ in range(60):
+        try:
+            rows = loop.current_totals(spark).collect()
+        except Exception:  # state dir mid-swap
+            time.sleep(0.5)
+            continue
+        sig = sorted(tuple(r) for r in rows)
+        if prev is not None and sig == prev:
+            break
+        prev = sig
+        time.sleep(0.5)
+    assert len(rows) > 0
     # compacted keyed state, never an append-only history
-    assert (
-        totals.count()
-        == totals.select("day", "user_id", "ad_id").distinct().count()
-    )
+    keys = [(r["day"], r["user_id"], r["ad_id"]) for r in rows]
+    assert len(keys) == len(set(keys))
     # every blacklisted user genuinely crossed the threshold
-    over = {
-        (r["user_id"])
-        for r in totals.where(F.col("click_count") >= 2).collect()
-    }
+    over = {r["user_id"] for r in rows if r["click_count"] >= 2}
     bl = {r["user_id"] for r in loop.current_blacklist(spark).collect()}
     assert bl and bl == over
 

@@ -6,17 +6,27 @@ through one task — the same 100 TB scale-killer `operators/packing.py`
 documents for prefix sums.  The two-pass form here is the textbook
 distributed rank:
 
-1. rows land in value-range buckets (pure arithmetic against the
-   broadcast (min, max) of the sort column — monotone, so bucket
-   order IS sort order);
+1. rows land in value-range buckets (count of broadcast sampled
+   split points below the value — monotone, so bucket order IS
+   sort order);
 2. per-bucket counts (a `n_buckets`-row frame) take a driver-scale
    running total, giving each bucket its global rank offset;
 3. each row's rank = bucket offset + its row_number inside a window
    PARTITIONED by bucket — one shuffle, buckets sorted in parallel.
 
-Equal-width value buckets assume the sort column isn't pathologically
-concentrated; for a known-skewed column pre-quantize or salt the
-bucket id by the tiebreak column's hash range.
+Bucket boundaries are SAMPLED QUANTILES (percentile_approx split
+points — the RangePartitioner discipline), not equal-width value
+ranges: per-user money sums and similar heavy-tailed columns stretch
+an equal-width span by orders of magnitude (one whale lands every
+other row in bucket 0 — a one-task sort), while quantile splits give
+near-equal bucket COUNTS for any value distribution.  Bucket id is a
+pure monotone function of the VALUE alone (count of split points
+below it), so equal values always share a bucket and bucket order is
+sort order; sketch error in the split points moves only the
+boundaries (task balance), never the rank.  Residual caveat: a value
+duplicated across a large fraction of rows necessarily shares one
+bucket — within-bucket sorting of a Zipf-duplicated value is the one
+remaining hot task (pre-aggregate such domains before ranking).
 """
 
 from __future__ import annotations
@@ -34,17 +44,23 @@ def with_global_rank(
     """row_number over (value_col, tiebreak_col) ascending, computed
     two-pass.  value_col must be numeric and non-null; tiebreak_col
     must make the order total."""
-    lo_hi = df.agg(
-        F.min(value_col).alias("_lo"),
-        (F.max(value_col) - F.min(value_col) + 1).alias("_span"),
+    splits = df.agg(
+        F.percentile_approx(
+            value_col,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+            F.lit(10_000),
+        ).alias("_splits")
     )
-    bucketed = df.crossJoin(F.broadcast(lo_hi)).withColumn(
-        "_bucket",
-        (
-            (F.col(value_col) - F.col("_lo")).cast("bigint")
-            * n_buckets
-            / F.col("_span")
-        ).cast("bigint"),
+    bucketed = (
+        df.crossJoin(F.broadcast(splits))
+        .withColumn(
+            # count of split points strictly below the value — a pure
+            # monotone function of the value, so equal values share a
+            # bucket and bucket order IS sort order
+            "_bucket",
+            F.size(F.filter(F.col("_splits"), lambda s: s < F.col(value_col))),
+        )
+        .drop("_splits")
     )
     btotals = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
     boffsets = btotals.withColumn(
@@ -65,7 +81,7 @@ def with_global_rank(
             rank_col,
             (F.col("_boffset") + F.row_number().over(w)).cast("bigint"),
         )
-        .drop("_bucket", "_lo", "_span", "_boffset")
+        .drop("_bucket", "_boffset")
     )
 
 

@@ -72,8 +72,12 @@ def trending_items_decayed(
     # row through one task (`Exchange SinglePartition` — confirmed by
     # the round-8 plan audit; WindowGroupLimit did not fire), a
     # single-task sort straggler at catalog scale (10⁷-10⁸ items).
-    # The tiny post-limit window is bounded by |top| and whitelisted in
-    # the plan lint (tests/test_plans.py).
+    # The tiny post-limit window is bounded by |top| rows; no lint
+    # whitelist entry exists (or is needed) because
+    # TakeOrderedAndProject's output is already one partition — the
+    # plan contains no Exchange SinglePartition for the lint to see.
+    # If a future plan change materializes the limit as
+    # GlobalLimit + Exchange, add the whitelist entry then.
     topk = scaled.orderBy(
         F.col("score_scaled").desc(), F.col("item").asc()
     ).limit(top)

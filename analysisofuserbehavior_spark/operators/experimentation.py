@@ -281,17 +281,22 @@ def ab_test_mannwhitney(events: DataFrame, goal: str = "purchase") -> DataFrame:
         .agg(F.coalesce(F.sum("u2_part"), F.lit(0)).cast("bigint").alias("u2"))
     )
     # t³ itself blows int64 once a single tie group (e.g. y=0 users)
-    # exceeds ~2.1M rows, so each t promotes to double BEFORE cubing
-    # (same promotion discipline as the variance tree below).  In-gate
-    # every t³ < 2⁵³, so the double sum is still exact-integer-valued
-    # and summation-order-independent.
-    t_d = F.col("t").cast("double")
+    # exceeds ~2.1M rows.  Cubing in DOUBLE fixes the overflow but a
+    # double SUM of t³ terms is order-dependent once the running sum
+    # passes 2⁵³ (two ~1M-row tie groups suffice) — and Spark's
+    # partial-aggregation order differs from DuckDB's, so the hash
+    # gate could flip at a quantization boundary.  DECIMAL keeps the
+    # whole sum exact AND associative: t ≤ 10¹² as DECIMAL(12,0),
+    # t³ ≤ 10³⁶ fits DECIMAL(38,0), the sum is exact integer decimal
+    # arithmetic in any order, and the single decimal→double rounding
+    # at the end is deterministic.  Mirrored in the oracle.
+    t_dec = F.col("t").cast("decimal(12,0)")
     ties = (
         hist.groupBy("y")
         .agg(F.sum("c").alias("t"))
         .agg(
             F.coalesce(
-                F.sum(t_d * t_d * t_d - t_d),
+                F.sum(t_dec * t_dec * t_dec - t_dec).cast("double"),
                 F.lit(0.0),
             ).alias("tie_term")
         )

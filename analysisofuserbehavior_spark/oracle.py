@@ -826,8 +826,9 @@ FROM ranked WHERE rank <= 10
 # the quality-gated target subset vs the raw corpus (bucket =
 # md5_prefix32 mod 8192 — the cross-engine mixer), target membership
 # decided in integer space (floor(q*100+0.5) >= 80), per-doc log2
-# importance ratio mirrored expression-for-expression, selected on
-# the 6-dp-quantized score
+# importance ratio mirrored expression-for-expression; selected =
+# top quartile of the integer micro-bits-per-token key (ntile(4)
+# over (lw, doc_id) — exact ntile semantics in both engines)
 ORACLE["dsir_select"] = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -4362,11 +4363,14 @@ u AS (
   CROSS JOIN (SELECT y AS yb, c AS cb FROM hist WHERE variant = 'B') b
 ),
 ties AS (
-  -- t promoted to DOUBLE before cubing (t*t*t as BIGINT overflows
-  -- once one tie group passes ~2.1M rows); in-gate t^3 < 2^53 so the
-  -- double sum stays exact-integer-valued
-  SELECT coalesce(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
-                      - CAST(t AS DOUBLE)), 0.0) AS tie_term
+  -- DECIMAL, not DOUBLE: t*t*t as BIGINT overflows past ~2.1M-row
+  -- tie groups, and a DOUBLE sum of t^3 terms is order-dependent
+  -- once the running sum passes 2^53; t <= 10^12 as DECIMAL(12,0)
+  -- cubes into DECIMAL(38,0) exactly, the sum is associative, and
+  -- the one decimal->double rounding at the end is deterministic
+  SELECT coalesce(CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                           * CAST(t AS DECIMAL(12,0))
+                      - CAST(t AS DECIMAL(12,0))) AS DOUBLE), 0.0) AS tie_term
   FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY y)
 ),
 counts AS (

@@ -81,7 +81,12 @@ def single_partition_window_sorts(plan: str) -> list[str]:
         for j in range(i - 1, -1, -1):
             pdepth, pname = nodes[j]
             if pdepth < depth:
-                if pname.startswith(("Sort", "Window", "WindowGroupLimit")):
+                # SortAggregate is a global REDUCTION (one partial
+                # row per partition through the exchange), not a
+                # full-frame sort — same exemption as HashAggregate
+                if pname.startswith(
+                    ("Sort", "Window", "WindowGroupLimit")
+                ) and not pname.startswith("SortAggregate"):
                     out.append(pname.split("[")[0].strip())
                 break
     return out

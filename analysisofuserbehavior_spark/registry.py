@@ -855,9 +855,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-resampling selection: hashed-unigram
     (md5_prefix32 mod 8192) add-1 LMs of the quality-gated target
     subset vs the raw corpus; per-doc log2 importance ratio, keep ⇔
-    logw > 0.  Target membership and the LM counts are exact
-    integers; the only floats are the fixed log2/ratio tree mirrored
-    verbatim in the oracle (the unigram_surprisal precedent)."""
+    the PER-TOKEN score lands in the top quartile (two-pass
+    distributed ntile — a fixed logw>0 cut is degenerate, see the
+    operator docstring).  Target membership, LM counts, and the
+    ntile sort key are exact integers; the only floats are the fixed
+    log2/ratio tree mirrored verbatim in the oracle (the
+    unigram_surprisal precedent)."""
     from .operators.curation import dsir_select
 
     return dsir_select(_documents(spark, sf_dir))

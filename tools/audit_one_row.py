@@ -64,6 +64,7 @@ ROUND_TOUCHED = [
     "cusum_drift_daily",
     "theilsen_trend_daily",
     # round 11
+    "run_task_area_top3",
     "run_task_page_convert",
     "run_task_ad_province_top3",
     "dsir_select",

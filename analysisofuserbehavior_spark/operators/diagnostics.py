@@ -445,3 +445,68 @@ def theilsen_trend_daily(
         qround(med(F.array_sort(resid)), 6).alias("intercept"),
         qround(F.col("slope") * F.lit(7.0), 6).alias("slope_per_week"),
     )
+
+
+def changepoint_daily(
+    events: DataFrame, event_type: str = "click", top: int = 3
+) -> DataFrame:
+    """Retrospective mean-shift changepoint over daily volume — the
+    single-split binary-segmentation step (CUSUM's `cusum_drift_daily`
+    raises the ONLINE alarm; Holt forecasts; this answers the
+    post-hoc question "on which day did the level actually change?").
+    For every candidate split t (mean shifts AFTER day t), the
+    between-segment sum-of-squares gain of a two-mean fit over a
+    one-mean fit:
+
+        gain(t) = S_t²/t + (S_n−S_t)²/(n−t) − S_n²/n
+
+    maximized over t — the k=1 case of binary segmentation / PELT's
+    cost reduction with an L2 cost.  Emits the `top` candidate splits
+    with segment means.
+
+    Exactness: prefix sums S_t and totals are exact BIGINTs; gain is
+    a fixed per-row tree of IEEE ops over them (deterministic in both
+    engines), ordered by the 6-dp-quantized gain + day tie-break.
+    Scale: everything after the map-side-combined daily groupBy runs
+    on the |days|-row reduced frame (the calendar-bounded whitelist
+    class); the final top-k is orderBy+limit."""
+    daily = (
+        events.where(F.col("event_type") == event_type)
+        .select(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # unpartitioned windows over the |days|-row frame only
+    w_pref = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("c").over(w_pref).alias("s_t"),
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("s_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = pref.crossJoin(F.broadcast(tot)).where(F.col("t") < F.col("n"))
+    st = F.col("s_t").cast("double")
+    sn = F.col("s_n").cast("double")
+    td = F.col("t").cast("double")
+    nd = F.col("n").cast("double")
+    gain = (
+        st * st / td
+        + (sn - st) * (sn - st) / (nd - td)
+        - sn * sn / nd
+    )
+    scored = j.select(
+        F.col("day").alias("split_day"),
+        F.col("t").cast("bigint").alias("n_days_before"),
+        (F.col("n") - F.col("t")).cast("bigint").alias("n_days_after"),
+        qround(st / td, 4).alias("mean_before"),
+        qround((sn - st) / (nd - td), 4).alias("mean_after"),
+        qround(gain, 6).alias("sse_gain"),
+    )
+    return scored.orderBy(F.desc("sse_gain"), F.asc("split_day")).limit(top)

@@ -3497,6 +3497,50 @@ GROUP BY ROLLUP (strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'))
 ORDER BY month NULLS FIRST, day NULLS FIRST
 """
 
+# retrospective mean-shift changepoint: exact BIGINT prefix sums over
+# the day-ordered click series, between-segment SSE gain
+# S_t^2/t + (S_n-S_t)^2/(n-t) - S_n^2/n as a fixed per-row float tree,
+# top-3 by the 6-dp-quantized gain with day tie-break
+ORACLE["changepoint_daily"] = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+pref AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS t,
+         sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS s_t
+  FROM daily
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS s_n, CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+scored AS (
+  SELECT day AS split_day,
+         CAST(t AS BIGINT) AS n_days_before,
+         CAST(n - t AS BIGINT) AS n_days_after,
+         floor(CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS mean_before,
+         floor((CAST(s_n AS DOUBLE) - CAST(s_t AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * 10000.0 + 0.5)
+           / 10000.0 AS mean_after,
+         floor((CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE)
+                + (CAST(s_n AS DOUBLE) - CAST(s_t AS DOUBLE))
+                  * (CAST(s_n AS DOUBLE) - CAST(s_t AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+                - CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS sse_gain
+  FROM pref CROSS JOIN tot
+  WHERE t < n
+)
+SELECT split_day, n_days_before, n_days_after, mean_before, mean_after, sse_gain
+FROM scored
+ORDER BY sse_gain DESC, split_day ASC
+LIMIT 3
+"""
+
 ORACLE["daily_anomaly_zscore"] = """
 WITH daily AS (
   SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c

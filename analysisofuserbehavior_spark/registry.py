@@ -3736,6 +3736,19 @@ def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_within_window(_events(spark, sf_dir))
 
 
+@query("changepoint_daily")
+def q_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective mean-shift changepoint: top-3 candidate split
+    days by the between-segment SSE gain of a two-mean fit over the
+    daily click series (binary segmentation's k=1 step; CUSUM is the
+    online twin, Holt the forecast).  Exact BIGINT prefix sums; the
+    gain is a fixed per-row float tree mirrored verbatim; everything
+    past the daily groupBy runs on the |days|-row frame."""
+    from .operators.diagnostics import changepoint_daily
+
+    return changepoint_daily(_events(spark, sf_dir))
+
+
 @query("daily_anomaly_zscore")
 def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: each (event_type, day)

@@ -130,6 +130,7 @@ HEADLINE = [
     "train_eval_token_shift",
     "hybrid_rrf_topk",
     "mixture_resample",
+    "changepoint_daily",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -726,6 +726,7 @@ _SINGLE_PARTITION_WINDOW_WHITELIST = {
     "open_orders_daily": (1, "<=2*|days| boundary rows (sweepline.py)"),
     # per-calendar-day reduced frames
     "rolling_7d_clicks": (1, "<=|days| rows (daily reduction)"),
+    "changepoint_daily": (1, "<=|days| rows (daily reduction)"),
     # count-of-count histograms: one row per DISTINCT per-key count
     "skew_key_diagnostics": (4, "<=|distinct counts| rows per dim (diagnostics.py)"),
     # histogram-CDF quantiles over QUANTIZED domains (the

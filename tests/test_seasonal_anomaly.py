@@ -216,3 +216,36 @@ def test_theilsen_degenerate_single_day(spark):
 
     rows = [(i, MONDAY, 1, "click", 0.0, "{}") for i in range(5)]
     assert theilsen_trend_daily(spark.createDataFrame(rows, EVENTS)).count() == 0
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """10 days at ~20/day then 10 days at ~50/day: the top split must
+    be the last low day, with segment means recovering both levels.
+    Small per-day wiggle keeps the series non-constant inside each
+    segment (the realistic case)."""
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        changepoint_daily,
+    )
+
+    counts = {i: 20 + (i % 3) for i in range(10)}
+    counts.update({i: 50 + (i % 3) for i in range(10, 20)})
+    got = changepoint_daily(_days(spark, counts)).collect()
+    top = got[0]
+    assert top["split_day"] == (MONDAY + timedelta(days=9)).strftime("%Y-%m-%d")
+    assert top["n_days_before"] == 10 and top["n_days_after"] == 10
+    assert 20 <= top["mean_before"] <= 23 and 50 <= top["mean_after"] <= 53
+    # gains ordered; the planted split strictly beats its neighbors
+    # (adjacent splits still capture most of the between-SSE, so the
+    # margin is small but the argmax is exact)
+    gains = [r["sse_gain"] for r in got]
+    assert gains == sorted(gains, reverse=True)
+    assert gains[0] > gains[1]
+
+
+def test_changepoint_flat_series_has_near_zero_gain(spark):
+    from analysisofuserbehavior_spark.operators.diagnostics import (
+        changepoint_daily,
+    )
+
+    got = changepoint_daily(_days(spark, {i: 30 for i in range(12)})).collect()
+    assert all(abs(r["sse_gain"]) < 1e-6 for r in got)

@@ -73,6 +73,7 @@ ROUND_TOUCHED = [
     "mixture_resample",
     "trending_items_decayed",
     "rfm_segments",
+    "changepoint_daily",
 ]
 
 

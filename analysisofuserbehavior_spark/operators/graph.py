@@ -210,3 +210,69 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.join(closing, ["x", "y"], "inner").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """(node, community) — SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007) over the undirected graph, `rounds` fixed
+    iterations.  The community-detection primitive the item graph
+    needs (which products cluster into browsing neighborhoods; which
+    pages form a topic pocket) — cheaper than modularity methods and
+    expressible as pure joins + aggregates.
+
+    Determinism contract (what makes it hash-gateable where classic
+    async LPA is not): labels init to the node id; every round ALL
+    nodes update simultaneously to the neighbor label with the
+    highest incident edge-weight sum, ties broken by the SMALLEST
+    label; integer weights make the argmax exact, so a fixed round
+    count replays identically in the unrolled-CTE oracle (the
+    pagerank argument, with exact integers instead of rounded
+    doubles).
+
+    Scale: each round is one shuffle — join labels onto the directed
+    expansion of the edge list (2|E| rows), groupBy (node, label)
+    with map-side combine, then a per-node top-1 window over the
+    ≤deg(node) label-sum rows.  The window partitions by NODE, so a
+    hot label (giant community) never funnels through one task; the
+    label frame is |V| rows and `localCheckpoint` truncates the
+    iterative lineage exactly as pagerank does (reliable checkpoint
+    at cluster scale)."""
+    from pyspark.sql import Window
+
+    both = (
+        edges.select(
+            F.col(src).alias("_u"), F.col(dst).alias("_v"), F.col(weight).alias("_w")
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("_u"), F.col(src).alias("_v"), F.col(weight).alias("_w")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        both.select(F.col("_u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w_top = Window.partitionBy("_u").orderBy(F.desc("_lw"), F.asc("label"))
+    for _ in range(rounds):
+        neigh = (
+            both.join(labels, both["_v"] == labels["node"])
+            .groupBy("_u", "label")
+            .agg(F.sum("_w").alias("_lw"))
+        )
+        labels = (
+            neigh.withColumn("_rn", F.row_number().over(w_top))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_u").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community")).orderBy("node")

@@ -42,6 +42,44 @@ def lsh_planes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
 
 
+def lsh_band_frame(
+    v_frame: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    band_bits: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, bucket) rows — the SINGLE Spark-side banding used by
+    every hyperplane-LSH consumer (near-dup pairs, the LSH-fed
+    closure, ann_lsh_topk).  bit_j = [v · p_j >= 0] over the seeded
+    ±1 planes (lossless products, so the signs — hence buckets —
+    hash-gate cross-engine; see lsh_planes), packed band_bits per
+    band.  Slim triples by design: vectors re-attach after candidate
+    dedup (see embedding_neardup_lsh's shuffle-volume note)."""
+    planes = lsh_planes(n_bits, dim, seed)
+    n_bands = n_bits // band_bits
+    bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
+        for p in planes
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return v_frame.select(id_col, F.explode(buckets).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -601,24 +639,7 @@ def embedding_neardup_lsh(
     Vectors ride through the band join (dim × 8 B per band row),
     mirroring the minhash carried-set design — one full-table
     shuffle, verification row-local."""
-    planes = lsh_planes(n_bits, dim, seed)
-    n_bands = n_bits // band_bits
     v = _with_vec(embeddings, "doc_id", "v", "nv")
-    bits = [
-        (dot(F.col("v"), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
-        for p in planes
-    ]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
     # SLIM band join: only (doc_id, band, bucket) triples flow through
     # the self-join and the pair dedup.  The earlier shape carried
     # both 64-dim vectors on every candidate row — at sf0.1 that
@@ -629,9 +650,7 @@ def embedding_neardup_lsh(
     # stays a shuffle join keyed by id — still per-PAIR-once, not
     # per-candidate-once).  Same candidate set, same exact
     # verification, identical output.
-    banded = v.select("doc_id", F.explode(buckets).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = lsh_band_frame(v, "doc_id", "v", n_bits, band_bits, dim, seed)
     cand_ids = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -653,6 +672,75 @@ def embedding_neardup_lsh(
         .withColumn("sim", _paired_sim("va", "na", "vb", "nb"))
         .where(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", qround(F.col("sim"), 3).alias("sim"))
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 16,
+    band_bits: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-BUCKETED approximate nearest neighbors — the second scale
+    path next to IVF (`ann_ivf_topk*`): each query scores only the
+    corpus vectors that share ≥1 band bucket with it, then ranks the
+    candidates by exact cosine (quantized ordering + id tie-break,
+    the family-wide `_sim_order` discipline).
+
+    Unlike IVF (n_probe Voronoi cells per query), the probed set here
+    is data-independent of any centroid construction: bucket
+    membership follows from the seeded ±1 hyperplane signs alone, so
+    the candidate set — and therefore the whole result — is
+    deterministic and HASH-GATED (same argument as
+    embedding_neardup_lsh; only recall is approximate, precision over
+    candidates is exact).
+
+    Scale: banding is one stateless map over the corpus; the
+    query→corpus candidate join is an equi-join on (band, bucket)
+    with the ≤n_queries·n_bands query-band frame BROADCAST, so the
+    corpus is touched once, map-side, with no shuffle of corpus rows
+    at all — at 100 TB bucket ids become a partition/cluster key and
+    the probe is a pruned scan, exactly the ann_ivf_topk_indexed
+    layout argument applied to LSH buckets."""
+    v = _with_vec(embeddings, "vec_id", "v", "nv")
+    banded = lsh_band_frame(v, "vec_id", "v", n_bits, band_bits, dim, seed)
+    q_bands = banded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        banded.join(F.broadcast(q_bands), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vq = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        F.col("nv").alias("q_norm"),
+    )
+    vn = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("n_vec"),
+        F.col("nv").alias("n_norm"),
+    )
+    sims = (
+        cand.join(vn, "neighbor_id")
+        .join(F.broadcast(vq), "query_id")
+        .withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            qround(F.col("sim"), 3).alias("sim"),
+        )
     )
 
 

@@ -701,3 +701,71 @@ def doc_length_quantiles(
         ]
     )
     return picked
+
+
+def collocations_pmi(
+    docs: DataFrame, min_count: int = 3, top: int = 100
+) -> DataFrame:
+    """Top-`top` adjacent-bigram collocations ranked by pointwise
+    mutual information: pmi = log2( p(xy) / (p(x)·p(y)) ) with
+    p(xy) = c_xy/N_bigrams and p(w) = c_w/N_tokens — the standard
+    collocation measure (Church & Hanks 1990).  The corpus-analysis
+    complement of the surprisal LMs: surprisal scores DOCUMENTS
+    against the LM, PMI scores TOKEN PAIRS against independence,
+    surfacing multi-word units a tokenizer or boilerplate filter
+    should treat atomically.
+
+    `min_count` drops the low-frequency pairs whose MLE PMI is
+    unboundedly noisy (the classic PMI pathology: hapax pairs
+    maximize it).
+
+    Scale — one corpus scan, no windows: bigram and unigram counts
+    are map-side-combined groupBys (exact BIGINTs); unigram counts
+    join onto the DISTINCT-bigram frame (vocab²-bounded, not
+    per-occurrence, so Zipf heads like "the" never fan out); the two
+    1-row totals broadcast; ranking is orderBy+limit →
+    TakeOrderedAndProject (no single-partition window).  The only
+    float ops are the fixed-order ratio chain and one log2, mirrored
+    verbatim in the oracle (the bigram_surprisal log2-parity
+    precedent), 6-dp HALF_UP; ties break on the token pair."""
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i + 1).alias("tok_a"),
+            F.element_at(F.col("_t"), i + 2).alias("tok_b"),
+        ),
+    )
+    pair_occ = _ckpt_pairs(
+        docs.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.tok_a", "g.tok_b")
+    )
+    uni_occ = _ckpt_pairs(docs.select(F.explode(toks).alias("tok")))
+    c_xy = pair_occ.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_w = uni_occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
+    n_tok = uni_occ.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    n_big = pair_occ.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+    pmi = F.log2(
+        (F.col("c_xy").cast("double") / F.col("_nb"))
+        / (
+            (F.col("c_a").cast("double") / F.col("_n"))
+            * (F.col("c_b").cast("double") / F.col("_n"))
+        )
+    )
+    return (
+        c_xy.where(F.col("c_xy") >= min_count)
+        .join(c_w.select(F.col("tok").alias("tok_a"), F.col("c_w").alias("c_a")), "tok_a")
+        .join(c_w.select(F.col("tok").alias("tok_b"), F.col("c_w").alias("c_b")), "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            qround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(top)
+    )

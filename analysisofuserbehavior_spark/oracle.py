@@ -1661,23 +1661,19 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
-def _lsh_pair_ctes(
-    threshold: float = 0.4,
+def _lsh_bits_ctes(
     n_bits: int = 16,
     band_bits: int = 2,
     dim: int = 64,
     seed: int = 7,
 ) -> str:
-    """DuckDB mirror of similarity.py::embedding_neardup_lsh — the
-    SAME seeded ±1 hyperplanes (imported from the operator, single
-    source of truth), sign bits as an explicit left-assoc ±v[i] sum
+    """The shared e/bits/banded head of every hyperplane-LSH oracle —
+    SAME seeded ±1 planes as the Spark side (imported, single source
+    of truth), sign bits as an explicit left-assoc ±v[i] sum
     (bit-identical to Spark's zip_with/aggregate fold because ±1
-    products are lossless), banded buckets, distinct candidate pairs,
-    exact cosine verification.  Determinism argument: both engines
-    compute every dot in the identical IEEE order, so the SIGNS —
-    hence the candidate set — agree exactly; the verify threshold
-    reuses the raw-cosine comparison the hash-gated
-    `embedding_neardup_exact` already proved cross-engine stable."""
+    products are lossless), `band_bits` bits packed per band.
+    Consumed by `_lsh_pair_ctes` (near-dup pairs / closure) and
+    ORACLE['ann_lsh_topk'] (query-probe candidates)."""
     from .operators.similarity import lsh_planes
 
     planes = lsh_planes(n_bits, dim, seed)
@@ -1700,7 +1696,27 @@ bits AS MATERIALIZED (
 ),
 banded AS (
   {" UNION ALL ".join(band_rows)}
-),
+)"""
+
+
+def _lsh_pair_ctes(
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    band_bits: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of similarity.py::embedding_neardup_lsh — the
+    SAME seeded ±1 hyperplanes (imported from the operator, single
+    source of truth), sign bits as an explicit left-assoc ±v[i] sum
+    (bit-identical to Spark's zip_with/aggregate fold because ±1
+    products are lossless), banded buckets, distinct candidate pairs,
+    exact cosine verification.  Determinism argument: both engines
+    compute every dot in the identical IEEE order, so the SIGNS —
+    hence the candidate set — agree exactly; the verify threshold
+    reuses the raw-cosine comparison the hash-gated
+    `embedding_neardup_exact` already proved cross-engine stable."""
+    return f"""{_lsh_bits_ctes(n_bits, band_bits, dim, seed)},
 cand AS (
   SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
   FROM banded x JOIN banded y
@@ -4546,4 +4562,195 @@ SELECT CAST(item_b AS BIGINT), CAST(item_a AS BIGINT), CAST(n_co AS BIGINT),
        floor(CAST(n_co AS DOUBLE) / CAST(n_b AS DOUBLE) * 10000.0 + 0.5) / 10000.0,
        lift
 FROM pairs
+"""
+
+
+# ---- round 12: featurization / LSH-ANN / communities / moments ----------
+
+ORACLE["target_encode_category"] = f"""
+WITH {SESSIONIZE_CTES},
+per_cat AS (
+  SELECT category_id, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_target
+  FROM actions WHERE category_id IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(n_events) AS tn, sum(n_target) AS th FROM per_cat)
+SELECT category_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_target AS BIGINT) AS n_target,
+       floor((CAST(th AS DOUBLE) / CAST(tn AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS prior,
+       floor(((CAST(n_target AS DOUBLE)
+               + 20.0 * (CAST(th AS DOUBLE) / CAST(tn AS DOUBLE)))
+              / (CAST(n_events AS DOUBLE) + 20.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS encoded
+FROM per_cat, tot
+ORDER BY category_id
+"""
+
+# hashing-trick features: md5_prefix32 buckets, sign = next hash bit
+# via INTEGER division (h // 64 — Spark's `div`; a double divide +
+# cast would round in DuckDB and truncate in Spark)
+ORACLE["feature_hash_docs"] = """
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM sampled),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, CAST(h % 64 AS INTEGER) AS dim_id,
+         sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS feat
+  FROM hashed GROUP BY 1, 2
+)
+SELECT doc_id, dim_id, CAST(feat AS BIGINT) AS feat
+FROM feats WHERE feat <> 0
+ORDER BY doc_id, dim_id
+"""
+
+# LSH-bucketed ANN: the shared banded head (seeded planes, exact sign
+# bits ⇒ deterministic candidates), then exact cosine ranking over
+# candidates only — quantized-sim ordering + id tie-break, the same
+# cross-engine rank discipline as ORACLE['ann_cosine_topk']
+ORACLE["ann_lsh_topk"] = f"""
+WITH {_lsh_bits_ctes()},
+qb AS (SELECT vec_id AS query_id, band, bucket FROM banded WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+  FROM banded b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> qb.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS sim,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY floor(list_cosine_similarity(eq.v, en.v) * 1000.0 + 0.5)
+                        / 1000.0 DESC,
+                      neighbor_id ASC) AS rn
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e en ON en.vec_id = cand.neighbor_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       floor(sim * 1000.0 + 0.5) / 1000.0 AS sim
+FROM sims WHERE rn <= 5
+"""
+
+
+def _lpa_round(i: int) -> str:
+    return f"""c{i} AS (
+  SELECT bi.u AS node, l.label, sum(bi.w) AS lw
+  FROM bi JOIN l{i - 1} l ON l.node = bi.v
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY lw DESC, label ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1
+)"""
+
+
+# synchronous weighted LPA, 3 unrolled rounds (the pagerank pattern
+# with exact-integer argmax instead of rounded doubles); edges are the
+# item_covisitation pairs expanded to both directions
+ORACLE["item_communities_lpa"] = (
+    f"""
+WITH {SESSIONIZE_CTES},
+baskets AS (
+  SELECT session_id,
+         (list_sort(list_distinct(list(product_id))))[1:32] AS items
+  FROM actions
+  WHERE event_type = 'click' AND product_id IS NOT NULL
+  GROUP BY session_id
+),
+ex AS (SELECT session_id, unnest(items) AS item FROM baskets),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+  FROM ex a JOIN ex b ON a.session_id = b.session_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+bi AS (
+  SELECT item_a AS u, item_b AS v, n_co AS w FROM co
+  UNION ALL
+  SELECT item_b AS u, item_a AS v, n_co AS w FROM co
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi),
+"""
+    + ",\n".join(_lpa_round(i) for i in range(1, 4))
+    + """
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+FROM l3 ORDER BY node
+"""
+)
+
+# integer-exact covariance: every coordinate quantized ONCE to the
+# 4-dp grid, all moment sums int64 (order-free), one fixed-order
+# double expression at the end — mirrors embedstats.py verbatim
+ORACLE["embedding_covariance"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS q
+  FROM e
+),
+ux AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i, q[CAST(t.i AS INTEGER)] AS qi
+  FROM qv, range(1, 65) t(i)
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi) AS s_ij
+  FROM ux a JOIN ux b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+sums AS (SELECT i, sum(qi) AS s FROM ux GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+SELECT p.i AS i, p.j AS j,
+       CASE WHEN n > 1.0 THEN
+         floor(((CAST(s_ij AS DOUBLE) - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / n)
+                / (n - 1.0) / 100000000.0) * 1000000000.0 + 0.5)
+           / 1000000000.0
+       END AS cov
+FROM pairs p
+JOIN sums sa ON sa.i = p.i
+JOIN sums sb ON sb.i = p.j, nn
+ORDER BY i, j
+"""
+
+# PMI collocations: exact-integer counts, one fixed-order ratio chain
+# + log2 (the bigram_surprisal log2-parity precedent), 6-dp HALF_UP,
+# token-pair tie-break inside equal quantized PMI
+ORACLE["collocations_pmi"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM t),
+big AS (
+  SELECT toks[CAST(i AS INTEGER)] AS tok_a,
+         toks[CAST(i AS INTEGER) + 1] AS tok_b
+  FROM (
+    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM t WHERE len(toks) >= 2
+  )
+),
+cxy AS (
+  SELECT tok_a, tok_b, count(*) AS c_xy
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 3
+),
+cw AS (SELECT tok, count(*) AS c_w FROM uni GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbig FROM big)
+SELECT tok_a, tok_b, CAST(c_xy AS BIGINT) AS c_xy,
+       floor(log2((CAST(c_xy AS DOUBLE) / nbig)
+                  / ((CAST(ca.c_w AS DOUBLE) / n)
+                     * (CAST(cb.c_w AS DOUBLE) / n))) * 1000000.0 + 0.5)
+         / 1000000.0 AS pmi
+FROM cxy
+JOIN cw ca ON ca.tok = tok_a
+JOIN cw cb ON cb.tok = tok_b, nt, nb
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 100
 """

@@ -4326,6 +4326,84 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-checkable operators sat outside it.  Reorder so every gated slot
 # carries the strongest evidence: all 50 have oracles → rows + schema +
 # value-hash.  Everything else keeps registration order after the gate.
+# ---- round 12: featurization / LSH-ANN / communities / moments ----------
+
+
+@query("target_encode_category")
+def q_target_encode_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (purchase-rate) encoding per category — the
+    leakage-aware categorical feature a CTR/GBDT training set joins
+    in.  One map-side-combined groupBy + a broadcast 1-row prior; the
+    encode is exact-integer counts through one fixed-order double
+    expression (operators/featurization.py)."""
+    from .operators.featurization import target_encode_category
+
+    return target_encode_category(_actions(spark, sf_dir))
+
+
+@query("feature_hash_docs")
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document features: md5_prefix32 buckets, ±1 sign
+    bit, integer occurrence sums — vocabulary-free constant-width
+    featurization (the 100 TB property), gated on the deterministic
+    md5-smallest doc sample (operators/featurization.py)."""
+    from .operators.featurization import feature_hash_docs
+
+    return feature_hash_docs(_documents(spark, sf_dir))
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the second scale path next to IVF: queries
+    probe only same-band-bucket corpus vectors (seeded hyperplane
+    signs ⇒ deterministic candidates ⇒ full hash gate), exact cosine
+    ranking over candidates (operators/similarity.py)."""
+    from .operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_embeddings(spark, sf_dir))
+
+
+@query("item_communities_lpa")
+def q_item_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation over the co-click item
+    graph — browsing-neighborhood communities.  Fixed rounds +
+    exact-integer argmax (smallest-label ties) make classic LPA
+    hash-gateable; each round is one shuffle + a per-NODE top-1
+    window (operators/graph.py)."""
+    from .operators.covisitation import item_covisitation
+    from .operators.graph import label_propagation
+
+    edges = item_covisitation(_actions(spark, sf_dir)).select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_co").alias("weight"),
+    )
+    return label_propagation(edges, rounds=3)
+
+
+@query("embedding_covariance")
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact d×d embedding covariance via mapInPandas partial
+    Gram matrices (Arrow-vectorized numpy int64 QᵀQ per partition —
+    the map-side-combine shape for moment matrices; shuffle is
+    d(d+1)/2 rows per partition regardless of corpus size)
+    (operators/embedstats.py)."""
+    from .operators.embedstats import embedding_covariance
+
+    return embedding_covariance(_embeddings(spark, sf_dir))
+
+
+@query("collocations_pmi")
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-bigram collocations by PMI (min_count 3) —
+    multi-word units against the independence null; map-side-combined
+    counts, vocab²-bounded joins, TakeOrderedAndProject ranking
+    (operators/text_analysis.py)."""
+    from .operators.text_analysis import collocations_pmi
+
+    return collocations_pmi(_documents(spark, sf_dir))
+
+
 _GATE_WINDOW = [
     "sessionize",
     "session_stats",

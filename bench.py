@@ -131,6 +131,13 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "mixture_resample",
     "changepoint_daily",
+    # round 12: featurization / LSH-ANN / communities / moments
+    "target_encode_category",
+    "feature_hash_docs",
+    "ann_lsh_topk",
+    "item_communities_lpa",
+    "embedding_covariance",
+    "collocations_pmi",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",
@@ -276,6 +283,8 @@ ACTIONS_FAMILY = [
     "item_covisitation",
     "session_length_percentiles",
     "basket_affinity_rules",
+    "target_encode_category",
+    "item_communities_lpa",
 ]
 
 

@@ -45,6 +45,15 @@ CHECKED = [
     "holt_trend_daily",
     "cusum_drift_daily",
     "theilsen_trend_daily",
+    # round-12 additions: the mapInPandas integer Gram partials, the
+    # iterative LPA argmax, the LSH query-probe candidates, and the
+    # log2 PMI ranking must all be partition-count-independent
+    "embedding_covariance",
+    "item_communities_lpa",
+    "ann_lsh_topk",
+    "collocations_pmi",
+    "feature_hash_docs",
+    "target_encode_category",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Targeted unit tests for the round-12 operators.
+
+Each operator is checked against an independent Python/numpy
+reference on small controlled inputs (one Spark job each), plus the
+operator-specific semantic properties the oracle hash alone can't
+express (LSH recall floor, covariance-vs-numpy agreement, LPA
+community structure, smoothing monotonicity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+def _md5_prefix32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---- featurization -------------------------------------------------------
+
+
+def test_feature_hash_matches_python_reference(spark):
+    from analysisofuserbehavior_spark.operators.featurization import (
+        feature_hash_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["alpha beta alpha", "beta gamma", "alpha alpha alpha"]
+        )]
+    )
+    got = {
+        (r.doc_id, r.dim_id): r.feat
+        for r in feature_hash_docs(docs, dim=64, sample_docs=3).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for i, t in enumerate(["alpha beta alpha", "beta gamma", "alpha alpha alpha"]):
+        for tok in t.split(" "):
+            h = _md5_prefix32(tok)
+            sign = 1 if (h // 64) % 2 == 1 else -1
+            key = (i, h % 64)
+            want[key] = want.get(key, 0) + sign
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_target_encode_shrinks_rare_categories_toward_prior(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["target_encode_category"](spark, sf_dir).collect()
+    assert rows, "encoder produced no categories"
+    prior = rows[0].prior
+    for r in rows:
+        raw = r.n_target / r.n_events
+        # smoothing pulls the encode strictly between the raw rate and
+        # the prior (or equals both when raw == prior)
+        lo, hi = sorted((raw, prior))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6, (r, prior)
+        # shrinkage weight matches m=20 algebra
+        want = (r.n_target + 20.0 * prior) / (r.n_events + 20.0)
+        assert abs(r.encoded - want) < 1e-5
+
+
+# ---- ann_lsh_topk --------------------------------------------------------
+
+
+def test_ann_lsh_sims_exact_and_recall_floor(spark, sf_dir):
+    """Precision over candidates is EXACT (every returned sim equals
+    the brute-force sim for that pair); recall vs brute force stays
+    above the geometry's floor at this band configuration."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    lsh = QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    bf = QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    bf_sims = {(r.query_id, r.neighbor_id): r.sim for r in bf}
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
+    for r in lsh:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_sims:  # brute force only materializes its top-k
+            assert abs(r.sim - bf_sims[key]) < 1e-9
+    recall = len(lsh_pairs & set(bf_sims)) / len(bf_sims)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} under floor"
+
+
+# ---- label propagation ---------------------------------------------------
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    from analysisofuserbehavior_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: {1,2,3} and {10,11,12}
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2, weight=1),
+            Row(src=2, dst=3, weight=1),
+            Row(src=1, dst=3, weight=1),
+            Row(src=10, dst=11, weight=1),
+            Row(src=11, dst=12, weight=1),
+            Row(src=10, dst=12, weight=1),
+        ]
+    )
+    got = {r.node: r.community for r in label_propagation(edges, rounds=3).collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+
+
+def test_label_propagation_argmax_and_tie_rule(spark):
+    """One synchronous round pins the update rule exactly: heaviest
+    incident label wins; equal weights break to the SMALLEST label
+    (the determinism contract the unrolled-CTE oracle replays)."""
+    from analysisofuserbehavior_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2, weight=1),
+            Row(src=1, dst=3, weight=5),  # heavier -> 1 adopts 3
+            Row(src=7, dst=8, weight=5),
+            Row(src=7, dst=9, weight=5),  # tie -> 7 adopts min(8, 9)
+        ]
+    )
+    got = {r.node: r.community for r in label_propagation(edges, rounds=1).collect()}
+    assert got[1] == 3
+    assert got[7] == 8
+
+
+# ---- embedding covariance ------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    m = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    q = np.floor(m * 10_000.0 + 0.5) / 10_000.0
+    want = np.cov(q, rowvar=False)  # n-1 normalization, like the operator
+    got = QUERIES["embedding_covariance"](spark, sf_dir).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got:
+        assert abs(r.cov - want[r.i - 1, r.j - 1]) < 1e-6, (r.i, r.j)
+
+
+def test_embedding_covariance_diagonal_nonnegative(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    got = QUERIES["embedding_covariance"](spark, sf_dir).collect()
+    assert all(r.cov >= 0 for r in got if r.i == r.j)
+
+
+# ---- collocations --------------------------------------------------------
+
+
+def test_collocations_pmi_formula_on_controlled_corpus(spark):
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        collocations_pmi,
+    )
+
+    # "new york" always adjacent (3x); fillers independent
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="new york is big"),
+            Row(doc_id=2, text="new york is old"),
+            Row(doc_id=3, text="big old new york"),
+        ]
+    )
+    got = {(r.tok_a, r.tok_b): r for r in collocations_pmi(docs, min_count=3).collect()}
+    assert ("new", "york") in got
+    r = got[("new", "york")]
+    n_tok = 12.0
+    n_big = 9.0
+    want = math.log2((3.0 / n_big) / ((3.0 / n_tok) * (3.0 / n_tok)))
+    assert abs(r.pmi - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9
+    assert r.c_xy == 3
+
+
+def test_collocations_top_ranked_by_pmi(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["collocations_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.c_xy >= 3 for r in rows)

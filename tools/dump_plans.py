@@ -58,6 +58,11 @@ FLAGSHIPS = [
     ("hybrid_rrf_topk", "broadcast query frames; WindowGroupLimit top-k; full-outer RRF fusion"),
     ("mixture_resample", "broadcast |langs| weight frame; row-local replication explode"),
     ("run_task_ad_province_top3", "task-param ranged scan pushdown through the composed ad lifecycle"),
+    # round 12
+    ("ann_lsh_topk", "broadcast query-band probe; map-only corpus touch, per-query windows"),
+    ("embedding_covariance", "mapInPandas int64 Gram partials; d^2-row shuffle regardless of corpus"),
+    ("item_communities_lpa", "3 sync LPA rounds: one keyed shuffle + per-node top-1 window each"),
+    ("collocations_pmi", "map-side-combined counts; vocab^2-bounded joins; TakeOrdered top-100"),
 ]
 
 

@@ -4445,7 +4445,16 @@ _GATE_WINDOW = [
     # the displaced row stays hash-verified in ORACLE_FULL_r{N}.json.
     "dsir_select",
     "ad_blacklist",
-    "ad_stat",
+    # round 12: embedding_covariance (mapInPandas int64 Gram partials
+    # — the Python-side PARTIAL-AGGREGATION-merge evidence class: a
+    # wrong per-partition accumulate or merge flips the hash; the
+    # gated image_features_* rows exercise Arrow decode, not partial
+    # aggregation) takes ad_stat's slot — ad_stat is a plain
+    # groupBy count whose algebra the gated ad_blacklist /
+    # ad_province_top3 / streaming_ad_running_totals rows already
+    # carry; the displaced row stays hash-verified in
+    # ORACLE_FULL_r{N}.json.
+    "embedding_covariance",
     "ad_province_top3",
     # round 4 (cont.): streaming_dedup_keys (cross-micro-batch dedup
     # state proven by a DISTINCT hash) takes ad_click_trend's slot —
@@ -4552,7 +4561,15 @@ _GATE_WINDOW = [
     # fan-out vs the oracle's naive self-join) takes events_cube's
     # slot — CUBE algebra is a Catalyst built-in whose grouping-sets
     # evidence the full oracle and user_type_grouping_sets retain.
-    "item_covisitation",
+    # round 12: item_communities_lpa takes item_covisitation's slot —
+    # its oracle EMBEDS the same baskets/pair-count CTEs and extends
+    # them through 3 unrolled synchronous label-propagation rounds
+    # (weighted argmax + smallest-label ties), so a covisitation
+    # divergence still breaks this hash: evidence preserved and
+    # extended to the community fixpoint (the dedup_clusters-over-
+    # minhash_lsh precedent); the displaced row stays hash-verified
+    # in ORACLE_FULL_r{N}.json.
+    "item_communities_lpa",
     # round 10: embedding_dedup_clusters_lsh (banded-LSH candidates →
     # exact cosine verify → pointer-jumping closure, the full LSH
     # pipeline under the hash via bit-exact ±1-plane sign sums —

@@ -473,3 +473,80 @@ def multitouch_attribution(
         )
         .orderBy("ad_id")
     )
+
+
+def winsorized_user_spend(actions: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """Robust per-user spend summary: raw mean vs 5/95-winsorized
+    mean vs 5/95-trimmed mean — the outlier-resistant readouts an
+    LTV / experimentation pass wants next to `rfm_segments` (one
+    whale user should not move the central-tendency estimate the
+    way it moves a raw mean; CUPED-adjusted metrics are usually
+    winsorized first for exactly this reason).
+
+    Exactness contract: spend is integer cents; the p05/p95
+    thresholds are exact inverse-CDF values — smallest spend whose
+    global rank r satisfies r·20 ≥ n (resp. ≥ 19n), pure integer
+    comparisons (no 0.05·n double whose ULP could flip a ceil) — and
+    clamping/trimming happens in integer space, so every aggregate
+    is an order-free BIGINT sum with ONE double division at the end.
+
+    Scale shape: one groupBy(user) rollup; thresholds via the
+    TWO-PASS range-bucket rank (functions/ranking.py — no
+    unpartitioned window over the near-unique spend domain, the
+    rfm_segments lesson); one broadcast 1-row threshold frame; one
+    map-side-combined clamp-and-sum.  No window over |users| rows
+    anywhere."""
+    from ..functions import qround
+    from ..functions.ranking import with_global_rank
+
+    per_user = (
+        actions.where(F.col("event_type") == event_type)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("spend_cents"))
+    )
+    tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    ranked = with_global_rank(
+        per_user.select(F.col("spend_cents").alias("v")), "v", "v", rank_col="_r"
+    )
+    thresholds = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("_r") * 20 >= F.col("_t"), F.col("v"))).alias("_lo"),
+        F.min(F.when(F.col("_r") * 20 >= F.lit(19) * F.col("_t"), F.col("v"))).alias(
+            "_hi"
+        ),
+    )
+    clamped = per_user.crossJoin(F.broadcast(thresholds)).select(
+        "spend_cents",
+        "_lo",
+        "_hi",
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("spend_cents"))).alias(
+            "_w"
+        ),
+        F.col("spend_cents").between(F.col("_lo"), F.col("_hi")).alias("_in"),
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.min("_lo") / F.lit(100.0)).alias("p05_spend"),
+        (F.min("_hi") / F.lit(100.0)).alias("p95_spend"),
+        qround(
+            F.sum("spend_cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("mean_spend"),
+        qround(
+            F.sum("_w").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+            4,
+        ).alias("winsorized_mean_spend"),
+        qround(
+            F.sum(F.when(F.col("_in"), F.col("spend_cents")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(F.col("_in").cast("bigint")).cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("trimmed_mean_spend"),
+    )

@@ -4754,3 +4754,38 @@ JOIN cw cb ON cb.tok = tok_b, nt, nb
 ORDER BY pmi DESC, tok_a, tok_b
 LIMIT 100
 """
+
+# robust spend stats: exact integer inverse-CDF thresholds (smallest
+# value whose rank*20 reaches n / 19n — monotone integer predicate,
+# no 0.05*n double), integer clamp/trim sums, one double division
+ORACLE["winsorized_user_spend"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS t FROM per_user),
+ranked AS (
+  SELECT spend_cents AS v, row_number() OVER (ORDER BY spend_cents) AS r
+  FROM per_user
+),
+th AS (
+  SELECT min(CASE WHEN r * 20 >= t THEN v END) AS lo,
+         min(CASE WHEN r * 20 >= 19 * t THEN v END) AS hi
+  FROM ranked, n
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       min(lo) / 100.0 AS p05_spend,
+       min(hi) / 100.0 AS p95_spend,
+       floor(CAST(sum(spend_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_spend,
+       floor(CAST(sum(greatest(lo, least(hi, spend_cents))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+         AS winsorized_mean_spend,
+       floor(CAST(sum(CASE WHEN spend_cents BETWEEN lo AND hi
+                           THEN spend_cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN spend_cents BETWEEN lo AND hi
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+             / 100.0 * 10000.0 + 0.5) / 10000.0 AS trimmed_mean_spend
+FROM per_user, th
+"""

@@ -148,3 +148,33 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_day_partitions(
+    df: DataFrame, path: str, ts_col: str = "ts"
+) -> None:
+    """IDEMPOTENT backfill into a day-partitioned table: dynamic
+    partition overwrite replaces ONLY the day directories present in
+    `df`, leaving every other partition byte-identical — the
+    re-runnable ingestion step a 100 TB pipeline needs (a failed
+    Tuesday job re-runs without touching Monday, and without the
+    read-modify-write cycle a full overwrite would force).
+
+    STATIC overwrite (the default) would TRUNCATE the whole table
+    first — the classic backfill footgun; the conf is set per-write
+    and restored so a session-level static default stays intact.
+    At warehouse scale the same call works against a catalog table
+    via insertInto (saveAsTable layout, SURVEY.md §2.1 sinks)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -4393,6 +4393,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("winsorized_user_spend")
+def q_winsorized_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spend summary: raw vs 5/95-winsorized vs trimmed mean
+    over per-user purchase totals.  Exact integer inverse-CDF
+    thresholds via the two-pass range-bucket rank — no unpartitioned
+    window over the near-unique spend domain
+    (operators/engagement.py)."""
+    from .operators.engagement import winsorized_user_spend
+
+    return winsorized_user_spend(_actions(spark, sf_dir))
+
+
 @query("collocations_pmi")
 def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 adjacent-bigram collocations by PMI (min_count 3) —

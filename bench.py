@@ -138,6 +138,7 @@ HEADLINE = [
     "item_communities_lpa",
     "embedding_covariance",
     "collocations_pmi",
+    "winsorized_user_spend",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",
@@ -285,6 +286,7 @@ ACTIONS_FAMILY = [
     "basket_affinity_rules",
     "target_encode_category",
     "item_communities_lpa",
+    "winsorized_user_spend",
 ]
 
 

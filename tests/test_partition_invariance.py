@@ -54,6 +54,7 @@ CHECKED = [
     "collocations_pmi",
     "feature_hash_docs",
     "target_encode_category",
+    "winsorized_user_spend",
 ]
 
 

@@ -769,3 +769,86 @@ def collocations_pmi(
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(top)
     )
+
+
+def countmin_token_freq(
+    docs: DataFrame, depth: int = 4, width: int = 1024, top: int = 20
+) -> DataFrame:
+    """Count-min sketch over token occurrences, audited against exact
+    counts: (token, true_count, cm_estimate, overestimate) for the
+    `top` most frequent tokens.  cm_estimate ≥ true_count always
+    (the CM guarantee: each cell only ever ADDS colliding counts),
+    and the overestimate column is the collision error the sketch's
+    ε = e/width bound caps at ε·N with probability 1−e^−depth.
+
+    Unlike the HLL/quantile sketches (estimator internals are engine-
+    private → rows-only checks), a count-min sketch is EXACTLY
+    replayable: cells are integer sums over md5-mixed buckets
+    (md5_prefix32 of 'row:token' — the cross-engine mixer), and the
+    estimate is a min over `depth` cells — so the whole sketch
+    hash-gates, the first sketch family member under the full gate.
+
+    Scale: the sketch build is one map-side-combined groupBy into
+    ≤ depth·width cells — CONSTANT-size state no matter the corpus
+    (the reason CM sketches exist); true counts ride the same
+    token-count aggregate every LM query uses; the audit join
+    broadcasts the top·depth probe rows.  At 100 TB you'd keep the
+    4·1024-cell frame as the mergeable per-shard sketch state."""
+    from ..functions.core import md5_prefix32
+
+    occ = _ckpt_pairs(docs.select(F.explode(_tokens()).alias("tok")))
+    rows = list(range(depth))
+    probes = occ.select(
+        "tok",
+        *[
+            (
+                md5_prefix32(F.concat(F.lit(f"{r}:"), F.col("tok"))) % width
+            ).alias(f"b{r}")
+            for r in rows
+        ],
+    )
+    cells = [
+        probes.groupBy(F.col(f"b{r}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(r).alias("row"), "bucket", "c")
+        for r in rows
+    ]
+    sketch = cells[0]
+    for c in cells[1:]:
+        sketch = sketch.unionAll(c)
+    top_tokens = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(top)
+    )
+    probe_rows = top_tokens.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            md5_prefix32(F.concat(F.lit(f"{r}:"), F.col("tok")))
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in rows
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "true_count", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        sketch.join(F.broadcast(probe_rows), ["row", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "token")
+    )

@@ -4789,3 +4789,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
              / 100.0 * 10000.0 + 0.5) / 10000.0 AS trimmed_mean_spend
 FROM per_user, th
 """
+
+# count-min sketch: md5-mixed buckets, integer cell sums, min-over-
+# depth estimate -- exactly replayable, so the sketch family gains a
+# fully hash-gated member (HLL/KLL stay rows-only by nature)
+ORACLE["countmin_token_freq"] = """
+WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+probes AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5('0:' || tok), 1, 8)) AS BIGINT) % 1024 AS b0,
+         CAST(('0x' || substr(md5('1:' || tok), 1, 8)) AS BIGINT) % 1024 AS b1,
+         CAST(('0x' || substr(md5('2:' || tok), 1, 8)) AS BIGINT) % 1024 AS b2,
+         CAST(('0x' || substr(md5('3:' || tok), 1, 8)) AS BIGINT) % 1024 AS b3
+  FROM occ
+),
+sketch AS (
+  SELECT 0 AS row, b0 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 1 AS row, b1 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 2 AS row, b2 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 3 AS row, b3 AS bucket, count(*) AS c FROM probes GROUP BY 2
+),
+topt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_count FROM occ GROUP BY 1
+  ORDER BY true_count DESC, tok LIMIT 20
+),
+probe_rows AS (
+  SELECT tok, true_count, r.row AS row,
+         CAST(('0x' || substr(md5(r.row || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM topt, (VALUES (0), (1), (2), (3)) r(row)
+)
+SELECT tok AS token, true_count,
+       CAST(min(c) AS BIGINT) AS cm_estimate,
+       CAST(min(c) - true_count AS BIGINT) AS overestimate
+FROM sketch JOIN probe_rows USING (row, bucket)
+GROUP BY tok, true_count
+ORDER BY true_count DESC, token
+"""
+
+# Spark-executed recursive CTE twin of page_bfs_depths: SAME edge
+# derivation, UNION ALL + 3-hop bound in both engines, min-depth
+# group at the end
+ORACLE["page_reachability_sql"] = f"""
+WITH RECURSIVE {SESSIONIZE_CTES},
+splits AS (
+  SELECT session_id, page_id,
+         lag(page_id) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_pg
+  FROM actions
+),
+edges AS (
+  SELECT DISTINCT prev_pg AS src, page_id AS dst
+  FROM splits WHERE prev_pg IS NOT NULL
+),
+reach(node, depth) AS (
+  SELECT min(src), CAST(0 AS BIGINT) FROM edges
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 3
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node ORDER BY node
+"""

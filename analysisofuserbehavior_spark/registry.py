@@ -4393,6 +4393,56 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("page_reachability_sql")
+def q_page_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop page reachability via Spark 4.1's WITH RECURSIVE — the
+    SQL-surface twin of page_bfs_depths' frontier loop (same edge
+    derivation, same min-depth semantics, UNION ALL + depth bound in
+    BOTH engines).  Evidence class: Spark's recursive-CTE EXECUTION
+    under the hash gate — every other recursive CTE in the repo runs
+    only on the DuckDB side as an oracle.  The bound matters: with
+    UNION ALL the intermediate is path-enumerating, so the 3-hop cap
+    keeps it |E|·deg²-bounded; unbounded reachability at 100 TB stays
+    on the path-free frontier form (operators/graph.py::bfs_depths,
+    the gated page_bfs_depths)."""
+    from .operators.page_flow import page_splits
+
+    splits = page_splits(_actions(spark, sf_dir), flow_col="page_id")
+    (
+        splits.where(F.col("split").isNotNull())
+        .select(
+            F.split("split", "_").getItem(0).cast("bigint").alias("src"),
+            F.split("split", "_").getItem(1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    ).createOrReplaceTempView("page_edges_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT min(src), CAST(0 AS BIGINT) FROM page_edges_rcte
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN page_edges_rcte e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node, CAST(min(depth) AS BIGINT) AS depth
+        FROM reach GROUP BY node ORDER BY node
+        """
+    )
+
+
+@query("countmin_token_freq")
+def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audited against exact token counts — the
+    first sketch-family member under the FULL hash gate (md5-mixed
+    buckets + integer cell sums are exactly replayable, unlike
+    HLL/KLL internals).  Constant depth·width cell state regardless
+    of corpus size (operators/text_analysis.py)."""
+    from .operators.text_analysis import countmin_token_freq
+
+    return countmin_token_freq(_documents(spark, sf_dir))
+
+
 @query("winsorized_user_spend")
 def q_winsorized_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust spend summary: raw vs 5/95-winsorized vs trimmed mean

@@ -139,6 +139,8 @@ HEADLINE = [
     "embedding_covariance",
     "collocations_pmi",
     "winsorized_user_spend",
+    "countmin_token_freq",
+    "page_reachability_sql",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -55,6 +55,8 @@ CHECKED = [
     "feature_hash_docs",
     "target_encode_category",
     "winsorized_user_spend",
+    "countmin_token_freq",
+    "page_reachability_sql",
 ]
 
 

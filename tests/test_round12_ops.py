@@ -270,3 +270,67 @@ def test_overwrite_day_partitions_touches_only_written_days(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
     )
+
+
+# ---- count-min sketch ----------------------------------------------------
+
+
+def test_countmin_never_underestimates_and_is_exact_without_collisions(spark):
+    from analysisofuserbehavior_spark.operators.text_analysis import (
+        countmin_token_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b b c"),
+            Row(doc_id=2, text="a b d e"),
+        ]
+    )
+    rows = countmin_token_freq(docs, top=10).collect()
+    got = {r.token: r for r in rows}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    for r in rows:
+        assert r.cm_estimate >= r.true_count  # the CM guarantee
+        assert r.overestimate == r.cm_estimate - r.true_count
+    # 5 tokens in 4x1024 cells: collisions are (provably, via the
+    # actual md5 buckets) absent, so estimates are exact
+    assert all(r.overestimate == 0 for r in rows)
+    assert got["a"].true_count == 4 and got["b"].true_count == 3
+
+
+def test_countmin_guarantee_on_corpus(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["countmin_token_freq"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.cm_estimate >= r.true_count for r in rows)
+
+
+# ---- recursive CTE reachability ------------------------------------------
+
+
+def test_recursive_cte_reachability_matches_frontier_bfs(spark, sf_dir):
+    """The Spark-executed WITH RECURSIVE twin must agree with the
+    path-free frontier loop on the same edges at the same bound."""
+    from analysisofuserbehavior_spark.operators.graph import bfs_depths
+    from analysisofuserbehavior_spark.operators.page_flow import page_splits
+    from analysisofuserbehavior_spark.registry import QUERIES, _actions
+
+    rcte = {
+        (r.node, r.depth)
+        for r in QUERIES["page_reachability_sql"](spark, sf_dir).collect()
+    }
+    splits = page_splits(_actions(spark, sf_dir), flow_col="page_id")
+    edges = (
+        splits.where(F.col("split").isNotNull())
+        .select(
+            F.split("split", "_").getItem(0).cast("bigint").alias("src"),
+            F.split("split", "_").getItem(1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    source = edges.agg(F.min("src").alias("node"))
+    frontier = {
+        (r.node, r.depth) for r in bfs_depths(edges, source, max_depth=3).collect()
+    }
+    assert rcte == frontier

@@ -771,6 +771,16 @@ def collocations_pmi(
     )
 
 
+def cm_bucket(col: Column, r: int, width: int) -> Column:
+    """Count-min bucket for hash row `r`: md5_prefix32('r:key') %
+    width — the cross-engine mixer, shared by the batch sketch
+    (countmin_token_freq) and the streaming merge twin
+    (registry::streaming_countmin_merge)."""
+    from ..functions.core import md5_prefix32
+
+    return md5_prefix32(F.concat(F.lit(f"{r}:"), col)) % width
+
+
 def countmin_token_freq(
     docs: DataFrame, depth: int = 4, width: int = 1024, top: int = 20
 ) -> DataFrame:
@@ -794,18 +804,10 @@ def countmin_token_freq(
     token-count aggregate every LM query uses; the audit join
     broadcasts the top·depth probe rows.  At 100 TB you'd keep the
     4·1024-cell frame as the mergeable per-shard sketch state."""
-    from ..functions.core import md5_prefix32
-
     occ = _ckpt_pairs(docs.select(F.explode(_tokens()).alias("tok")))
     rows = list(range(depth))
     probes = occ.select(
-        "tok",
-        *[
-            (
-                md5_prefix32(F.concat(F.lit(f"{r}:"), F.col("tok"))) % width
-            ).alias(f"b{r}")
-            for r in rows
-        ],
+        "tok", *[cm_bucket(F.col("tok"), r, width).alias(f"b{r}") for r in rows]
     )
     cells = [
         probes.groupBy(F.col(f"b{r}").alias("bucket"))
@@ -830,10 +832,7 @@ def countmin_token_freq(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        (
-                            md5_prefix32(F.concat(F.lit(f"{r}:"), F.col("tok")))
-                            % width
-                        ).alias("bucket"),
+                        cm_bucket(F.col("tok"), r, width).alias("bucket"),
                     )
                     for r in rows
                 ]

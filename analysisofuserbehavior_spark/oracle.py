@@ -4852,3 +4852,43 @@ reach(node, depth) AS (
 SELECT node, CAST(min(depth) AS BIGINT) AS depth
 FROM reach GROUP BY node ORDER BY node
 """
+
+# streaming CM merge: the batch single-pass sketch IS the oracle —
+# a green hash proves per-micro-batch partial sketches merged by
+# cell addition equal it (the monoid law)
+ORACLE["streaming_countmin_merge"] = """
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+probes AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('0:' || k), 1, 8)) AS BIGINT) % 256 AS b0,
+         CAST(('0x' || substr(md5('1:' || k), 1, 8)) AS BIGINT) % 256 AS b1,
+         CAST(('0x' || substr(md5('2:' || k), 1, 8)) AS BIGINT) % 256 AS b2,
+         CAST(('0x' || substr(md5('3:' || k), 1, 8)) AS BIGINT) % 256 AS b3
+  FROM keys
+),
+sketch AS (
+  SELECT 0 AS row, b0 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 1 AS row, b1 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 2 AS row, b2 AS bucket, count(*) AS c FROM probes GROUP BY 2
+  UNION ALL
+  SELECT 3 AS row, b3 AS bucket, count(*) AS c FROM probes GROUP BY 2
+),
+targets AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+  FROM events WHERE user_id < 20 GROUP BY 1
+),
+probe_rows AS (
+  SELECT user_id, true_count, r.row AS row,
+         CAST(('0x' || substr(md5(r.row || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM targets, (VALUES (0), (1), (2), (3)) r(row)
+)
+SELECT user_id, true_count,
+       CAST(min(c) AS BIGINT) AS cm_estimate,
+       CAST(min(c) - true_count AS BIGINT) AS overestimate
+FROM sketch JOIN probe_rows USING (row, bucket)
+GROUP BY user_id, true_count
+ORDER BY user_id
+"""

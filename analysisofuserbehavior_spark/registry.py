@@ -4393,6 +4393,121 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("streaming_countmin_merge")
+def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min MERGEABILITY under streaming: each micro-batch
+    builds an INDEPENDENT partial sketch (foreachBatch → per-batch
+    (row, bucket, c) cells appended to the sketch store), the final
+    readout merges them by cell addition, and the hash gate proves
+    merged-partials == batch-sketch — the monoid law that makes CM
+    sketches shardable across 1000 executors and mergeable across
+    ingestion days at 100 TB.  True counts ride the same per-batch
+    partial + merge path (counts are a monoid too), so a green row
+    proves BOTH merge pipelines against the single-pass batch oracle.
+    Two deterministic micro-batches split at min(ts)+14d (the
+    streaming_dedup_keys replay fixture)."""
+    import os as _os
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from .operators.text_analysis import cm_bucket
+
+    width, depth, n_targets = 256, 4, 20
+    work = tempfile.mkdtemp(prefix="scm_q_")
+    ev = load_table(spark, sf_dir, "events")
+    split_ts = (ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)) + timedelta(
+        days=14
+    )
+    src = ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    in_dir = _two_phase_replay_dir(
+        work,
+        [
+            src.where(pred).select("user_id")
+            for pred in (F.col("ts") <= split_ts, F.col("ts") > split_ts)
+        ],
+    )
+    cells_dir = _os.path.join(work, "cells")
+    counts_dir = _os.path.join(work, "counts")
+
+    def sketch_batch(batch_df, _epoch_id) -> None:
+        k = F.col("user_id").cast("string")
+        probes = batch_df.select(
+            *[cm_bucket(k, r, width).alias(f"b{r}") for r in range(depth)]
+        )
+        cells = None
+        for r in range(depth):
+            c = (
+                probes.groupBy(F.col(f"b{r}").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select(F.lit(r).alias("row"), "bucket", "c")
+            )
+            cells = c if cells is None else cells.unionAll(c)
+        cells.write.mode("append").parquet(cells_dir)
+        batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(cells_dir).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    )
+    truth = (
+        spark.read.parquet(counts_dir)
+        .groupBy("user_id")
+        .agg(F.sum("n").cast("bigint").alias("true_count"))
+        .where(F.col("user_id") < n_targets)
+    )
+    probe_rows = truth.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cm_bucket(F.col("user_id").cast("string"), r, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "user_id", "true_count", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    )
+    out = (
+        merged.join(F.broadcast(probe_rows), ["row", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy("user_id")
+        # materialize BEFORE the work dir (the sketch store) is removed
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query("page_reachability_sql")
 def q_page_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop page reachability via Spark 4.1's WITH RECURSIVE — the

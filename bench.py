@@ -141,6 +141,7 @@ HEADLINE = [
     "winsorized_user_spend",
     "countmin_token_freq",
     "page_reachability_sql",
+    "streaming_countmin_merge",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -334,3 +334,23 @@ def test_recursive_cte_reachability_matches_frontier_bfs(spark, sf_dir):
         (r.node, r.depth) for r in bfs_depths(edges, source, max_depth=3).collect()
     }
     assert rcte == frontier
+
+
+def test_streaming_countmin_crosses_batches(spark, sf_dir):
+    """The replay really exercises the merge: users recur across the
+    14-day split, so per-batch sketches MUST be added (not unioned /
+    overwritten) for the gate's batch oracle to match.  Pin that the
+    overlap is non-trivial, and that the estimates obey the CM
+    guarantee."""
+    import datetime
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = ev.agg(F.min("ts")).first()[0] + datetime.timedelta(days=14)
+    a = {r.user_id for r in ev.where(F.col("ts") <= split).select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.where(F.col("ts") > split).select("user_id").distinct().collect()}
+    assert len(a & b) >= 10, "fixture lost its cross-batch key overlap"
+
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["streaming_countmin_merge"](spark, sf_dir).collect()
+    assert rows and all(r.cm_estimate >= r.true_count for r in rows)

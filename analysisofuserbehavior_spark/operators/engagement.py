@@ -550,3 +550,77 @@ def winsorized_user_spend(actions: DataFrame, event_type: str = "purchase") -> D
             4,
         ).alias("trimmed_mean_spend"),
     )
+
+
+def user_behavior_profile(actions: DataFrame) -> DataFrame:
+    """Per-user behavior profile — the bot/abuse screen a training
+    pipeline runs before trusting clickstream-derived labels:
+    (user_id, n_events, n_sessions, n_pages, nav_entropy,
+    max_events_min).
+
+    * nav_entropy: Shannon entropy (bits) of the user's page-visit
+      distribution — scripted traffic hammers few pages (low H) or
+      sprays uniformly (H ≈ log2 pages); both tails are screenable.
+      Float discipline: H = log2(n) − (Σ nₚ·log2 nₚ)/n where the Σ is
+      a LEFT fold over the page-sorted struct array (aggregate over
+      array_sort(collect_list(...)) — the rolling_fingerprint
+      order-pinning pattern), so cross-partition float summation
+      order can never flip the hash.
+    * max_events_min: peak events in any single calendar minute —
+      the burst-rate signal.
+
+    Scale: three map-side-combined groupBys keyed by user (+page /
+    +minute) joined on user — per-user state is ≤|pages| structs and
+    one minute-max; no windows, no skew exposure beyond a hot USER,
+    which is exactly what the query measures."""
+    from ..functions import qround
+
+    paged = actions.where(F.col("page_id").isNotNull())
+    per_up = paged.groupBy("user_id", "page_id").agg(F.count(F.lit(1)).alias("np"))
+    ent = (
+        per_up.groupBy("user_id")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_paged"),
+            F.array_sort(F.collect_list(F.struct("page_id", "np"))).alias("pl"),
+        )
+        .select(
+            "user_id",
+            F.size("pl").cast("bigint").alias("n_pages"),
+            (
+                F.log2(F.col("n_paged").cast("double"))
+                - F.aggregate(
+                    "pl",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["np"].cast("double") * F.log2(s["np"].cast("double")),
+                )
+                / F.col("n_paged").cast("double")
+            ).alias("_h"),
+        )
+        .select("user_id", "n_pages", qround(F.col("_h"), 6).alias("nav_entropy"))
+    )
+    totals = actions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+    )
+    bursts = (
+        actions.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm").alias("_minute")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("max_events_min"))
+    )
+    return (
+        totals.join(ent, "user_id", "left")
+        .join(bursts, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_sessions",
+            F.coalesce(F.col("n_pages"), F.lit(0)).cast("bigint").alias("n_pages"),
+            F.coalesce(F.col("nav_entropy"), F.lit(0.0)).alias("nav_entropy"),
+            "max_events_min",
+        )
+        .orderBy("user_id")
+    )

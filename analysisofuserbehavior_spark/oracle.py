@@ -4892,3 +4892,52 @@ FROM sketch JOIN probe_rows USING (row, bucket)
 GROUP BY user_id, true_count
 ORDER BY user_id
 """
+
+# per-user behavior profile: entropy as log2(n) - (left-fold sum of
+# np*log2(np))/n over the page-sorted list — the order-pinning
+# pattern (rolling_fingerprint), so no float-sum order exposure
+ORACLE["user_behavior_profile"] = f"""
+WITH {SESSIONIZE_CTES},
+pu AS (
+  SELECT user_id, page_id, count(*) AS np
+  FROM actions WHERE page_id IS NOT NULL GROUP BY 1, 2
+),
+ent AS (
+  SELECT user_id,
+         CAST(sum(np) AS BIGINT) AS n_paged,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         list(np ORDER BY page_id) AS pl
+  FROM pu GROUP BY 1
+),
+ent2 AS (
+  SELECT user_id, n_pages,
+         floor((log2(CAST(n_paged AS DOUBLE))
+                - list_reduce(
+                    list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(pl,
+                        x -> CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)))),
+                    (acc, v) -> acc + v)
+                  / CAST(n_paged AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+           AS nav_entropy
+  FROM ent
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+  FROM actions GROUP BY 1
+),
+bursts AS (
+  SELECT user_id, CAST(max(c) AS BIGINT) AS max_events_min FROM (
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M') AS m, count(*) AS c
+    FROM actions GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT t.user_id, n_events, n_sessions,
+       CAST(coalesce(n_pages, 0) AS BIGINT) AS n_pages,
+       coalesce(nav_entropy, 0.0) AS nav_entropy,
+       max_events_min
+FROM tot t
+LEFT JOIN ent2 USING (user_id)
+JOIN bursts USING (user_id)
+ORDER BY user_id
+"""

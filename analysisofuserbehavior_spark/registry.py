@@ -4393,6 +4393,17 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("user_behavior_profile")
+def q_user_behavior_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot/abuse screen: event/session/page counts, page-
+    visit Shannon entropy (order-pinned left fold — no float-sum
+    order exposure), and peak events-per-minute burst rate
+    (operators/engagement.py)."""
+    from .operators.engagement import user_behavior_profile
+
+    return user_behavior_profile(_actions(spark, sf_dir))
+
+
 @query("streaming_countmin_merge")
 def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min MERGEABILITY under streaming: each micro-batch

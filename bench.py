@@ -142,6 +142,7 @@ HEADLINE = [
     "countmin_token_freq",
     "page_reachability_sql",
     "streaming_countmin_merge",
+    "user_behavior_profile",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",
@@ -290,6 +291,7 @@ ACTIONS_FAMILY = [
     "target_encode_category",
     "item_communities_lpa",
     "winsorized_user_spend",
+    "user_behavior_profile",
 ]
 
 

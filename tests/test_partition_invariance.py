@@ -57,6 +57,7 @@ CHECKED = [
     "winsorized_user_spend",
     "countmin_token_freq",
     "page_reachability_sql",
+    "user_behavior_profile",
 ]
 
 

@@ -354,3 +354,42 @@ def test_streaming_countmin_crosses_batches(spark, sf_dir):
 
     rows = QUERIES["streaming_countmin_merge"](spark, sf_dir).collect()
     assert rows and all(r.cm_estimate >= r.true_count for r in rows)
+
+
+def test_user_behavior_profile_entropy_semantics(spark):
+    """Uniform 4-page user hits H=2 bits; single-page bot hits H=0;
+    burst column catches the 1-minute hammer."""
+    import datetime
+
+    from analysisofuserbehavior_spark.operators.engagement import (
+        user_behavior_profile,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # user 1: 4 pages x 2 visits, spread over minutes
+    for i in range(8):
+        rows.append(
+            Row(
+                user_id=1,
+                session_id="s1",
+                page_id=i % 4,
+                ts=t0 + datetime.timedelta(minutes=i),
+            )
+        )
+    # user 2: one page, 60 hits inside one minute
+    for i in range(60):
+        rows.append(
+            Row(
+                user_id=2,
+                session_id="s2",
+                page_id=7,
+                ts=t0 + datetime.timedelta(seconds=i),
+            )
+        )
+    got = {r.user_id: r for r in user_behavior_profile(spark.createDataFrame(rows)).collect()}
+    assert got[1].nav_entropy == 2.0
+    assert got[1].max_events_min == 1
+    assert got[2].nav_entropy == 0.0
+    assert got[2].max_events_min == 60
+    assert got[2].n_pages == 1 and got[1].n_pages == 4

@@ -4541,6 +4541,11 @@ def q_page_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("split", "_").getItem(1).cast("bigint").alias("dst"),
         )
         .distinct()
+        # pin the |E|-row edge frame: the recursive CTE references the
+        # view once per recursion level, and unpinned each level would
+        # re-run the events scan + session window behind it (the
+        # pagerank loop-invariant rule applied to WITH RECURSIVE)
+        .localCheckpoint()
     ).createOrReplaceTempView("page_edges_rcte")
     return spark.sql(
         """

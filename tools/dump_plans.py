@@ -63,6 +63,9 @@ FLAGSHIPS = [
     ("embedding_covariance", "mapInPandas int64 Gram partials; d^2-row shuffle regardless of corpus"),
     ("item_communities_lpa", "3 sync LPA rounds: one keyed shuffle + per-node top-1 window each"),
     ("collocations_pmi", "map-side-combined counts; vocab^2-bounded joins; TakeOrdered top-100"),
+    ("winsorized_user_spend", "two-pass bucket rank thresholds; broadcast clamp; one reduce"),
+    ("countmin_token_freq", "constant depth*width cell state; broadcast probe join"),
+    ("user_behavior_profile", "three user-keyed map-side groupBys; order-pinned entropy fold"),
 ]
 
 

@@ -74,6 +74,18 @@ ROUND_TOUCHED = [
     "trending_items_decayed",
     "rfm_segments",
     "changepoint_daily",
+    # round 12
+    "target_encode_category",
+    "feature_hash_docs",
+    "ann_lsh_topk",
+    "item_communities_lpa",
+    "embedding_covariance",
+    "collocations_pmi",
+    "winsorized_user_spend",
+    "countmin_token_freq",
+    "page_reachability_sql",
+    "streaming_countmin_merge",
+    "user_behavior_profile",
 ]
 
 

@@ -142,6 +142,11 @@ def test_catalog_source_mode_hashes_like_path_mode(spark, sf_dir):
             "run_task_area_top3",
             "run_task_page_convert",
             "run_task_ad_province_top3",
+            # round 12: one events-family and one documents-family
+            # addition, proving the new operators inherit the
+            # source-mode switch through load_table unchanged
+            "target_encode_category",
+            "countmin_token_freq",
         ):
             via_catalog = sorted(
                 map(tuple, QUERIES[name](spark, cat).collect())

@@ -4941,3 +4941,40 @@ LEFT JOIN ent2 USING (user_id)
 JOIN bursts USING (user_id)
 ORDER BY user_id
 """
+
+# robust median/MAD anomaly twin — all-integer: lower median = min c
+# with rank*2 >= n, MAD over |c - med|, integer flag comparison
+ORACLE["daily_anomaly_mad"] = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+med AS (
+  SELECT event_type, min(CASE WHEN r * 2 >= n THEN c END) AS med
+  FROM ranked GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS dd
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, min(CASE WHEN r * 2 >= n THEN dd END) AS mad FROM (
+    SELECT event_type, dd,
+           row_number() OVER (PARTITION BY event_type ORDER BY dd, day) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS c,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(m.mad AS BIGINT) AS mad,
+       d.dd > 3 * m.mad AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY event_type, day
+"""

@@ -4393,6 +4393,74 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("daily_anomaly_mad")
+def q_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly detection per (event_type, day) — the
+    ROBUST twin of daily_anomaly_zscore: one bad day cannot drag the
+    baseline the way it drags a mean/stddev, so a real spike still
+    stands out next to a prior outage (the masking failure the
+    z-score monitor has).  Flag: |c − med| > 3·MAD.
+
+    EXACT end to end — the only all-integer anomaly detector in the
+    family: lower median = min c whose rank·2 ≥ n (the
+    winsorized_user_spend integer inverse-CDF trick), MAD = same over
+    |c − med|, and the flag compares integers.  No float appears
+    anywhere, so the hash gate is trivial.  MAD=0 degenerate case
+    (>half the days identical): any deviation flags — the standard
+    MAD caveat, documented not hidden.
+
+    Scale: windows partition by event_type over per-type DAILY frames
+    (≤|days| rows each — calendar-bounded, never data-volume), the
+    house bounded-domain window class."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    part = Window.partitionBy("event_type")
+    w_c = part.orderBy("c", "day")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(w_c).alias("_r"),
+        F.count(F.lit(1)).over(part).alias("_n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("_r") * 2 >= F.col("_n"), F.col("c"))).alias("med")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "_d", F.abs(F.col("c") - F.col("med"))
+    )
+    w_d = part.orderBy("_d", "day")
+    mad = (
+        dev.select(
+            "event_type",
+            F.col("_d"),
+            F.row_number().over(w_d).alias("_r"),
+            F.count(F.lit(1)).over(part).alias("_n"),
+        )
+        .groupBy("event_type")
+        .agg(F.min(F.when(F.col("_r") * 2 >= F.col("_n"), F.col("_d"))).alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            F.col("med").cast("bigint").alias("med"),
+            F.col("mad").cast("bigint").alias("mad"),
+            (F.col("_d") > F.lit(3) * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 @query("user_behavior_profile")
 def q_user_behavior_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user bot/abuse screen: event/session/page counts, page-

@@ -143,6 +143,7 @@ HEADLINE = [
     "page_reachability_sql",
     "streaming_countmin_merge",
     "user_behavior_profile",
+    "daily_anomaly_mad",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -58,6 +58,7 @@ CHECKED = [
     "countmin_token_freq",
     "page_reachability_sql",
     "user_behavior_profile",
+    "daily_anomaly_mad",
 ]
 
 

@@ -86,6 +86,7 @@ ROUND_TOUCHED = [
     "page_reachability_sql",
     "streaming_countmin_merge",
     "user_behavior_profile",
+    "daily_anomaly_mad",
 ]
 
 

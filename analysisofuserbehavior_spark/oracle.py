@@ -4978,3 +4978,40 @@ SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS c,
 FROM dev d JOIN mad m USING (event_type)
 ORDER BY event_type, day
 """
+
+# LEFT OUTER stream-stream attribution: matched pairs plus a NULL row
+# for every unmatched click the final watermark has PROVEN
+# unmatchable — wm = min(max click ts, max view ts) - 1h (each
+# watermarked input contributes max_event_time - delay; the query
+# watermark is their min), and a click is evictable once wm passes
+# c_ts (matches need v_ts <= c_ts).  Trailing unmatched clicks inside
+# the delay are NOT emitted, in both engine and oracle.
+ORACLE["streaming_click_attribution_outer"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+),
+wm AS (
+  SELECT least((SELECT max(c_us) FROM c), (SELECT max(v_us) FROM v))
+         - 3600000000 AS w
+)
+SELECT click_id, view_id, c.user_id,
+       (c_us - v_us) // 1000000 AS gap_s
+FROM c JOIN v ON c.user_id = v.user_id
+  AND v_us <= c_us
+  AND v_us > c_us - 86400000000
+UNION ALL
+SELECT click_id, CAST(NULL AS BIGINT) AS view_id, user_id,
+       CAST(NULL AS BIGINT) AS gap_s
+FROM c, wm
+WHERE c_us < w
+  AND NOT EXISTS (
+    SELECT 1 FROM v
+    WHERE v.user_id = c.user_id
+      AND v_us <= c_us AND v_us > c_us - 86400000000
+  )
+"""

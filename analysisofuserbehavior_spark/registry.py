@@ -2559,6 +2559,30 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("streaming_click_attribution_outer")
+def q_streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-EVICTION
+    semantics the gated inner join can't show: a click with no
+    preceding view emits a NULL-view row exactly when the view-side
+    watermark proves no match can still arrive.  The oracle
+    reproduces the final-watermark cutoff (min of per-input
+    max-event-time − delay) from the batch data, so a green hash row
+    pins Spark's outer-join eviction rule itself
+    (streaming/joins.py::click_view_attribution_outer)."""
+    from .streaming.ad_stream import read_event_stream, run_to_completion
+    from .streaming.joins import click_view_attribution_outer
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.where(F.col("event_type") == "click")
+    views = stream.where(F.col("event_type") == "view")
+    name = "click_attrib_outer_" + sf_dir.strip("/").split("/")[-1].replace(".", "_")
+    return run_to_completion(
+        click_view_attribution_outer(clicks, views, attribution="24 hours"),
+        name,
+        mode="append",
+    )
+
+
 @query("session_length_deciles")
 def q_session_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) decile cut over session visit length: per-decile row

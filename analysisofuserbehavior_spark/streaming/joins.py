@@ -56,3 +56,53 @@ def click_view_attribution(
             .alias("gap_s"),
         )
     )
+
+
+def click_view_attribution_outer(
+    clicks: DataFrame,
+    views: DataFrame,
+    attribution: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, with its
+    prior-view matches — or a NULL view once the watermark proves no
+    match can still arrive.  The semantics the inner form cannot
+    express: "which clicks had NO preceding view" is itself the
+    attribution-gap signal, and in streaming it is only answerable
+    via state eviction (a click is unmatched-FOR-SURE exactly when
+    the view-side watermark passes its timestamp, since matches need
+    v_ts <= c_ts).
+
+    Same shuffle/state shape as the inner join
+    (StreamingSymmetricHashJoin on user_id, watermark-bounded state);
+    the extra output is driven by eviction, so null rows for trailing
+    clicks inside the final watermark delay are NOT emitted — bounded
+    replay determinism therefore depends on the final watermark,
+    which the batch oracle reproduces from max event times."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        c.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") > F.col("c_ts") - F.expr(f"INTERVAL {attribution}")),
+            "left_outer",
+        )
+        .select(
+            "click_id",
+            "view_id",
+            "user_id",
+            F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000")
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )

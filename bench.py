@@ -142,6 +142,7 @@ HEADLINE = [
     "countmin_token_freq",
     "page_reachability_sql",
     "streaming_countmin_merge",
+    "streaming_click_attribution_outer",
     "user_behavior_profile",
     "daily_anomaly_mad",
     "page_graph_triangles",

@@ -435,3 +435,35 @@ def test_mad_flags_spike_that_zscore_masking_would_hide(spark):
     assert out[spike_day].is_anomaly
     assert not out[flat_day].is_anomaly
     assert out[spike_day].med == 100 and out[spike_day].mad == 0
+
+
+def test_streaming_outer_attribution_emits_and_suppresses_by_watermark(spark, sf_dir):
+    """NULL-view rows exist (unmatched clicks proven unmatchable) and
+    every suppressed unmatched click sits INSIDE the final watermark
+    delay — the eviction cutoff the oracle reproduces."""
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["streaming_click_attribution_outer"](spark, sf_dir).collect()
+    nulls = [r for r in rows if r.view_id is None]
+    assert nulls, "no eviction-driven null rows emitted"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    maxes = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    import datetime
+
+    wm = min(r.m for r in maxes) - datetime.timedelta(hours=1)
+    clicks = {
+        r.event_id: r.ts
+        for r in ev.where(F.col("event_type") == "click").collect()
+    }
+    emitted_null = {r.click_id for r in nulls}
+    matched = {r.click_id for r in rows if r.view_id is not None}
+    for cid, ts in clicks.items():
+        if cid in emitted_null:
+            assert ts < wm, f"null emitted for click inside the delay: {cid}"
+        elif cid not in matched:
+            assert ts >= wm, f"unmatched click outside the delay suppressed: {cid}"

@@ -87,6 +87,7 @@ ROUND_TOUCHED = [
     "streaming_countmin_merge",
     "user_behavior_profile",
     "daily_anomaly_mad",
+    "streaming_click_attribution_outer",
 ]
 
 

@@ -900,3 +900,53 @@ def ann_quantized_topk(
             qround(F.col("sim"), 3).alias("sim"),
         )
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Retrieval-quality evaluation AS AN OPERATOR: per query,
+    recall@k and MRR of the LSH-bucketed ANN against the exact
+    brute-force top-k — (query_id, n_hits, recall_at_k, mrr).
+
+    The approximate index's quality is itself a pipeline output (you
+    ship an index only after measuring it), and because BOTH systems
+    under test are deterministic here (seeded LSH candidates, exact
+    quantized-rank brute force), the entire evaluation hash-gates —
+    unlike the recall-FLOOR tests, this pins the exact per-query hit
+    sets and ranks.  Metrics are rationals of small integers (n/k,
+    1/rank) — one division each, identical IEEE doubles cross-engine.
+
+    Scale: reuses the two ANN operators' plans (broadcast query
+    blocks, map-only corpus touches) plus one k·n_queries-row join —
+    evaluation cost is dominated by the systems being evaluated, as
+    it should be."""
+    bf = ann_bruteforce_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_lsh_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    )
+    hits = bf.join(lsh, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("lsh_rank").alias("_first"),
+    )
+    queries = bf.select("query_id").distinct()
+    return (
+        queries.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            qround(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+                4,
+            ).alias("recall_at_k"),
+            qround(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+                ),
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )

@@ -5015,3 +5015,53 @@ WHERE c_us < w
       AND v_us <= c_us AND v_us > c_us - 86400000000
   )
 """
+
+# ANN evaluation harness: both systems under test are deterministic
+# (seeded LSH candidates, quantized-rank brute force), so hit sets,
+# first-hit ranks, and the recall/MRR rationals all hash-gate
+ORACLE["ann_recall_report"] = f"""
+WITH {_lsh_bits_ctes()},
+qb AS (SELECT vec_id AS query_id, band, bucket FROM banded WHERE vec_id < 10),
+lcand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+  FROM banded b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> qb.query_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id, rn AS lsh_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY floor(list_cosine_similarity(eq.v, en.v) * 1000.0 + 0.5)
+                          / 1000.0 DESC,
+                        neighbor_id ASC) AS rn
+    FROM lcand
+    JOIN e eq ON eq.vec_id = lcand.query_id
+    JOIN e en ON en.vec_id = lcand.neighbor_id)
+  WHERE rn <= 5
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5)
+                          / 1000.0 DESC,
+                        c.vec_id ASC) AS rn
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 5
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits, min(lsh.lsh_rank) AS first_rank
+  FROM bf JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM bf)
+SELECT qs.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       floor(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 * 10000.0 + 0.5)
+         / 10000.0 AS recall_at_k,
+       floor(coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0) * 10000.0 + 0.5)
+         / 10000.0 AS mrr
+FROM qs LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""

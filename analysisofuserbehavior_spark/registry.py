@@ -4417,6 +4417,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("ann_recall_report")
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as an operator: per-query recall@5
+    and MRR of the LSH-bucketed ANN vs the exact brute force — both
+    systems deterministic, so the whole evaluation (hit sets, ranks,
+    metrics) hash-gates, unlike the recall-FLOOR tests
+    (operators/similarity.py::ann_recall_report)."""
+    from .operators.similarity import ann_recall_report
+
+    return ann_recall_report(_embeddings(spark, sf_dir))
+
+
 @query("daily_anomaly_mad")
 def q_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD anomaly detection per (event_type, day) — the

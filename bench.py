@@ -135,6 +135,7 @@ HEADLINE = [
     "target_encode_category",
     "feature_hash_docs",
     "ann_lsh_topk",
+    "ann_recall_report",
     "item_communities_lpa",
     "embedding_covariance",
     "collocations_pmi",

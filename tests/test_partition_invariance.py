@@ -59,6 +59,7 @@ CHECKED = [
     "page_reachability_sql",
     "user_behavior_profile",
     "daily_anomaly_mad",
+    "ann_recall_report",
 ]
 
 

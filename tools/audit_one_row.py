@@ -88,6 +88,7 @@ ROUND_TOUCHED = [
     "user_behavior_profile",
     "daily_anomaly_mad",
     "streaming_click_attribution_outer",
+    "ann_recall_report",
 ]
 
 

@@ -5065,3 +5065,35 @@ SELECT qs.query_id,
 FROM qs LEFT JOIN hits USING (query_id)
 ORDER BY query_id
 """
+
+# right-to-erasure blast-radius audit: conditional aggregates per
+# table; lineitem erased transitively through its order's customer
+ORACLE["user_erasure_audit"] = """
+WITH li AS (
+  SELECT (o.o_orderkey IS NOT NULL) AS erase
+  FROM lineitem l
+  LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0) o
+    ON l.l_orderkey = o.o_orderkey
+),
+rows_ AS (
+  SELECT 'events' AS table_name, count(*) AS n_rows,
+         sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS n_erased
+  FROM events
+  UNION ALL
+  SELECT 'customer', count(*),
+         sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+  FROM customer
+  UNION ALL
+  SELECT 'orders', count(*),
+         sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', count(*),
+         sum(CASE WHEN erase THEN 1 ELSE 0 END)
+  FROM li
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_erased AS BIGINT) AS n_erased,
+       CAST(n_rows - n_erased AS BIGINT) AS n_kept
+FROM rows_ ORDER BY table_name
+"""

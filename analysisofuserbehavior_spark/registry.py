@@ -4417,6 +4417,55 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("user_erasure_audit")
+def q_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit — the data-governance pass a
+    deletion request triggers before any data moves: for a
+    deterministic erasure cohort (user_id % 97 == 0; stands in for
+    the request list), count the rows each table would lose and what
+    remains, per table.  The complement of the PII family: pii_redact
+    rewrites content, this scopes DELETION blast radius across the
+    star schema (events by user_id; orders by customer key; lineitem
+    transitively through orders — the FK cascade is the point).
+
+    Scale: one map-side-combined conditional aggregate per table (no
+    anti-join materialization — the counts are sums of a predicate),
+    plus one broadcast semi-join for the transitive lineitem case.
+    All integers; the erasure cohort predicate is a pure function of
+    the key, so at 100 TB it pushes into every scan."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def audit(df: DataFrame, table: str, cond) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cond.cast("bigint")).cast("bigint").alias("n_erased"),
+            (F.count(F.lit(1)) - F.sum(cond.cast("bigint")))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    erase_orders = (F.col("o_custkey") % 97) == 0
+    # lineitem erasure is TRANSITIVE: rows whose order belongs to the
+    # cohort; broadcast the cohort order keys (erasure lists are tiny
+    # next to the fact table)
+    cohort_orders = orders.where(erase_orders).select("o_orderkey")
+    li_flagged = lineitem.join(
+        F.broadcast(cohort_orders),
+        lineitem["l_orderkey"] == cohort_orders["o_orderkey"],
+        "left",
+    ).select(F.col("o_orderkey").isNotNull().alias("_erase"))
+    return (
+        audit(ev, "events", (F.col("user_id") % 97) == 0)
+        .unionAll(audit(customer, "customer", (F.col("c_custkey") % 97) == 0))
+        .unionAll(audit(orders, "orders", erase_orders))
+        .unionAll(audit(li_flagged, "lineitem", F.col("_erase")))
+        .orderBy("table_name")
+    )
+
+
 @query("ann_recall_report")
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation as an operator: per-query recall@5

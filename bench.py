@@ -146,6 +146,7 @@ HEADLINE = [
     "streaming_click_attribution_outer",
     "user_behavior_profile",
     "daily_anomaly_mad",
+    "user_erasure_audit",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -60,6 +60,7 @@ CHECKED = [
     "user_behavior_profile",
     "daily_anomaly_mad",
     "ann_recall_report",
+    "user_erasure_audit",
 ]
 
 

@@ -89,6 +89,7 @@ ROUND_TOUCHED = [
     "daily_anomaly_mad",
     "streaming_click_attribution_outer",
     "ann_recall_report",
+    "user_erasure_audit",
 ]
 
 

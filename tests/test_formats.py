@@ -135,3 +135,23 @@ def test_xml_round_trip_and_quarantine(spark, sf_dir, tmp_path):
     # raw scan is the documented QUERY_ONLY_CORRUPT_RECORD_COLUMN trap
     bad_rows = quarantined.collect()
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0][CORRUPT_COL]
+
+
+def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
+    """Schema evolution across ingestion generations: a later drop
+    adds a column; mergeSchema unifies the read and backfills NULL
+    for the old files — the 100 TB reality where re-writing history
+    to add a column is not an option."""
+    from pyspark.sql import Row, functions as F
+
+    p = str(tmp_path / "evolved")
+    spark.createDataFrame([Row(doc_id=1, text="a")]).write.parquet(f"{p}/g=1")
+    spark.createDataFrame(
+        [Row(doc_id=2, text="b", quality=0.9)]
+    ).write.parquet(f"{p}/g=2")
+    got = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(got.columns) == {"doc_id", "text", "quality", "g"}
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[1].quality is None and rows[2].quality == 0.9
+    # column pruning still reaches the scan on the merged schema
+    assert got.select("doc_id").count() == 2

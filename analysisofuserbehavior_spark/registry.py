@@ -5000,7 +5000,13 @@ _GATE_WINDOW = [
     # interval join — the only stream-stream join class) takes
     # session_paths's slot; lag-adjacency stays gated via
     # page_convert_rate.
-    "streaming_click_attribution",
+    # round 12: the LEFT OUTER twin takes the inner join's slot — its
+    # oracle embeds the IDENTICAL matched-pair SQL and adds the
+    # eviction-driven NULL rows under the final-watermark cutoff, so
+    # an inner-join divergence still breaks this hash while the gate
+    # gains the state-eviction evidence class; the displaced row stays
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "streaming_click_attribution_outer",
     # round 6: snapshot_diff_customer (snapshot diff —
     # added/removed/changed classification) takes cohort_retention's
     # slot, whose self-join + conditional-agg shape the gated

@@ -5097,3 +5097,12 @@ SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_rows - n_erased AS BIGINT) AS n_kept
 FROM rows_ ORDER BY table_name
 """
+
+# PIVOT->UNPIVOT roundtrip lands back at the long form; UNPIVOT drops
+# NULL cells, so absent (day, type) pairs leave the frame exactly as
+# in the plain GROUP BY
+ORACLE["daily_pivot_unpivot_roundtrip"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""

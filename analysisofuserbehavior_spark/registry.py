@@ -4417,6 +4417,37 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("daily_pivot_unpivot_roundtrip")
+def q_daily_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT → UNPIVOT roundtrip over daily event-type counts —
+    the remaining reshaping SQL surface (`event_type_pivot` gates the
+    conditional-aggregate form; this gates Spark's native PIVOT and
+    UNPIVOT clauses themselves).  The roundtrip lands back at the
+    long-form (day, event_type, n) frame, so the oracle is a plain
+    GROUP BY — any divergence in either clause's null/column handling
+    breaks the hash.  UNPIVOT drops NULL cells by design (INCLUDE
+    NULLS off): days where a type never occurs leave the long form,
+    exactly like the GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).createOrReplaceTempView("_pvt_events")
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT * FROM _pvt_events
+          PIVOT (count(*) FOR event_type IN
+                 ('click', 'error', 'purchase', 'signup', 'view'))
+        )
+        SELECT day, event_type, n FROM wide
+        UNPIVOT (n FOR event_type IN
+                 (click, error, purchase, signup, view))
+        ORDER BY day, event_type
+        """
+    )
+
+
 @query("user_erasure_audit")
 def q_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure impact audit — the data-governance pass a

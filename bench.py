@@ -147,6 +147,7 @@ HEADLINE = [
     "user_behavior_profile",
     "daily_anomaly_mad",
     "user_erasure_audit",
+    "daily_pivot_unpivot_roundtrip",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",

@@ -61,6 +61,7 @@ CHECKED = [
     "daily_anomaly_mad",
     "ann_recall_report",
     "user_erasure_audit",
+    "daily_pivot_unpivot_roundtrip",
 ]
 
 

@@ -90,6 +90,7 @@ ROUND_TOUCHED = [
     "streaming_click_attribution_outer",
     "ann_recall_report",
     "user_erasure_audit",
+    "daily_pivot_unpivot_roundtrip",
 ]
 
 

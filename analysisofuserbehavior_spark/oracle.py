@@ -5106,3 +5106,61 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
+
+# per-page dwell: gap to the next in-session page event (floor-epoch
+# seconds); last events contribute no dwell
+ORACLE["page_dwell_stats"] = f"""
+WITH {SESSIONIZE_CTES},
+pg AS (
+  SELECT session_id, page_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS cur_s,
+         lead(ts) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS next_ts
+  FROM actions WHERE page_id IS NOT NULL
+),
+d AS (
+  SELECT page_id,
+         CASE WHEN next_ts IS NULL THEN NULL
+              ELSE CAST(floor(epoch(next_ts)) AS BIGINT) - cur_s END AS dwell_s
+  FROM pg
+)
+SELECT page_id,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(dwell_s) AS BIGINT) AS n_dwells,
+       CAST(coalesce(sum(dwell_s), 0) AS BIGINT) AS total_dwell_s,
+       floor(CAST(sum(dwell_s) AS DOUBLE) / CAST(count(dwell_s) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS avg_dwell_s
+FROM d GROUP BY 1 ORDER BY page_id
+"""
+
+ORACLE["entry_exit_pages"] = f"""
+WITH {SESSIONIZE_CTES},
+pg AS (
+  SELECT session_id, page_id,
+         row_number() OVER (PARTITION BY session_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY session_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM actions WHERE page_id IS NOT NULL
+)
+SELECT page_id,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+       CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+       floor(CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS entry_rate,
+       floor(CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS exit_rate
+FROM pg GROUP BY 1 ORDER BY page_id
+"""
+
+ORACLE["bounce_rate_daily"] = f"""
+WITH {SESSIONIZE_CTES}, {SESSION_STATS_CTE}
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN step_length = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       floor(CAST(sum(CASE WHEN step_length = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS bounce_rate
+FROM session_stats GROUP BY 1 ORDER BY day
+"""

@@ -4417,6 +4417,102 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("page_dwell_stats")
+def q_page_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page dwell time: the gap from each in-session event to the
+    NEXT event (lead over the session window — the page_flow lag
+    shape reversed) attributed to the page being viewed; last events
+    contribute no dwell (no exit signal in the log — stated, not
+    imputed).  (page_id, n_views, n_dwells, total_dwell_s,
+    avg_dwell_s) — the engagement readout the reference's
+    visit-length histogram can't give per page.  Integer floor-epoch
+    second gaps summed as BIGINT; one double division, 2-dp."""
+    from .sources.loaders import epoch_us
+
+    a = _actions(spark, sf_dir)
+    w = Window.partitionBy("session_id").orderBy("ts", "event_id")
+    gap = F.expr("(_next_us div 1000000) - (_cur_us div 1000000)")
+    dwell = (
+        a.where(F.col("page_id").isNotNull())
+        .select(
+            "page_id",
+            epoch_us(F.col("ts")).alias("_cur_us"),
+            epoch_us(F.lead("ts").over(w)).alias("_next_us"),
+        )
+        .select("page_id", gap.alias("dwell_s"))
+    )
+    return (
+        dwell.groupBy("page_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("dwell_s").alias("n_dwells"),
+            F.coalesce(F.sum("dwell_s"), F.lit(0)).cast("bigint").alias(
+                "total_dwell_s"
+            ),
+            qround(
+                F.sum("dwell_s").cast("double") / F.count("dwell_s").cast("double"),
+                2,
+            ).alias("avg_dwell_s"),
+        )
+        .orderBy("page_id")
+    )
+
+
+@query("entry_exit_pages")
+def q_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit-page report: how often each page opens or closes a
+    session, with entry/exit shares of its total views — the landing/
+    abandonment surface web analytics starts from.  First/last per
+    session via row_number over (ts, event_id) in BOTH directions on
+    ONE shared session-window sort; rates are exact-integer ratios,
+    4-dp."""
+    a = _actions(spark, sf_dir).where(F.col("page_id").isNotNull())
+    w_a = Window.partitionBy("session_id").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("session_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = a.select(
+        "page_id",
+        (F.row_number().over(w_a) == 1).cast("bigint").alias("is_entry"),
+        (F.row_number().over(w_d) == 1).cast("bigint").alias("is_exit"),
+    )
+    return (
+        marked.groupBy("page_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("is_entry").cast("bigint").alias("n_entries"),
+            F.sum("is_exit").cast("bigint").alias("n_exits"),
+            qround(
+                F.sum("is_entry").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("entry_rate"),
+            qround(
+                F.sum("is_exit").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("exit_rate"),
+        )
+        .orderBy("page_id")
+    )
+
+
+@query("bounce_rate_daily")
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event —
+    the classic engagement-quality metric, computed from the shared
+    session rollup (a session's day = its first event's day, the
+    session_stats convention).  Exact integer counts, one 4-dp
+    division."""
+    s = _sessions(spark, sf_dir)
+    bounce = (F.col("step_length") == 1).cast("bigint")
+    return (
+        s.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            qround(
+                F.sum(bounce).cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 @query("daily_pivot_unpivot_roundtrip")
 def q_daily_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIVOT → UNPIVOT roundtrip over daily event-type counts —

@@ -148,6 +148,9 @@ HEADLINE = [
     "daily_anomaly_mad",
     "user_erasure_audit",
     "daily_pivot_unpivot_roundtrip",
+    "page_dwell_stats",
+    "entry_exit_pages",
+    "bounce_rate_daily",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",
@@ -297,6 +300,9 @@ ACTIONS_FAMILY = [
     "item_communities_lpa",
     "winsorized_user_spend",
     "user_behavior_profile",
+    "page_dwell_stats",
+    "entry_exit_pages",
+    "bounce_rate_daily",
 ]
 
 

@@ -62,6 +62,9 @@ CHECKED = [
     "ann_recall_report",
     "user_erasure_audit",
     "daily_pivot_unpivot_roundtrip",
+    "page_dwell_stats",
+    "entry_exit_pages",
+    "bounce_rate_daily",
 ]
 
 

@@ -91,6 +91,9 @@ ROUND_TOUCHED = [
     "ann_recall_report",
     "user_erasure_audit",
     "daily_pivot_unpivot_roundtrip",
+    "page_dwell_stats",
+    "entry_exit_pages",
+    "bounce_rate_daily",
 ]
 
 

@@ -66,6 +66,10 @@ FLAGSHIPS = [
     ("winsorized_user_spend", "two-pass bucket rank thresholds; broadcast clamp; one reduce"),
     ("countmin_token_freq", "constant depth*width cell state; broadcast probe join"),
     ("user_behavior_profile", "three user-keyed map-side groupBys; order-pinned entropy fold"),
+    ("daily_anomaly_mad", "per-type daily frames; integer inverse-CDF median/MAD"),
+    ("ann_recall_report", "two deterministic ANN systems + one k*n_queries-row audit join"),
+    ("user_erasure_audit", "conditional aggregates; broadcast cohort semi-join for the FK cascade"),
+    ("page_dwell_stats", "one session-window sort shared by lead; map-side page rollup"),
 ]
 
 

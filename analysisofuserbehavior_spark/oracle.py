@@ -5164,3 +5164,34 @@ SELECT day,
          AS bounce_rate
 FROM session_stats GROUP BY 1 ORDER BY day
 """
+
+# engagement survival curve: sessions reaching >= k events, k = 1..10
+ORACLE["session_depth_curve"] = f"""
+WITH {SESSIONIZE_CTES}, {SESSION_STATS_CTE},
+t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM session_stats),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       floor(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS share
+FROM session_stats, ks, t
+WHERE step_length >= k
+GROUP BY k, tot ORDER BY k
+"""
+
+# repeat-purchase cadence: whole-day gaps between consecutive
+# purchases per user (epoch-day grid on each side before differencing)
+ORACLE["purchase_gap_distribution"] = """
+WITH p AS (
+  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT d - lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_days
+  FROM p
+)
+SELECT CAST(gap_days AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY gap_days
+"""

@@ -4417,6 +4417,61 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embeddings(spark, sf_dir))
 
 
+@query("session_depth_curve")
+def q_session_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement survival curve: for k = 1..10, how many sessions
+    reach at least k events and what share of all sessions that is —
+    the cumulative view the reference's fixed step-length buckets
+    (4-6, 7-9, …) coarsen away.  Computed as one pass over the shared
+    session rollup crossed with a 10-row literal depth frame
+    (broadcast — no per-k rescans); exact integer counts, 4-dp
+    share."""
+    s = _sessions(spark, sf_dir).select("step_length")
+    depths = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    total = s.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    return (
+        s.crossJoin(F.broadcast(depths))
+        .where(F.col("step_length") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_sessions",
+            qround(
+                F.col("n_sessions").cast("double") / F.col("_t").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("k")
+    )
+
+
+@query("purchase_gap_distribution")
+def q_purchase_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of whole-day gaps
+    between a user's consecutive purchases — (gap_days, n_pairs) —
+    the retention/replenishment signal behind LTV and churn models.
+    One user-keyed window (lag over purchase events only), exact
+    integer day arithmetic (floor-epoch-second div 86400 on each side
+    before differencing, so a gap is calendar-grid exact), then a
+    map-side-combined count by gap."""
+    from .sources.loaders import epoch_us
+
+    a = _actions(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_day = a.select(
+        "user_id", "ts", "event_id", epoch_us(F.col("ts")).alias("_us")
+    ).select("user_id", "ts", "event_id", F.expr("(_us div 1000000) div 86400").alias("_d"))
+    gaps = with_day.select(
+        (F.col("_d") - F.lag("_d").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("gap_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("gap_days")
+    )
+
+
 @query("page_dwell_stats")
 def q_page_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page dwell time: the gap from each in-session event to the

@@ -151,6 +151,8 @@ HEADLINE = [
     "page_dwell_stats",
     "entry_exit_pages",
     "bounce_rate_daily",
+    "session_depth_curve",
+    "purchase_gap_distribution",
     "page_graph_triangles",
     "streaming_dedup_keys",
     "bm25_topk",
@@ -303,6 +305,8 @@ ACTIONS_FAMILY = [
     "page_dwell_stats",
     "entry_exit_pages",
     "bounce_rate_daily",
+    "session_depth_curve",
+    "purchase_gap_distribution",
 ]
 
 

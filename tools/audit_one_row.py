@@ -94,6 +94,8 @@ ROUND_TOUCHED = [
     "page_dwell_stats",
     "entry_exit_pages",
     "bounce_rate_daily",
+    "session_depth_curve",
+    "purchase_gap_distribution",
 ]
 
 

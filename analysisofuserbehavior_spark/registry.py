@@ -145,6 +145,22 @@ def _two_phase_replay_dir(work: str, phases: list[DataFrame]) -> str:
     return in_dir
 
 
+def _replay_rows(in_dir: str) -> int:
+    """Total rows across a replay dir's phase files, read from the
+    parquet FOOTERS on the driver (the files are the fixture's local
+    staging copies) — replaces a re-scan of the source frame when a
+    query only needs an emptiness guard."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    return sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(_os.path.join(in_dir, "*.parquet"))
+    )
+
+
 # demo param set for the predicate engine; mirrored in
 # oracle.ORACLE['session_filtered_aggr_stat']
 DEMO_PARAMS = TaskParams(
@@ -361,11 +377,13 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
     )
     loop.run(stream, _os.path.join(work, "ckpt"))
-    last_epoch = loop._state(spark).agg(F.max("applied_epoch")).first()[0]
+    _, last_epoch = loop.state_epoch(spark)
     # the two-phase-replay property only binds when there were clicks
     # to replay; an empty log legitimately yields zero micro-batch
-    # folds and an empty blacklist-feedback result
-    if src.limit(1).count() > 0 and (last_epoch is None or last_epoch < 1):
+    # folds and an empty blacklist-feedback result.  Emptiness comes
+    # from the staged replay files' parquet footers (driver-side, no
+    # third scan of the events table).
+    if _replay_rows(in_dir) > 0 and (last_epoch is None or last_epoch < 1):
         raise RuntimeError(
             f"expected >= 2 micro-batches, last epoch = {last_epoch}"
         )
@@ -4955,7 +4973,14 @@ _GATE_WINDOW = [
     # pushdown/codegen evidence is pinned by dedicated plan tests and
     # its scan-agg algebra by the gated q18/q2/q9/q11 rows.
     "backoff_surprisal",
-    "page_convert_rate",
+    # round 13: run_task_page_convert (module 2's composed task_param
+    # → ranged scan → sessionize → page-split → rate lifecycle,
+    # VERDICT r09 #4) takes page_convert_rate's slot — it runs the
+    # SAME lag-adjacency pipeline end-to-end plus the task-param
+    # parse, strictly broader evidence (the run_task_area_top3
+    # rationale applied to module 2); the bare twin stays
+    # hash-verified in ORACLE_FULL_r{N}.json.
+    "run_task_page_convert",
     # round 11: run_task_area_top3 (module 3's composed task_param →
     # ranged scan → dim join → UDAF agg → window top-3 lifecycle,
     # VERDICT r08 #5) takes area_top3_products's slot — it runs the
@@ -4983,7 +5008,14 @@ _GATE_WINDOW = [
     # carry; the displaced row stays hash-verified in
     # ORACLE_FULL_r{N}.json.
     "embedding_covariance",
-    "ad_province_top3",
+    # round 13: run_task_ad_province_top3 (module 4's composed
+    # lifecycle: task-param parse → ranged scan → dim join → per-day
+    # province counts → window top-3, VERDICT r09 #4) takes
+    # ad_province_top3's slot — the same pipeline end-to-end plus the
+    # param surface, strictly broader evidence; the bare twin stays
+    # hash-verified in ORACLE_FULL_r{N}.json.  With this all four
+    # reference main() lifecycles sit in the driver's gate window.
+    "run_task_ad_province_top3",
     # round 4 (cont.): streaming_dedup_keys (cross-micro-batch dedup
     # state proven by a DISTINCT hash) takes ad_click_trend's slot —
     # the batch twin of the already-gated streaming_sliding_trend;

@@ -370,6 +370,14 @@ class BlacklistLoop:
 
         return _load_state(spark, self._STATE_SCHEMA, self.totals_dir)
 
+    def state_epoch(self, spark: SparkSession) -> tuple[DataFrame, int | None]:
+        """(state frame, max applied_epoch) — the epoch comes from the
+        crash-arbitration metadata read (parquet footers on local
+        schemes), not a second Spark aggregation job."""
+        from ..sources.upsert import _load_state_epoch
+
+        return _load_state_epoch(spark, self._STATE_SCHEMA, self.totals_dir)
+
     def current_totals(self, spark: SparkSession) -> DataFrame:
         return self._state(spark).select("day", "user_id", "ad_id", "click_count")
 
@@ -383,8 +391,7 @@ class BlacklistLoop:
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        state = self._state(spark)
-        applied = state.agg(F.max("applied_epoch")).first()[0]
+        state, applied = self.state_epoch(spark)
         if applied is not None and epoch_id <= applied:
             return  # at-least-once replay of an already-folded epoch
         blacklist = (
@@ -405,10 +412,16 @@ class BlacklistLoop:
             .agg(F.sum("click_count").alias("click_count"))
             .withColumn("applied_epoch", F.lit(epoch_id).cast("long"))
         )
-        totals_next.write.mode("overwrite").parquet(self.totals_dir + "_next")
-        spark.read.parquet(self.totals_dir + "_next").write.mode(
-            "overwrite"
-        ).parquet(self.totals_dir)
+        # compacted dimension-sized state: few files (not 32 tiny
+        # shuffle-partition files), then a driver-side copy+rename
+        # promote instead of a second Spark job — see
+        # sources/upsert.py::_promote_state for the crash contract
+        from ..sources.upsert import _STATE_FILES, _promote_state
+
+        totals_next.coalesce(_STATE_FILES).write.mode("overwrite").parquet(
+            self.totals_dir + "_next"
+        )
+        _promote_state(spark, self.totals_dir)
 
     def run(self, stream: DataFrame, checkpoint_dir: str) -> None:
         q = (

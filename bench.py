@@ -105,7 +105,10 @@ HEADLINE = [
     "daily_cumulative_clicks",
     "ann_ivf_topk",
     "ann_ivf_topk_indexed",
-    "embedding_neardup_exact",
+    # embedding_neardup_exact (O(n²) all-pairs calibration twin) is
+    # deliberately NOT in HEADLINE: it exists as a recall floor for the
+    # LSH path and stays under the full oracle + recall tests, but the
+    # headline bench measures only production-path plans.
     "lang_id",
     "doc_fingerprint",
     "streaming_hourly_clicks",
@@ -190,10 +193,11 @@ HEADLINE = [
     "corpus_pipeline_e2e",
     "semantic_dedup",
     "mixture_temperature_weights",
-    "embedding_dedup_clusters",
-    # round 10: the gated LSH-fed closure (banded candidates, no
-    # O(n²) stage) — bench it NEXT TO its exact-fed calibration twin
-    # so the quadratic-vs-banded gap stays measured every round
+    # round 10 (builder r13): embedding_dedup_clusters (the exact-fed
+    # O(n²) calibration twin, ~9 s at sf0.1) moved OUT of HEADLINE per
+    # the round-9 verdict — it keeps its full-oracle row and the
+    # recall-floor tests, but the headline bench measures only
+    # production-path plans.  The gated LSH-fed closure stays:
     "embedding_dedup_clusters_lsh",
     "image_features_jpeg",
     "image_features_png",
@@ -378,8 +382,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # Subset runs (SPARK_GRAFT_BENCH_QUERIES set — pytest contract
+    # checks, single-query iteration) must NOT clobber the committed
+    # full-run detail: they write BENCH_DETAIL_smoke.json unless an
+    # explicit $SPARK_GRAFT_BENCH_DETAIL path overrides.
+    detail_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL_smoke.json" if only else "BENCH_DETAIL.json",
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -393,7 +405,7 @@ def main() -> None:
         "sf": sf_val,
         "queries_measured": len(timings),
         "queries_shown": 0,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     compact = lambda: json.dumps(line_obj, separators=(",", ":"))
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):

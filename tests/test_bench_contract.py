@@ -12,6 +12,13 @@ import sys
 
 
 def test_bench_emits_one_valid_json_line():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed_detail = os.path.join(repo, "BENCH_DETAIL.json")
+    before = (
+        open(committed_detail, "rb").read()
+        if os.path.exists(committed_detail)
+        else None
+    )
     # a representative subset (scan+agg, join chain, shared-scan family,
     # streaming replay, text op) keeps the contract check fast and
     # immune to CPU-contention timeouts; the full list runs in the
@@ -41,3 +48,14 @@ def test_bench_emits_one_valid_json_line():
     # subset (6) + the shared_scan_build entry from the actions family
     assert len(rec["queries"]) >= 7
     assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
+    # subset runs must write their detail to the _smoke file, leaving
+    # the committed full-run BENCH_DETAIL.json bit-identical (the r9
+    # verdict caught the suite clobbering the round artifact)
+    assert rec["detail"] == "BENCH_DETAIL_smoke.json"
+    assert os.path.exists(os.path.join(repo, "BENCH_DETAIL_smoke.json"))
+    after = (
+        open(committed_detail, "rb").read()
+        if os.path.exists(committed_detail)
+        else None
+    )
+    assert after == before, "subset bench run clobbered BENCH_DETAIL.json"

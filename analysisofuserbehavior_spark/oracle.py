@@ -4996,8 +4996,13 @@ v AS (
   FROM events WHERE event_type = 'view'
 ),
 wm AS (
-  SELECT least((SELECT max(c_us) FROM c), (SELECT max(v_us) FROM v))
-         - 3600000000 AS w
+  -- Spark tracks event-time watermarks at MILLISECOND granularity
+  -- (the max event time is floored to ms before the delay subtract);
+  -- truncate the micro-precision maxima the same way or a click in
+  -- the sub-ms residue of the boundary could be emitted here but
+  -- withheld by Spark
+  SELECT (least((SELECT max(c_us) FROM c), (SELECT max(v_us) FROM v))
+          // 1000) * 1000 - 3600000000 AS w
 )
 SELECT click_id, view_id, c.user_id,
        (c_us - v_us) // 1000000 AS gap_s

@@ -4,9 +4,12 @@ from .audit import (
     formatted_plan,
     has_broadcast_join,
     has_sort_merge_join,
+    physical_section,
     pushed_filters,
     read_schema_columns,
     single_partition_window_sorts,
+    start_micro_batch_plan_capture,
+    stop_micro_batch_plan_capture,
 )
 
 __all__ = [
@@ -15,7 +18,10 @@ __all__ = [
     "formatted_plan",
     "has_broadcast_join",
     "has_sort_merge_join",
+    "physical_section",
     "pushed_filters",
     "read_schema_columns",
     "single_partition_window_sorts",
+    "start_micro_batch_plan_capture",
+    "stop_micro_batch_plan_capture",
 ]

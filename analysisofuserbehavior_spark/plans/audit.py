@@ -92,6 +92,62 @@ def single_partition_window_sorts(plan: str) -> list[str]:
     return out
 
 
+# ── streaming micro-batch plan capture ──────────────────────────────
+# The batch lints above can't see inside a streaming query: the
+# executed micro-batch plans live in the StreamExecution (for
+# watermark/agg/join queries) or in foreachBatch bodies (for the
+# MERGE-style sinks).  This registry lets a test observe BOTH without
+# per-query instrumentation cost: `observe_micro_batch_plan` is called
+# from the two seams every streaming query funnels through
+# (streaming/ad_stream.py::run_to_completion captures the last
+# micro-batch's executed plan via explainInternal; the foreachBatch
+# sinks capture the plan of each frame they stage) and is a single
+# `is None` check when no capture is active.
+
+_MICRO_BATCH_PLANS: list[tuple[str, str]] | None = None
+
+
+def start_micro_batch_plan_capture() -> None:
+    global _MICRO_BATCH_PLANS
+    _MICRO_BATCH_PLANS = []
+
+
+def stop_micro_batch_plan_capture() -> list[tuple[str, str]]:
+    global _MICRO_BATCH_PLANS
+    out = _MICRO_BATCH_PLANS if _MICRO_BATCH_PLANS is not None else []
+    _MICRO_BATCH_PLANS = None
+    return out
+
+
+def capture_active() -> bool:
+    return _MICRO_BATCH_PLANS is not None
+
+
+def observe_micro_batch_plan(tag: str, plan: str) -> None:
+    """Record a streaming plan string under `tag` (no-op unless a
+    capture is active)."""
+    if _MICRO_BATCH_PLANS is not None:
+        _MICRO_BATCH_PLANS.append((tag, plan))
+
+
+def observe_micro_batch_frame(tag: str, df: DataFrame) -> None:
+    """Record the physical plan of a frame a foreachBatch body is
+    about to execute (no-op unless a capture is active)."""
+    if _MICRO_BATCH_PLANS is not None:
+        _MICRO_BATCH_PLANS.append(
+            (tag, df._jdf.queryExecution().executedPlan().toString())
+        )
+
+
+def physical_section(explain_internal: str) -> str:
+    """The `== Physical Plan ==` section of an explainInternal dump
+    (explainInternal(extended=True) prepends parsed/analyzed/optimized
+    logical plans, which would false-positive node-name greps)."""
+    marker = "== Physical Plan =="
+    idx = explain_internal.rfind(marker)
+    return explain_internal[idx + len(marker) :] if idx >= 0 else explain_internal
+
+
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets each file scan actually reads (pruning check).
 

@@ -161,20 +161,18 @@ def overwrite_day_partitions(
     read-modify-write cycle a full overwrite would force).
 
     STATIC overwrite (the default) would TRUNCATE the whole table
-    first — the classic backfill footgun; the conf is set per-write
-    and restored so a session-level static default stays intact.
-    At warehouse scale the same call works against a catalog table
-    via insertInto (saveAsTable layout, SURVEY.md §2.1 sinks)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
-            .repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    first — the classic backfill footgun.  The mode is passed as a
+    PER-WRITE DataFrameWriter option (it takes precedence over the
+    session conf), so session state is never mutated — a concurrent
+    writer on the same SparkSession can't observe a flipped default,
+    and a previously-unset conf stays unset.  At warehouse scale the
+    same call works against a catalog table via insertInto
+    (saveAsTable layout, SURVEY.md §2.1 sinks)."""
+    (
+        df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )

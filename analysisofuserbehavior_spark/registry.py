@@ -1952,6 +1952,13 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from .plans import audit as _audit
+
+        if _audit.capture_active():
+            _audit.observe_micro_batch_plan(
+                "late_event_drop_window",
+                _audit.physical_section(q._jsq.explainInternal(True)),  # noqa: SLF001
+            )
 
     run()
     _os.replace(held, p2)  # phase 2 appears; same checkpoint
@@ -4598,6 +4605,21 @@ def q_daily_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     NULLS off): days where a type never occurs leave the long form,
     exactly like the GROUP BY."""
     ev = load_table(spark, sf_dir, "events")
+    # the PIVOT/UNPIVOT column lists are necessarily literal SQL; pin
+    # them against the data so a generator adding a sixth event type
+    # fails HERE with a message instead of as an opaque hash mismatch
+    # (the types are a closed enum, so this distinct is 5 rows)
+    present = {
+        r[0]
+        for r in ev.select("event_type").distinct().collect()
+        if r[0] is not None
+    }
+    expected = {"click", "error", "purchase", "signup", "view"}
+    if not present <= expected:
+        raise ValueError(
+            f"pivot column list is stale: events carries types "
+            f"{sorted(present - expected)} beyond the hardcoded {sorted(expected)}"
+        )
     ev.select(
         F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -4784,17 +4806,23 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         days=14
     )
     src = ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # phase split must PARTITION the log: a bare `ts > split` would
+    # silently drop NULL-ts rows that the batch oracle (FROM events)
+    # counts — the second phase takes the complement, NULLs included
     in_dir = _two_phase_replay_dir(
         work,
         [
             src.where(pred).select("user_id")
-            for pred in (F.col("ts") <= split_ts, F.col("ts") > split_ts)
+            for pred in (
+                F.col("ts") <= split_ts,
+                (F.col("ts") > split_ts) | F.col("ts").isNull(),
+            )
         ],
     )
     cells_dir = _os.path.join(work, "cells")
     counts_dir = _os.path.join(work, "counts")
 
-    def sketch_batch(batch_df, _epoch_id) -> None:
+    def sketch_batch(batch_df, epoch_id) -> None:
         k = F.col("user_id").cast("string")
         probes = batch_df.select(
             *[cm_bucket(k, r, width).alias(f"b{r}") for r in range(depth)]
@@ -4807,10 +4835,19 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(r).alias("row"), "bucket", "c")
             )
             cells = c if cells is None else cells.unionAll(c)
-        cells.write.mode("append").parquet(cells_dir)
-        batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).parquet(counts_dir)
+        from .plans import audit as _audit
+
+        _audit.observe_micro_batch_frame("countmin_partial_cells", cells)
+        counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        # per-EPOCH subdirs, overwritten: an at-least-once foreachBatch
+        # retry rewrites its own epoch's partial instead of appending a
+        # duplicate that would inflate the merged cells
+        cells.write.mode("overwrite").parquet(
+            _os.path.join(cells_dir, f"epoch={epoch_id}")
+        )
+        counts.write.mode("overwrite").parquet(
+            _os.path.join(counts_dir, f"epoch={epoch_id}")
+        )
 
     stream = (
         spark.readStream.schema("user_id long")

@@ -253,6 +253,15 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        from ..plans import audit as _audit
+
+        if _audit.capture_active():
+            # the LAST micro-batch's executed plan, straight from the
+            # StreamExecution — what the streaming plan lint reads
+            _audit.observe_micro_batch_plan(
+                query_name,
+                _audit.physical_section(q._jsq.explainInternal(True)),  # noqa: SLF001
+            )
         if state_provider and "RocksDB" in state_provider:
             import json
 
@@ -303,7 +312,11 @@ def province_top3_per_batch(
             ) WHERE rn <= 3
             """
         )
-        top3.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+        from ..plans import audit as _audit
+
+        out = top3.withColumn("epoch", F.lit(epoch_id))
+        _audit.observe_micro_batch_frame("province_top3_batch", out)
+        out.write.mode("append").parquet(out_dir)
 
     q = (
         stream.writeStream.foreachBatch(run_batch)
@@ -412,6 +425,9 @@ class BlacklistLoop:
             .agg(F.sum("click_count").alias("click_count"))
             .withColumn("applied_epoch", F.lit(epoch_id).cast("long"))
         )
+        from ..plans import audit as _audit
+
+        _audit.observe_micro_batch_frame("blacklist_loop_totals", totals_next)
         # compacted dimension-sized state: few files (not 32 tiny
         # shuffle-partition files), then a driver-side copy+rename
         # promote instead of a second Spark job — see

@@ -828,3 +828,58 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+# ── streaming micro-batch plan lint (VERDICT r09 #5) ─────────────────
+# The batch lints above skip every streaming_* query plus
+# ad_blacklist_feedback because their interesting plans only exist
+# INSIDE the stream: the StreamExecution's per-micro-batch executed
+# plan (watermark/window/join queries) or the frames a foreachBatch
+# body stages (the MERGE-style sinks).  The capture seams in
+# plans/audit.py observe both; this test replays every streaming gate
+# query at the test SF and lints the captured plans with the same
+# whitelist discipline as the batch lint.
+
+# bounded-domain exemptions, same contract as
+# _SINGLE_PARTITION_WINDOW_WHITELIST: (max hits, size bound + why)
+_STREAMING_SP_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {}
+
+
+def test_streaming_micro_batch_plans_lint(spark, sf_dir):
+    from analysisofuserbehavior_spark.plans import (
+        start_micro_batch_plan_capture,
+        stop_micro_batch_plan_capture,
+    )
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    names = sorted(n for n in QUERIES if n.startswith("streaming_"))
+    names.append("ad_blacklist_feedback")
+    problems = []
+    for name in names:
+        start_micro_batch_plan_capture()
+        try:
+            # streaming queries execute their streams at build time;
+            # materialize the returned batch frame for the stragglers
+            # that defer work to the final read
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            captured = stop_micro_batch_plan_capture()
+        if not captured:
+            problems.append(f"{name}: no micro-batch plan captured (seam lost?)")
+            continue
+        sp_hits = []
+        for tag, plan in captured:
+            if "CartesianProduct" in plan:
+                problems.append(f"{name}/{tag}: CartesianProduct")
+            if "BatchEvalPython" in plan:
+                problems.append(f"{name}/{tag}: BatchEvalPython (row-at-a-time UDF)")
+            sp_hits.extend(plans.single_partition_window_sorts(plan))
+        cap = _STREAMING_SP_WINDOW_WHITELIST.get(name, (0, "not whitelisted"))
+        if len(sp_hits) > cap[0]:
+            problems.append(
+                f"{name}: {len(sp_hits)} SinglePartition window/sort "
+                f"(> {cap[0]}, {cap[1]}): {sp_hits}"
+            )
+    assert not problems, "\n".join(problems)

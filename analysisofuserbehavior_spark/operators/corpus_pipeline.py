@@ -297,3 +297,66 @@ def benchmark_contamination(
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         qround(F.col("n_shared") / F.col("n_shingles"), 3).alias("contam_frac"),
     )
+
+
+def ingest_corpus_day(
+    spark,
+    docs_day: DataFrame,
+    day: str,
+    store_dir: str,
+    index_dir: str,
+    first_day: bool = False,
+) -> None:
+    """One IDEMPOTENT daily increment of a corpus + retrieval index —
+    the operational shape a 100 TB pipeline runs every day, composed
+    from the solo-verified pieces:
+
+      1. admission: `dedup.incremental_admit` screens the arriving
+         day against the standing corpus (everything in the store
+         with an earlier day) — exact + near-dup, O(batch);
+      2. store: the admitted docs land in the day-partitioned corpus
+         store via DYNAMIC partition overwrite
+         (plans/layout.overwrite_day_partitions) — a re-run rewrites
+         only its own day directory, byte-equivalent, never truncates
+         history;
+      3. index: `retrieval.append_inverted_index` adds the admitted
+         docs' postings + a stats-manifest row, guarded by an ingest
+         LEDGER — a `_ledger/day=<day>` marker directory committed
+         strictly AFTER the append.  A re-run that finds the marker
+         skips the append, so the index is identical after N runs of
+         the same day.  (Crash between append and marker = that day
+         must be rebuilt — the ledger is the file-layout analogue of
+         a table format's commit flag, which is the production answer;
+         the gate proves the SUCCESS path is idempotent, the crash
+         path is the table format's job.)
+
+    The first day (`first_day=True`) builds the index instead of
+    appending (write_inverted_index), with the same ledger discipline.
+    """
+    import os as _os
+
+    from ..plans.layout import overwrite_day_partitions
+    from .dedup import incremental_admit
+    from .retrieval import append_inverted_index, write_inverted_index
+
+    if first_day:
+        admitted = docs_day
+    else:
+        corpus = (
+            spark.read.parquet(store_dir)
+            .where(F.col("day") < day)
+            .select("doc_id", "text")
+        )
+        admitted = incremental_admit(docs_day, corpus)
+    admitted = admitted.select("doc_id", "text")
+    overwrite_day_partitions(
+        admitted.withColumn("ts", F.lit(day + " 00:00:00").cast("timestamp")),
+        store_dir,
+    )
+    ledger = _os.path.join(index_dir + "_ledger", f"day={day}")
+    if not _os.path.exists(ledger):
+        if first_day:
+            write_inverted_index(admitted, index_dir)
+        else:
+            append_inverted_index(admitted, index_dir)
+        _os.makedirs(ledger)  # commit marker LAST

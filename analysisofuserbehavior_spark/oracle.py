@@ -2026,8 +2026,10 @@ FROM _spans
 GROUP BY bin_id
 """
 
-ORACLE["incremental_admit"] = """
-WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+# batch-vs-corpus admission CTEs (exact md5 screen + exact-jaccard
+# 3-shingle near screen at 0.8) — shared by the solo incremental_admit
+# gate and the composed corpus_pipeline_incremental gate
+_ADMISSION_CTES = """newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
 cord AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
 exact_rej AS (
   SELECT DISTINCT n.doc_id FROM newd n JOIN cord c ON md5(n.text) = md5(c.text)
@@ -2059,10 +2061,16 @@ near_rej AS (
   JOIN nsz ON inter.new_id = nsz.doc_id
   JOIN csz ON inter.cor_id = csz.doc_id
   WHERE CAST(inter AS DOUBLE) / (nsz.n_sh + csz.n_sh - inter) >= 0.8
-)
-SELECT doc_id, text FROM newd
-WHERE doc_id NOT IN (SELECT doc_id FROM exact_rej)
-  AND doc_id NOT IN (SELECT doc_id FROM near_rej)
+),
+admitted AS (
+  SELECT doc_id, text FROM newd
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_rej)
+    AND doc_id NOT IN (SELECT doc_id FROM near_rej)
+)"""
+
+ORACLE["incremental_admit"] = f"""
+WITH {_ADMISSION_CTES}
+SELECT doc_id, text FROM admitted
 """
 
 # replays the int8 pipeline: per-vector scale, floor(x/s + 0.5)
@@ -2882,10 +2890,23 @@ FROM credited GROUP BY ad_id ORDER BY ad_id
 """
 
 
-def _bm25_oracle(terms=("spark", "join", "window", "stream"), k=20, k1=1.5, b=0.75):
+def _bm25_oracle(
+    terms=("spark", "join", "window", "stream"),
+    k=20,
+    k1=1.5,
+    b=0.75,
+    source="documents",
+    prelude="",
+    final_select=None,
+):
     """Mirror of operators/retrieval.py::bm25_topk.  k1+1 and 1-b are
     exact binary doubles by parameter choice, so the literals below
-    are bit-identical to the Spark side's Python floats."""
+    are bit-identical to the Spark side's Python floats.
+
+    `source` names the corpus relation (a table or a CTE defined in
+    `prelude`, which is injected verbatim at the head of the WITH);
+    `final_select` overrides the top-k projection for composed
+    oracles that decorate the scored rows."""
     tfs = ",\n         ".join(
         f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
         for i, t in enumerate(terms)
@@ -2899,11 +2920,15 @@ def _bm25_oracle(terms=("spark", "join", "window", "stream"), k=20, k1=1.5, b=0.
         f" * tf_{i} * {k1 + 1.0} / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
         for i in range(len(terms))
     )
+    final = final_select or f"""SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}"""
     return f"""
-WITH base AS (
+WITH {prelude}base AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
          {tfs}
-  FROM documents
+  FROM {source}
 ),
 stats AS (
   -- avgdl from exact integers (mirrors the Spark side): BIGINT sum,
@@ -2918,10 +2943,7 @@ scored AS (
          floor(({parts}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
   FROM base CROSS JOIN stats
 )
-SELECT doc_id, bm25 FROM scored
-WHERE bm25 > 0.0
-ORDER BY bm25 DESC, doc_id ASC
-LIMIT {k}
+{final}
 """
 
 
@@ -2934,6 +2956,33 @@ ORACLE["bm25_topk"] = _bm25_oracle()
 # proof that append == rebuild
 ORACLE["bm25_topk_indexed"] = _bm25_oracle()
 ORACLE["bm25_topk_incremental"] = _bm25_oracle()
+
+# the composed two-day lifecycle: day 1 = the standing corpus, day 2 =
+# the admitted arrivals (shared _ADMISSION_CTES), BM25 over their
+# union, each hit decorated with its store day and the store's per-day
+# counts — a double index append OR a store truncation/duplication on
+# the day-2 re-run breaks this hash
+ORACLE["corpus_pipeline_incremental"] = _bm25_oracle(
+    source="corpus_inc",
+    prelude=_ADMISSION_CTES
+    + """,
+corpus_inc AS (
+  SELECT doc_id, text, '2024-01-01' AS day FROM cord
+  UNION ALL
+  SELECT doc_id, text, '2024-01-02' AS day FROM admitted
+),
+day_counts AS (
+  SELECT CAST(sum(CASE WHEN day = '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_day1,
+         CAST(sum(CASE WHEN day = '2024-01-02' THEN 1 ELSE 0 END) AS BIGINT) AS n_day2
+  FROM corpus_inc
+),
+""",
+    final_select="""SELECT s.doc_id, s.bm25, c.day, d.n_day1, d.n_day2
+FROM scored s JOIN corpus_inc c USING (doc_id) CROSS JOIN day_counts d
+WHERE s.bm25 > 0.0
+ORDER BY s.bm25 DESC, s.doc_id ASC
+LIMIT 20""",
+)
 
 ORACLE["unigram_surprisal"] = """
 WITH pairs AS (

@@ -1267,6 +1267,66 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline_e2e(_documents(spark, sf_dir))
 
 
+@query("corpus_pipeline_incremental")
+def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus lifecycle under the hash gate (VERDICT
+    r09 #6): day 1 builds the day-partitioned store + inverted index
+    from the standing docs (doc_id % 10 != 0); day 2's arrivals
+    (doc_id % 10 == 0) pass the incremental_admit screen against the
+    stored day-1 corpus, land via dynamic partition overwrite, and
+    append to the index behind the ingest ledger; then day 2 RE-RUNS
+    in full — the result hash-matches the oracle only if the re-run
+    changed nothing (a double-append would inflate df/tf and shift
+    every BM25 score; a store truncation or duplication would break
+    the per-day counts carried on every row).
+
+    Result: the final index's BM25 top-k, each row joined to its
+    store day plus the store's per-day doc counts."""
+    import shutil
+    import tempfile
+
+    from .operators.corpus_pipeline import ingest_corpus_day
+    from .operators.retrieval import bm25_topk_indexed
+
+    work = tempfile.mkdtemp(prefix="corpinc_q_")
+    store, idx = work + "/store", work + "/idx"
+    docs = _documents(spark, sf_dir)
+    day1 = docs.where(F.col("doc_id") % 10 != 0)
+    day2 = docs.where(F.col("doc_id") % 10 == 0)
+    ingest_corpus_day(spark, day1, "2024-01-01", store, idx, first_day=True)
+    ingest_corpus_day(spark, day2, "2024-01-02", store, idx)
+    # the operational event this query exists for: yesterday's job is
+    # re-submitted (orchestrator retry, manual backfill) — same
+    # inputs, same day, and the final state must not move
+    ingest_corpus_day(spark, day2, "2024-01-02", store, idx)
+    topk = bm25_topk_indexed(spark, idx)
+    # partition-column type inference reads day= dirs back as DATE;
+    # the oracle speaks ISO strings — cast explicitly
+    stored = spark.read.parquet(store).select(
+        "doc_id", F.col("day").cast("string").alias("day")
+    )
+    counts = stored.groupBy().agg(
+        F.sum(F.when(F.col("day") == "2024-01-01", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_day1"),
+        F.sum(F.when(F.col("day") == "2024-01-02", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_day2"),
+    )
+    # result is top-k sized: collect it so the tmp store/index can be
+    # deleted instead of leaking a /tmp tree per invocation
+    rows = (
+        topk.join(stored, "doc_id")
+        .crossJoin(counts)
+        .select("doc_id", "bm25", "day", "n_day1", "n_day2")
+        .collect()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, bm25 double, day string, n_day1 long, n_day2 long"
+    )
+
+
 @query("session_paths")
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 event-type paths: the ordered action sequence of each
@@ -5210,7 +5270,16 @@ _GATE_WINDOW = [
     # survivor propagation) becomes gated; pack_sequences stays
     # hash-verified in ORACLE_FULL_r{N}.json.
     "corpus_pipeline_e2e",
-    "incremental_admit",
+    # round 13: corpus_pipeline_incremental (the two-day incremental
+    # lifecycle — admission screen vs the stored corpus, dynamic
+    # day-partition overwrite, ledger-guarded index append, and a
+    # full day-2 RE-RUN whose idempotence the hash proves) takes
+    # incremental_admit's slot: its oracle embeds the IDENTICAL
+    # admission CTEs (oracle.py _ADMISSION_CTES), so an admission
+    # divergence still breaks this hash while the gate gains the
+    # store/index/re-run lifecycle; the solo row stays hash-verified
+    # in ORACLE_FULL_r{N}.json.
+    "corpus_pipeline_incremental",
     "streaming_sliding_trend",
     # round 4: run_task_session_aggr gates the whole migration path
     # (task_param wire format → pushed-down ranged scan → predicate

@@ -191,6 +191,10 @@ HEADLINE = [
     # round 7: the composed lifecycle + embedding-space dedup +
     # temperature mixture
     "corpus_pipeline_e2e",
+    # round 13: the two-day incremental lifecycle (admission vs stored
+    # corpus + day-partition overwrite + ledger-guarded index append +
+    # idempotent re-run)
+    "corpus_pipeline_incremental",
     "semantic_dedup",
     "mixture_temperature_weights",
     # round 10 (builder r13): embedding_dedup_clusters (the exact-fed

@@ -510,3 +510,82 @@ def changepoint_daily(
         qround(gain, 6).alias("sse_gain"),
     )
     return scored.orderBy(F.desc("sse_gain"), F.asc("split_day")).limit(top)
+
+
+def daily_drift_jsd(actions: DataFrame) -> DataFrame:
+    """Day-over-day DISTRIBUTION drift of the event-type mix: the
+    Jensen-Shannon divergence between each day's event-type
+    distribution and the previous day's — the standard bounded
+    (0..ln 2), symmetric drift monitor an ML-ops pipeline alarms on
+    when an upstream logger change or bot wave reshapes the traffic
+    mix (MAD/CUSUM watch per-series LEVELS; this watches the SHAPE
+    across types).
+
+    Arithmetic discipline: counts and totals stay exact BIGINTs; the
+    probabilities and ln() terms are the only doubles, and the final
+    JSD is quantized to 6 dp — the surprisal family's established
+    cross-engine contract for libm-carrying outputs.  Missing types
+    contribute 0 to their own side's KL term by the 0·ln(0) = 0
+    convention (guarded WHENs, never a NULL-propagating ln(0)).
+
+    Scale shape: one map-side-combined groupBy(day, event_type) over
+    the corpus; everything after reduces the |days|×|types| grid
+    (completed by a crossJoin of two tiny distinct frames so both
+    days of a pair see every type), which is dimension-sized at any
+    corpus size.  The day-pair join is grid⋈grid on (type, day+1)."""
+    counts = actions.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    tot = grid.groupBy("day").agg(F.sum("n").cast("bigint").alias("total"))
+    g = grid.join(tot, "day")
+    cur = g.select(
+        F.col("day"),
+        "event_type",
+        F.col("n").alias("n_cur"),
+        F.col("total").alias("t_cur"),
+    )
+    prev = g.select(
+        F.date_format(
+            F.date_add(F.to_date("day"), 1), "yyyy-MM-dd"
+        ).alias("day"),
+        "event_type",
+        F.col("n").alias("n_prev"),
+        F.col("total").alias("t_prev"),
+    )
+    j = cur.join(prev, ["day", "event_type"])
+    p = F.col("n_prev").cast("double") / F.col("t_prev").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(F.col("n_prev") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("n_cur") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    from ..functions import qround
+
+    # per-type JSD contribution, then an ORDER-PINNED left fold over
+    # the types (collect_list order is nondeterministic; array_sort on
+    # the (event_type, term) struct pins it — the repo's discipline
+    # for float sums in gated outputs, same as the entropy fold in
+    # engagement.user_behavior_profile)
+    per_type = j.select(
+        "day", "event_type", ((term_p + term_q) / F.lit(2.0)).alias("term")
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("event_type", "term"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term"],
+    )
+    return (
+        per_type.groupBy("day")
+        .agg(qround(folded, 6).alias("jsd"))
+        .orderBy("day")
+    )

@@ -624,3 +624,43 @@ def user_behavior_profile(actions: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def rolling_7d_distinct_users(actions: DataFrame) -> DataFrame:
+    """Exact trailing-7-day DISTINCT active users per day — the DAU/
+    WAU-family metric that approx sketches usually take over, done
+    EXACTLY with a bounded-fan-out plan (the repo keeps a sketch twin
+    in monthly_users_hll_rollup; this is the exact-windowed shape).
+
+    COUNT(DISTINCT) does not decompose over a sliding window (a user
+    active on 3 of the 7 days must count once), so a window-function
+    sum is wrong and re-scanning per offset is 7 scans.  Instead:
+    dedup to (day, user) pairs — the only corpus-sized shuffle — then
+    each pair contributes to the ≤7 window-end days it can serve
+    (sequence explode, fan-out bounded by the window length, NOT the
+    corpus), dedup (window_day, user), count.  Window days with no
+    activity of their own are not reported (they exist only as
+    donors); the report is 'for each active day, distinct users over
+    [day-6, day]'."""
+    pairs = (
+        actions.select(F.to_date("day").alias("d"), "user_id")
+        .where(F.col("user_id").isNotNull())
+        .dropDuplicates(["d", "user_id"])
+    )
+    days = pairs.select(F.col("d").alias("win_day")).distinct()
+    donated = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "win_day"
+        ),
+        "user_id",
+    ).dropDuplicates(["win_day", "user_id"])
+    return (
+        donated.join(days, "win_day")
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users_7d"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+            "distinct_users_7d",
+        )
+        .orderBy("day")
+    )

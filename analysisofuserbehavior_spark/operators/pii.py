@@ -68,3 +68,30 @@ def synthesize_pii(docs: DataFrame) -> DataFrame:
         F.when(did % 11 == 0, card).otherwise(F.lit("")),
     )
     return docs.select("doc_id", text.alias("text"))
+
+
+def k_anonymity_report(users, k: int = 5):
+    """k-ANONYMITY audit over the user dimension's quasi-identifier
+    tuple (city, sex, age decade): every combination small enough to
+    re-identify — group size < k — with its size, the governance
+    check run before an analytics extract leaves the warehouse
+    (complements the erasure/redaction family: those remove direct
+    identifiers; this measures LINKABILITY of the rest).
+
+    Age is bucketed to decades BEFORE grouping (the generalization
+    step of k-anonymization); the report lists the still-risky
+    tuples.  Scale shape: one map-side-combined groupBy over the
+    dimension; the report is QI-domain-sized."""
+    from pyspark.sql import functions as F
+
+    qi = users.select(
+        "city",
+        "sex",
+        (F.col("age") - (F.col("age") % 10)).cast("bigint").alias("age_decade"),
+    )
+    return (
+        qi.groupBy("city", "sex", "age_decade")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .where(F.col("group_size") < k)
+        .orderBy("city", "sex", "age_decade")
+    )

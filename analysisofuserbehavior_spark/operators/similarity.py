@@ -950,3 +950,72 @@ def ann_recall_report(
         )
         .orderBy("query_id")
     )
+
+
+def ann_matryoshka_overlap(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    prefix_dims: int = 32,
+) -> DataFrame:
+    """Retrieval-quality check for MATRYOSHKA-style truncated
+    embeddings: per query, how much of the full-dimension cosine
+    top-k survives when the index stores only the first
+    `prefix_dims` coordinates — the decision metric for the
+    memory/recall trade a 100 TB vector store actually makes (half
+    the dims = half the scan bytes; MRL-trained models front-load
+    information precisely so this overlap stays high).
+
+    Both rankings follow the ANN family's cross-engine discipline
+    (_sim_order: 3-dp quantized cosine, id tie-break), so the overlap
+    counts are deterministic and hash-gate; recall is the exact
+    rational n_overlap/k.
+
+    Scale shape: the ≤n_queries query block broadcasts; both
+    similarity passes are a single map over the corpus (the truncated
+    pass reads prefix_dims/d of the vector bytes — in a columnar
+    store with sliced vectors that is a genuine IO cut, here it
+    models the scan); the overlap join is top-k-sized."""
+    q = embeddings.where(F.col("vec_id") < n_queries)
+    full_q = _with_vec(q, "query_id", "q_vec", "q_norm")
+    full_c = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
+
+    def _with_prefix(df: DataFrame, id_alias: str, vec: str, n: str) -> DataFrame:
+        v = _to_double(F.slice(F.col("embedding"), 1, prefix_dims))
+        return df.select(
+            F.col("vec_id").alias(id_alias), v.alias(vec), norm(v).alias(n)
+        )
+
+    pre_q = _with_prefix(q, "query_id", "q_vec", "q_norm")
+    pre_c = _with_prefix(embeddings, "neighbor_id", "n_vec", "n_norm")
+
+    def topk(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+        sims = corpus.join(
+            F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+        ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+        w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(full_q, full_c)
+    pre = topk(pre_q, pre_c)
+    hits = full.join(pre, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

@@ -5249,3 +5249,140 @@ SELECT CAST(gap_days AS BIGINT) AS gap_days,
 FROM g WHERE gap_days IS NOT NULL
 GROUP BY 1 ORDER BY gap_days
 """
+
+# point-in-time SCD2 enrichment: the two-version history (LEGACY
+# before min(ts)+14d, current segment from that day on) collapses to a
+# CASE against the split day — the as-of carry-forward on the Spark
+# side must pick exactly this version per event day
+ORACLE["events_segment_pit"] = f"""
+WITH {SESSIONIZE_CTES},
+sp AS (
+  SELECT coalesce(strftime(min(ts) + INTERVAL 14 DAY, '%Y-%m-%d'),
+                  '1970-01-15') AS split_day
+  FROM events
+),
+seg AS (
+  SELECT a.event_type,
+         CASE WHEN c.c_custkey IS NULL THEN 'UNKNOWN'
+              WHEN a.day >= sp.split_day THEN c.c_mktsegment
+              ELSE 'LEGACY' END AS segment
+  FROM actions a CROSS JOIN sp
+  LEFT JOIN customer c ON a.user_id = c.c_custkey
+)
+SELECT segment, event_type, CAST(count(*) AS BIGINT) AS n
+FROM seg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# day-over-day Jensen-Shannon drift; the per-day float fold is
+# order-pinned on event_type in BOTH engines (Spark: array_sort +
+# aggregate left fold; here: list(... ORDER BY event_type) summed in
+# list order)
+ORACLE["daily_drift_jsd"] = f"""
+WITH {SESSIONIZE_CTES},
+counts AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM actions GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM counts),
+types AS (SELECT DISTINCT event_type FROM counts),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+),
+tot AS (SELECT day, sum(n) AS total FROM grid GROUP BY 1),
+g AS (SELECT grid.day, event_type, n, total FROM grid JOIN tot USING (day)),
+j AS (
+  SELECT cur.day, cur.event_type,
+         prev.n AS n_prev, prev.total AS t_prev,
+         cur.n AS n_cur, cur.total AS t_cur
+  FROM g cur JOIN g prev
+    ON cur.event_type = prev.event_type
+   AND CAST(cur.day AS DATE) = CAST(prev.day AS DATE) + INTERVAL 1 DAY
+),
+terms AS (
+  SELECT day, event_type,
+    (CASE WHEN n_prev > 0
+          THEN (CAST(n_prev AS DOUBLE) / t_prev)
+               * ln((CAST(n_prev AS DOUBLE) / t_prev)
+                    / ((CAST(n_prev AS DOUBLE) / t_prev
+                        + CAST(n_cur AS DOUBLE) / t_cur) / 2.0))
+          ELSE 0.0 END
+   + CASE WHEN n_cur > 0
+          THEN (CAST(n_cur AS DOUBLE) / t_cur)
+               * ln((CAST(n_cur AS DOUBLE) / t_cur)
+                    / ((CAST(n_prev AS DOUBLE) / t_prev
+                        + CAST(n_cur AS DOUBLE) / t_cur) / 2.0))
+          ELSE 0.0 END) / 2.0 AS term
+  FROM j
+)
+SELECT day,
+       floor(list_sum(list(term ORDER BY event_type)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jsd
+FROM terms GROUP BY day ORDER BY day
+"""
+
+# exact sliding COUNT(DISTINCT): window days take every pair within
+# [day-6, day]; only days with their own activity are reported
+ORACLE["rolling_7d_distinct_users"] = f"""
+WITH {SESSIONIZE_CTES},
+pairs AS (
+  SELECT DISTINCT CAST(day AS DATE) AS d, user_id
+  FROM actions WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT d AS win_day FROM pairs)
+SELECT strftime(w.win_day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS distinct_users_7d
+FROM days w
+JOIN pairs p ON p.d BETWEEN w.win_day - INTERVAL 6 DAY AND w.win_day
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["k_anonymity_report"] = f"""
+WITH {USERS_CTE}
+SELECT city, sex,
+       CAST(age - (age % 10) AS BIGINT) AS age_decade,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM users
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY 1, 2, 3
+"""
+
+# matryoshka truncation: full-dim top-10 vs first-32-dims top-10,
+# both ranked by 3-dp quantized cosine with id tie-break
+ORACLE["ann_matryoshka_overlap"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ep AS (SELECT vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS v FROM embeddings),
+fullk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5)
+                        / 1000.0 DESC, c.vec_id ASC) AS rn
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 10
+),
+prek AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY floor(list_cosine_similarity(q.v, c.v) * 1000.0 + 0.5)
+                        / 1000.0 DESC, c.vec_id ASC) AS rn
+    FROM ep q JOIN ep c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT query_id, count(*) AS n
+  FROM fullk JOIN prek USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM fullk) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""

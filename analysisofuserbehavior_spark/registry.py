@@ -1327,6 +1327,113 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("events_segment_pit")
+def q_events_segment_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension enrichment: every event joined to the
+    customer segment that was valid ON THE EVENT'S DAY, against a
+    two-version SCD2-style history (LEGACY before min(ts)+14d, the
+    current c_mktsegment from that day on) — the warehouse join that
+    makes training features time-travel-correct (joining today's
+    dimension onto last year's facts leaks the future).
+
+    Implemented with the as-of machinery (temporal_join.asof_join:
+    union-tag + one keyed carry-forward window, strict=False so a
+    version effective ON the day applies) rather than a range join —
+    at bounded versions-per-key both work; the carry-forward form
+    shuffles each side once on the key and keeps O(1) window state.
+    Events from users without a dimension row report segment
+    'UNKNOWN'.  Output is the (segment, event_type) contingency —
+    dimension-sized."""
+    from datetime import datetime, timedelta
+
+    from .operators.temporal_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
+    split_day = (t0 + timedelta(days=14)).strftime("%Y-%m-%d")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit("LEGACY").alias("segment"),
+        F.lit("1970-01-01").alias("valid_from"),
+    ).unionByName(
+        cust.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(split_day).alias("valid_from"),
+        )
+    )
+    acts = _actions(spark, sf_dir).select("user_id", "day", "event_type")
+    enriched = asof_join(
+        acts,
+        dim,
+        by=["user_id"],
+        left_ts="day",
+        right_ts="valid_from",
+        carry=["segment"],
+        # the two versions have distinct valid_from (no right-side ts
+        # ties), so the tiebreak never decides; it must name a carried
+        # column for the window spec
+        tiebreak="segment",
+        strict=False,
+    )
+    return (
+        enriched.select(
+            F.coalesce(F.col("prior_segment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+        )
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("segment", "event_type")
+    )
+
+
+@query("daily_drift_jsd")
+def q_daily_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Jensen-Shannon drift of the event-type mix — the
+    bounded symmetric SHAPE monitor next to the LEVEL monitors
+    (daily_anomaly_mad / cusum_drift_daily).  Exact-integer counts,
+    order-pinned ln fold, 6-dp quantized output (the surprisal
+    family's parity contract)."""
+    from .operators.diagnostics import daily_drift_jsd
+
+    return daily_drift_jsd(_actions(spark, sf_dir))
+
+
+@query("rolling_7d_distinct_users")
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per active day: the
+    non-decomposable sliding COUNT(DISTINCT) via bounded fan-out
+    (each (day,user) pair donates to ≤7 window days) instead of 7
+    re-scans or a sketch (the sketch twin is
+    monthly_users_hll_rollup)."""
+    from .operators.engagement import rolling_7d_distinct_users
+
+    return rolling_7d_distinct_users(_actions(spark, sf_dir))
+
+
+@query("k_anonymity_report")
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) of the user dimension over the
+    quasi-identifier tuple (city, sex, age decade) — the governance
+    side of the PII family: linkability measurement, not identifier
+    removal."""
+    from .operators.pii import k_anonymity_report
+
+    return k_anonymity_report(_users(spark, sf_dir))
+
+
+@query("ann_matryoshka_overlap")
+def q_ann_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation check: per query, the overlap between
+    the full-64-dim cosine top-10 and the first-32-dims top-10 —
+    the memory/recall trade a truncated vector index makes, measured
+    in-engine with the ANN family's quantized-rank discipline."""
+    from .operators.similarity import ann_matryoshka_overlap
+
+    return ann_matryoshka_overlap(_embeddings(spark, sf_dir))
+
+
 @query("session_paths")
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 event-type paths: the ordered action sequence of each

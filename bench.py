@@ -268,6 +268,13 @@ HEADLINE = [
     "bpe_learn_merges",
     "bpe_encode_stats",
     "hard_negative_mining",
+    # round 13: PIT dimension join, JSD drift monitor, exact sliding
+    # count-distinct, k-anonymity audit, matryoshka retrieval overlap
+    "events_segment_pit",
+    "daily_drift_jsd",
+    "rolling_7d_distinct_users",
+    "k_anonymity_report",
+    "ann_matryoshka_overlap",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",

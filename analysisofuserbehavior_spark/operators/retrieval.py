@@ -408,3 +408,159 @@ def hybrid_rrf_topk(
             "rrf_score",
         )
     )
+
+
+def bm25_score_dynamic(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a DYNAMIC term frame (`qterms`: one `token`
+    column) — the shape query expansion needs, where the term set is
+    data-derived and unknown at plan-author time, so `bm25_topk`'s
+    row-local literal-tf trick can't apply.
+
+    Postings explode restricted EARLY by a broadcast semi-join on the
+    query terms (the (doc, term) frame that exists is query-term-
+    sized, never corpus-vocabulary-sized); corpus stats stay exact
+    BIGINTs; the per-doc score is an ORDER-PINNED fold over the
+    matched terms sorted by token (collect_list order is
+    nondeterministic; both engines fold alphabetically), then 6-dp
+    quantized, doc_id tie-break — the bm25 family's parity contract."""
+    toks = _tokens()
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), toks.alias("toks")
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    matched = (
+        base.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .join(F.broadcast(qterms.select("token").distinct()), "token")
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_per_term = matched.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored_terms = (
+        matched.join(F.broadcast(df_per_term), "token")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("token", "part"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["part"],
+    )
+    return (
+        scored_terms.groupBy("doc_id")
+        .agg(qround(folded, 6).alias("bm25"))
+        .where(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    n_feedback: int = 5,
+    n_expansion: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Two-round retrieval with PSEUDO-RELEVANCE FEEDBACK (Rocchio/
+    RM-style): round 1 scores the seed terms (`bm25_topk`), the top
+    `n_feedback` documents donate expansion terms (highest total tf
+    among their tokens, excluding the seed terms and stopwords;
+    count-desc, token-asc tie-break — fully deterministic), and round
+    2 re-scores the corpus with seed ∪ expansion via the dynamic
+    scorer.
+
+    Scale shape: round 1 is bm25_topk (two scans + a 1-row
+    broadcast); the feedback set is n_feedback rows, so expansion
+    mining is a semi-join-pruned explode of ≤n_feedback documents;
+    round 2 is bm25_score_dynamic (query-term-sized posting frame).
+    Nothing new grows with the corpus."""
+    from .text_analysis import STOPWORDS
+
+    fb_ids = bm25_topk(docs, query_terms, k=n_feedback).select("doc_id")
+    toks = _tokens()
+    excluded = set(query_terms) | set(STOPWORDS)
+    expansion = (
+        docs.join(F.broadcast(fb_ids), "doc_id", "left_semi")
+        .select(F.explode(toks).alias("token"))
+        .where(~F.col("token").isin(*sorted(excluded)) & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(n_expansion)
+        .select("token")
+    )
+    spark = docs.sparkSession
+    seed = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    return bm25_score_dynamic(docs, seed.unionByName(expansion), k=k)
+
+
+def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCKETS) -> None:
+    """MAINTENANCE compaction for a `write_inverted_index` layout that
+    has taken appends: every `append_inverted_index` adds file(s) per
+    bucket directory and a row to the `_stats` manifest, so K ingests
+    leave K× the file count (the small-files problem) and a K-row
+    manifest.  Compaction rewrites each bucket as one file and the
+    manifest as one summed row — query results are IDENTICAL (postings
+    are a bag; the stats the scorer aggregates are already sums).
+
+    Crash safety: the new layout stages under `<path>_compact`, then
+    promotes via delete+atomic-rename (the staged-state promote
+    discipline of sources/upsert.py); a crash before the rename
+    leaves the live index untouched and readable.
+
+    Scale shape: one shuffle-free read per bucket directory coalesced
+    to its writer (repartition on the partition key), manifest sum is
+    a 1-row aggregate.  At 100 TB this is the nightly OPTIMIZE job —
+    bounded by index size, not corpus size."""
+    staged = path + "_compact"
+    postings = spark.read.parquet(path)
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staged)
+    stats = spark.read.parquet(path + "/_stats")
+    stats.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        F.max("n_buckets").cast("bigint").alias("n_buckets"),
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/_stats")
+    import os as _os
+
+    from ..sources.upsert import _fs_path
+
+    fs, live = _fs_path(spark, path)
+    _, new = _fs_path(spark, staged)
+    fs.delete(live, True)
+    if not fs.rename(new, live):
+        raise RuntimeError(f"index compact promote failed: {staged} -> {path}")

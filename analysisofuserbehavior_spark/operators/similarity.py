@@ -375,6 +375,42 @@ def write_ivf_index(
     cents.write.mode("overwrite").parquet(path + "/_centroids")
 
 
+def append_ivf_index(
+    embeddings_new: DataFrame,
+    path: str,
+) -> None:
+    """Incremental admission for the IVF layout: assign NEW vectors to
+    the EXISTING centroids (read back from the `_centroids` sidecar —
+    never re-trained; in production IVF maintenance, re-training the
+    coarse quantizer IS a rebuild, so daily appends assign-only) and
+    append them under their `cluster_id=<c>/` directories.  Work is
+    O(batch · n_clusters) — one broadcast assignment pass over the
+    arriving vectors, never a touch of the resident cells.
+
+    Because assignment is a pure function of (vector, centroids) and
+    the centroids are frozen, `ann_ivf_topk_indexed` over a base
+    index plus appends is hash-identical to a full rebuild over the
+    union whenever the union's centroid rule would pick the same
+    centroid set (gated: ann_ivf_topk_appended splits the corpus so
+    the first-n_clusters rule lands in the base)."""
+    spark = embeddings_new.sparkSession
+    cents = spark.read.parquet(path + "/_centroids")
+    corpus = _with_vec(embeddings_new, "neighbor_id", "n_vec", "n_norm")
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        *_sim_order("c_sim", "cluster_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("n_vec", "n_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "n_vec", "n_norm", "cluster_id")
+    )
+    assigned.repartition("cluster_id").write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+
+
 def ann_ivf_topk_indexed(
     spark,
     index_path: str,

@@ -1765,6 +1765,9 @@ SELECT vec_id, cluster_id FROM cl
 # deterministic construction over the materialized layout, so its
 # oracle IS ann_ivf_topk's
 ORACLE["ann_ivf_topk_indexed"] = ORACLE["ann_ivf_topk"]
+# index lifecycle twin: frozen-centroid append == full rebuild (the base
+# slice contains the centroid rule's picks), so the same oracle binds
+ORACLE["ann_ivf_topk_appended"] = ORACLE["ann_ivf_topk"]
 
 # mirror of operators/similarity.py::semantic_dedup (n_clusters=8,
 # threshold=0.85): first-8 centroids, quantized (3 dp) assignment and
@@ -5385,4 +5388,105 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM fullk) q
 LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
+"""
+
+# two-round pseudo-relevance feedback: round 1 = the literal-term BM25
+# (shared generator, k=5) nested as a subquery; expansion = top-2
+# total-tf tokens of the feedback docs minus seeds/stopwords; round 2
+# = postings-based BM25 with the per-doc score folded in token order
+# (mirrors bm25_score_dynamic's array_sort + aggregate left fold)
+_PRF_SEEDS = ("spark", "join", "window", "stream")
+_PRF_EXCLUDED = ", ".join(
+    f"'{t}'"
+    for t in sorted(
+        set(_PRF_SEEDS)
+        | {"a", "and", "for", "in", "is", "of", "on", "the", "to", "with"}
+    )
+)
+ORACLE["bm25_prf_topk"] = f"""
+WITH fb AS (
+  SELECT doc_id FROM ({_bm25_oracle(k=5)})
+),
+expterms AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split(d.text, ' ')) AS token
+      FROM documents d JOIN fb USING (doc_id)
+    )
+    WHERE token <> '' AND token NOT IN ({_PRF_EXCLUDED})
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 2
+  )
+),
+qterms AS (
+  SELECT 'spark' AS token UNION ALL SELECT 'join' UNION ALL
+  SELECT 'window' UNION ALL SELECT 'stream' UNION ALL
+  SELECT token FROM expterms
+),
+allstats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM documents
+),
+postings AS (
+  SELECT token, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  JOIN qterms USING (token)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+parts AS (
+  SELECT doc_id, token,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.5
+           / (tf + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS part
+  FROM postings JOIN dfs USING (token) CROSS JOIN allstats
+),
+scored2 AS (
+  SELECT doc_id,
+         floor(list_sum(list(part ORDER BY token)) * 1000000.0 + 0.5)
+           / 1000000.0 AS bm25
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored2
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+# lifecycle trilogy: compaction must not change query results
+ORACLE["bm25_topk_compacted"] = _bm25_oracle()
+
+ORACLE["purged_time_split"] = """
+WITH sp AS (
+  SELECT coalesce(strftime(min(ts) + INTERVAL 14 DAY, '%Y-%m-%d'),
+                  '1970-01-15') AS t_cut,
+         coalesce(strftime(min(ts) + INTERVAL 16 DAY, '%Y-%m-%d'),
+                  '1970-01-17') AS t_emb
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN strftime(ts, '%Y-%m-%d') <= t_cut THEN 'train'
+              WHEN strftime(ts, '%Y-%m-%d') <= t_emb THEN 'embargo'
+              ELSE 'test' END AS split,
+         strftime(ts, '%Y-%m-%d') AS day,
+         user_id
+  FROM events CROSS JOIN sp
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(day) AS min_day,
+       max(day) AS max_day
+FROM tagged
+WHERE split <> 'embargo'
+GROUP BY split
+ORDER BY split
 """

@@ -1423,6 +1423,116 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(_users(spark, sf_dir))
 
 
+@query("bm25_prf_topk")
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round retrieval with pseudo-relevance feedback: seed BM25
+    top-5 donates the 2 highest-tf non-seed non-stopword expansion
+    terms; the corpus re-scores on seed+expansion via the DYNAMIC
+    postings scorer (query-term-sized (doc,term) frame, order-pinned
+    score fold) — the query-expansion surface bm25_topk's literal-tf
+    trick cannot express."""
+    from .operators.retrieval import bm25_prf_topk
+
+    return bm25_prf_topk(_documents(spark, sf_dir))
+
+
+@query("ann_ivf_topk_appended")
+def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE parity: build the cluster-partitioned
+    layout from the base slice (vec_id < 400 — which contains the
+    first-n_clusters centroid rule's picks), APPEND the rest by
+    assigning against the frozen centroids (O(batch), no re-train,
+    no rebuild), query — hash-identical to the inline ann_ivf_topk
+    over the full corpus (shared oracle).  The vector-index twin of
+    bm25_topk_incremental."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ann_ivf_topk_indexed,
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ivf_app_q_")
+    path = work + "/idx"
+    write_ivf_index(emb.where(F.col("vec_id") < 400), path)
+    append_ivf_index(emb.where(F.col("vec_id") >= 400), path)
+    rows = ann_ivf_topk_indexed(spark, path, emb).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, rank long, neighbor_id long, sim double"
+    )
+
+
+@query("bm25_topk_compacted")
+def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE under the gate: build from the even doc_ids,
+    append the odd ones (the small-files accretion path), COMPACT the
+    layout (one file per bucket, summed manifest, staged+renamed
+    promote), query — hash-identical to the never-appended build and
+    to bm25_topk itself (shared oracle).  Completes the inverted-index
+    lifecycle trilogy: build (bm25_topk_indexed), ingest
+    (bm25_topk_incremental), optimize (this)."""
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import (
+        append_inverted_index,
+        bm25_topk_indexed,
+        compact_inverted_index,
+        write_inverted_index,
+    )
+
+    docs = _documents(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="invidx_cmp_")
+    path = work + "/idx"
+    write_inverted_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    append_inverted_index(docs.where(F.col("doc_id") % 2 == 1), path)
+    compact_inverted_index(spark, path)
+    rows = bm25_topk_indexed(spark, path).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, bm25 double")
+
+
+@query("purged_time_split")
+def q_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal cross-validation split with an EMBARGO: train = days
+    up to min(ts)+14d, a 2-day embargo band is DISCARDED, test = the
+    rest — the time-series hygiene rule (train/test adjacency leaks
+    short-horizon autocorrelation; the embargo buys independence).
+    The report carries per-split exact counts and day bounds, so a
+    boundary-day misassignment breaks the hash.  Complements
+    leakage_safe_split (content leakage) with TEMPORAL leakage."""
+    from datetime import datetime, timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
+    t_cut = (t0 + timedelta(days=14)).strftime("%Y-%m-%d")
+    t_emb = (t0 + timedelta(days=16)).strftime("%Y-%m-%d")
+    from .functions import day_col
+
+    tagged = ev.select(
+        F.when(day_col(F.col("ts").cast("timestamp")) <= t_cut, "train")
+        .when(day_col(F.col("ts").cast("timestamp")) <= t_emb, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        day_col(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    ).where(F.col("split") != "embargo")
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("split")
+    )
+
+
 @query("ann_matryoshka_overlap")
 def q_ann_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation check: per query, the overlap between

@@ -275,6 +275,10 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "k_anonymity_report",
     "ann_matryoshka_overlap",
+    "ann_ivf_topk_appended",
+    "bm25_prf_topk",
+    "bm25_topk_compacted",
+    "purged_time_split",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",

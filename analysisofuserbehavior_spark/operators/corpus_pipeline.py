@@ -340,15 +340,21 @@ def ingest_corpus_day(
     from .retrieval import append_inverted_index, write_inverted_index
 
     if first_day:
-        admitted = docs_day
+        admitted = docs_day.select("doc_id", "text")
     else:
         corpus = (
             spark.read.parquet(store_dir)
             .where(F.col("day") < day)
             .select("doc_id", "text")
         )
-        admitted = incremental_admit(docs_day, corpus)
-    admitted = admitted.select("doc_id", "text")
+        # the admitted frame feeds TWO writers (store + index);
+        # uncheckpointed, each re-runs the whole exact+near admission
+        # screen — truncate the lineage once per ingest
+        from ..functions.ckpt import ckpt
+
+        admitted = ckpt(
+            incremental_admit(docs_day, corpus).select("doc_id", "text")
+        )
     overwrite_day_partitions(
         admitted.withColumn("ts", F.lit(day + " 00:00:00").cast("timestamp")),
         store_dir,

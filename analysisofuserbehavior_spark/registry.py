@@ -16,6 +16,7 @@ from .operators import behavior_model as bm
 from .operators import session_analysis as sa
 from .functions import qround
 from .params import TaskParams
+from .session import scratch_dir
 from .sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -346,13 +347,12 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     just in a unit test.  File mtimes force the batch order; the
     oracle unrolls the same two phases as SQL CTEs."""
     import os as _os
-    import tempfile
     from datetime import datetime, timedelta
 
     from .functions import day_col, json_long
     from .streaming.ad_stream import BlacklistLoop
 
-    work = tempfile.mkdtemp(prefix="blfeed_q_")
+    work = scratch_dir(prefix="blfeed_q_")
     ev = load_table(spark, sf_dir, "events")
     src = ev.where(F.col("event_type") == "click").select(
         day_col(F.col("ts").cast("timestamp")).alias("day"),
@@ -587,11 +587,10 @@ def q_ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py), proving the 100 TB claim in ann_ivf_topk's
     docstring.  Same deterministic construction, so the hash oracle
     is ann_ivf_topk's."""
-    import tempfile
 
     from .operators.similarity import ann_ivf_topk_indexed, write_ivf_index
 
-    path = tempfile.mkdtemp(prefix="ivfidx_q_") + "/idx"
+    path = scratch_dir(prefix="ivfidx_q_") + "/idx"
     emb = _embeddings(spark, sf_dir)
     write_ivf_index(emb, path)
     return ann_ivf_topk_indexed(spark, path, emb)
@@ -1283,12 +1282,11 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     Result: the final index's BM25 top-k, each row joined to its
     store day plus the store's per-day doc counts."""
     import shutil
-    import tempfile
 
     from .operators.corpus_pipeline import ingest_corpus_day
     from .operators.retrieval import bm25_topk_indexed
 
-    work = tempfile.mkdtemp(prefix="corpinc_q_")
+    work = scratch_dir(prefix="corpinc_q_")
     store, idx = work + "/store", work + "/idx"
     docs = _documents(spark, sf_dir)
     day1 = docs.where(F.col("doc_id") % 10 != 0)
@@ -1446,7 +1444,6 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the full corpus (shared oracle).  The vector-index twin of
     bm25_topk_incremental."""
     import shutil
-    import tempfile
 
     from .operators.similarity import (
         ann_ivf_topk_indexed,
@@ -1455,7 +1452,7 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _embeddings(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="ivf_app_q_")
+    work = scratch_dir(prefix="ivf_app_q_")
     path = work + "/idx"
     write_ivf_index(emb.where(F.col("vec_id") < 400), path)
     append_ivf_index(emb.where(F.col("vec_id") >= 400), path)
@@ -1476,7 +1473,6 @@ def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle trilogy: build (bm25_topk_indexed), ingest
     (bm25_topk_incremental), optimize (this)."""
     import shutil
-    import tempfile
 
     from .operators.retrieval import (
         append_inverted_index,
@@ -1486,7 +1482,7 @@ def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="invidx_cmp_")
+    work = scratch_dir(prefix="invidx_cmp_")
     path = work + "/idx"
     write_inverted_index(docs.where(F.col("doc_id") % 2 == 0), path)
     append_inverted_index(docs.where(F.col("doc_id") % 2 == 1), path)
@@ -1976,12 +1972,11 @@ def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     UPDATE count = count + delta / INSERT, set-oriented).  merge="sum"
     accumulation across micro-batches must equal the batch groupBy —
     the ad_user_click_count oracle."""
-    import tempfile
 
     from .sources.upsert import ParquetUpsertSink
     from .streaming.ad_stream import read_event_stream
 
-    work = tempfile.mkdtemp(prefix="upsert_q_")
+    work = scratch_dir(prefix="upsert_q_")
     sink = ParquetUpsertSink(
         f"{work}/table", ["day", "user_id", "ad_id"], ["click_count"], merge="sum"
     )
@@ -2019,13 +2014,12 @@ def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataF
     correct.  The query RAISES if the injected crash did not fire, so
     this gate row cannot go green without traversing recovery."""
     import os as _os
-    import tempfile
     from datetime import datetime, timedelta
 
     from .functions import day_col, json_long
     from .sources.upsert import ParquetUpsertSink
 
-    work = tempfile.mkdtemp(prefix="upsert_crash_q_")
+    work = scratch_dir(prefix="upsert_crash_q_")
     ev = load_table(spark, sf_dir, "events")
     src = ev.select(
         day_col(F.col("ts").cast("timestamp")).alias("day"),
@@ -2109,11 +2103,10 @@ def q_streaming_scd2_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     streaming_upsert_crash_recovery).  Complements the unit-only
     fold-idempotency coverage flagged in round 5 (tests/test_upsert.py)."""
     import os as _os
-    import tempfile
 
     from .sources.upsert import Scd2Sink
 
-    work = tempfile.mkdtemp(prefix="scd2_crash_q_")
+    work = scratch_dir(prefix="scd2_crash_q_")
     cust = load_table(spark, sf_dir, "customer")
     phase1 = cust.select(
         F.col("c_custkey").alias("custkey"),
@@ -2183,9 +2176,8 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full append-mode contract in ANSI SQL."""
     import glob as _glob
     import os as _os
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="late_drop_q_")
+    work = scratch_dir(prefix="late_drop_q_")
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
@@ -3988,13 +3980,12 @@ def q_streaming_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFr
     exactly (streaming/stateful.py::funnel_levels_stream)."""
     import os as _os
     import shutil
-    import tempfile
     from datetime import datetime, timedelta
 
     from .streaming.ad_stream import run_to_completion
     from .streaming.stateful import final_funnel_counts, funnel_levels_stream
 
-    work = tempfile.mkdtemp(prefix="sfunnel_q_")
+    work = scratch_dir(prefix="sfunnel_q_")
     ev = load_table(spark, sf_dir, "events")
     t0 = ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)
     split = t0 + timedelta(days=14)
@@ -4257,12 +4248,11 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py); semantics over bounded replay are
     identical."""
     import os as _os
-    import tempfile
     from datetime import datetime, timedelta
 
     from .streaming.ad_stream import run_to_completion
 
-    work = tempfile.mkdtemp(prefix="sdedup_q_")
+    work = scratch_dir(prefix="sdedup_q_")
     ev = load_table(spark, sf_dir, "events")
     src = ev.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
     # empty-log guard (see ad_blacklist_feedback)
@@ -4319,14 +4309,13 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized layout, built once and queried many times; rebuilding
     per query would mis-state the operator's cost the same way
     re-sessionizing per query did before enable_shared_scan."""
-    import tempfile
 
     from .operators.retrieval import bm25_topk_indexed, write_inverted_index
 
     cache = _INV_INDEX.setdefault(spark, {})
     path = cache.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="invidx_q_") + "/idx"
+        path = scratch_dir(prefix="invidx_q_") + "/idx"
         write_inverted_index(_documents(spark, sf_dir), path)
         cache[sf_dir] = path
     return bm25_topk_indexed(spark, path)
@@ -4339,7 +4328,6 @@ def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes, no rebuild), query — hash-identical to the full build and
     to bm25_topk itself (shared oracle).  The index lifecycle twin of
     curation.incremental_admit."""
-    import tempfile
 
     from .operators.retrieval import (
         append_inverted_index,
@@ -4348,7 +4336,7 @@ def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="invidx_inc_") + "/idx"
+    path = scratch_dir(prefix="invidx_inc_") + "/idx"
     write_inverted_index(docs.where(F.col("doc_id") % 2 == 0), path)
     append_inverted_index(docs.where(F.col("doc_id") % 2 == 1), path)
     return bm25_topk_indexed(spark, path)
@@ -5071,13 +5059,12 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_dedup_keys replay fixture)."""
     import os as _os
     import shutil
-    import tempfile
     from datetime import datetime, timedelta
 
     from .operators.text_analysis import cm_bucket
 
     width, depth, n_targets = 256, 4, 20
-    work = tempfile.mkdtemp(prefix="scm_q_")
+    work = scratch_dir(prefix="scm_q_")
     ev = load_table(spark, sf_dir, "events")
     split_ts = (ev.agg(F.min("ts")).first()[0] or datetime(1970, 1, 1)) + timedelta(
         days=14

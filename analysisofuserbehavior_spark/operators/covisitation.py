@@ -165,3 +165,81 @@ def basket_affinity_rules(
     return a2b.unionByName(b2a).where(
         F.col("confidence") >= F.lit(min_confidence)
     )
+
+
+def covisit_next_item_hitrate(actions: DataFrame, k: int = 5) -> DataFrame:
+    """OFFLINE EVALUATION of a sequential co-visitation recommender:
+    leave-one-out next-item hit-rate@k — the metric that decides
+    whether a "customers also viewed" transition model ships.
+
+    Protocol (all deterministic, mirrored in the oracle):
+      * per user, clicks ordered by (ts, event_id); users with >= 2
+        clicks are the evaluation set, their LAST click is held out;
+      * the transition model trains on every consecutive click pair
+        EXCEPT each user's final transition (no test leakage);
+      * rec(source) = top-k target items by transition count
+        (count desc, item asc tie-break);
+      * a user scores a hit when the held-out item appears in
+        rec(penultimate item).
+
+    Output is the one-row summary (k, n_eval_users, n_hits,
+    hit_rate) — counts exact BIGINTs, the rate one final division.
+
+    Scale shape: one user-keyed window (the same sessionize shuffle
+    class) derives ranks; transitions reduce via a map-side-combined
+    groupBy; the rec lists are a |distinct source items| × k frame
+    that BROADCASTS onto the per-user evaluation rows.  Nothing
+    retains per-user state beyond the two boundary ranks."""
+    from pyspark.sql import Window
+
+    from ..functions import qround
+
+    clicks = actions.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("category_id").alias("item")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = clicks.select(
+        "user_id",
+        "item",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
+    ).where(F.col("cnt") >= 2)
+    trans = ranked.select(
+        "user_id",
+        "rn",
+        "cnt",
+        F.col("item").alias("src"),
+        F.lead("item").over(w.orderBy("rn")).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    train = trans.where(F.col("rn") < F.col("cnt") - 1)
+    counts = train.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    recs = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= k)
+        .select("src", "dst")
+    )
+    test = trans.where(F.col("rn") == F.col("cnt") - 1).select(
+        "user_id", "src", F.col("dst").alias("truth")
+    )
+    hits = test.join(
+        F.broadcast(recs),
+        (test["src"] == recs["src"]) & (test["truth"] == recs["dst"]),
+        "left_semi",
+    )
+    n_users = test.select(F.count(F.lit(1)).cast("bigint").alias("n_eval_users"))
+    n_hits = hits.select(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        n_users.crossJoin(n_hits)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_eval_users",
+            "n_hits",
+            qround(
+                F.col("n_hits").cast("double") / F.col("n_eval_users").cast("double"),
+                6,
+            ).alias("hit_rate"),
+        )
+    )

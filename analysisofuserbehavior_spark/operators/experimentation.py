@@ -391,3 +391,60 @@ def ab_test_quantile_effects(
         *[c for p in percents for c in (F.col(f"p{p}_a"), F.col(f"p{p}_b"))],
         *diffs,
     )
+
+
+def offpolicy_ips_estimate(actions: DataFrame) -> DataFrame:
+    """Off-policy evaluation of a DETERMINISTIC target ad policy from
+    uniformly-logged click data — inverse propensity scoring (IPS)
+    and its self-normalized variant (SNIPS), the counterfactual
+    "what would the new policy have earned" estimate an ads/recsys
+    team computes before an online test (Horvitz-Thompson estimator;
+    Swaminathan & Joachims 2015 for SNIPS).
+
+    Logged bandit feedback: each click row is (context=user, action=
+    ad_id drawn uniformly from the 10 ads by the fixture's %10
+    derivation → propensity exactly 1/10, reward=value).  Target
+    policy π(user) = user_id % 10 (deterministic, so the importance
+    weight is 10·1{logged action == π(user)}).
+
+      IPS   = Σ r·w / n          (unbiased, higher variance)
+      SNIPS = Σ r·w / Σ w        (biased, variance-controlled)
+
+    Arithmetic discipline: rewards quantize to integer cents at the
+    row (the repo's money rule), so both numerators and Σ w are exact
+    BIGINTs; each estimate is ONE final double division, 6-dp
+    quantized.  Scale shape: a single map-side-combined global
+    aggregate over the click log — no shuffle beyond the 1-row
+    reduce."""
+    from ..functions import json_long, qround
+
+    logged = actions.where(F.col("event_type") == "click").select(
+        "user_id",
+        (json_long("props", "$.k") % 10).alias("ad_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("r_cents"),
+    )
+    match = (F.col("ad_id") == F.col("user_id") % 10).cast("bigint")
+    agg = logged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.sum(match).cast("bigint").alias("n_matched"),
+        F.sum(match * F.col("r_cents")).cast("bigint").alias("matched_cents"),
+    )
+    ips = (
+        F.col("matched_cents").cast("double")
+        * F.lit(10.0)
+        / F.col("n_logged").cast("double")
+        / F.lit(100.0)
+    )
+    snips = F.when(
+        F.col("n_matched") > 0,
+        F.col("matched_cents").cast("double")
+        / F.col("n_matched").cast("double")
+        / F.lit(100.0),
+    )
+    return agg.select(
+        "n_logged",
+        "n_matched",
+        "matched_cents",
+        qround(ips, 6).alias("ips_estimate"),
+        qround(snips, 6).alias("snips_estimate"),
+    )

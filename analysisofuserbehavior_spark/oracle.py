@@ -5490,3 +5490,91 @@ WHERE split <> 'embargo'
 GROUP BY split
 ORDER BY split
 """
+
+ORACLE["lang_id_confusion"] = """
+WITH pred AS (
+  SELECT doc_id, lang AS true_lang,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('a','and','for','in','is','of','on','the','to','with'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.02
+              THEN 'en' ELSE 'unk' END AS lang_guess
+  FROM documents
+),
+conf AS (
+  SELECT true_lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+acc AS (
+  SELECT floor(CAST(sum(CASE WHEN (true_lang = 'en') = (lang_guess = 'en')
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+  FROM pred
+)
+SELECT true_lang, lang_guess, n, accuracy
+FROM conf CROSS JOIN acc
+ORDER BY true_lang, lang_guess
+"""
+
+ORACLE["offpolicy_ips_estimate"] = f"""
+WITH {SESSIONIZE_CTES},
+logged AS (
+  SELECT user_id, ad_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS r_cents,
+         CASE WHEN ad_id = user_id % 10 THEN 1 ELSE 0 END AS m
+  FROM actions WHERE event_type = 'click'
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_logged,
+         CAST(sum(m) AS BIGINT) AS n_matched,
+         CAST(sum(m * r_cents) AS BIGINT) AS matched_cents
+  FROM logged
+)
+SELECT n_logged, n_matched, matched_cents,
+       floor(CAST(matched_cents AS DOUBLE) * 10.0 / n_logged / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS ips_estimate,
+       CASE WHEN n_matched > 0
+            THEN floor(CAST(matched_cents AS DOUBLE) / n_matched / 100.0
+                       * 1000000.0 + 0.5) / 1000000.0 END AS snips_estimate
+FROM agg
+"""
+
+ORACLE["covisit_next_item_hitrate"] = f"""
+WITH {SESSIONIZE_CTES},
+clicks AS (
+  SELECT user_id, ts, event_id, category_id AS item
+  FROM actions WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT user_id, item,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM clicks
+),
+r2 AS (SELECT * FROM ranked WHERE cnt >= 2),
+trans AS (
+  SELECT user_id, rn, cnt, item AS src,
+         lead(item) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+  FROM r2
+),
+tx AS (SELECT * FROM trans WHERE dst IS NOT NULL),
+train AS (SELECT src, dst, count(*) AS n FROM tx WHERE rn < cnt - 1 GROUP BY 1, 2),
+recs AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst ASC) AS rk
+    FROM train
+  ) WHERE rk <= 5
+),
+test AS (SELECT user_id, src, dst AS truth FROM tx WHERE rn = cnt - 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval_users,
+         CAST(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM recs r WHERE r.src = test.src AND r.dst = test.truth
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM test
+)
+SELECT CAST(5 AS BIGINT) AS k, n_eval_users, n_hits,
+       floor(CAST(n_hits AS DOUBLE) / n_eval_users * 1000000.0 + 0.5)
+         / 1000000.0 AS hit_rate
+FROM stats
+"""

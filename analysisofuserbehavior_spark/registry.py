@@ -1463,6 +1463,57 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lang_id_confusion")
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine CLASSIFIER EVALUATION: the stopword-density language
+    detector scored against the corpus's ground-truth `lang` label as
+    a confusion matrix, with the overall accuracy carried on every
+    row — the audit artifact a data-quality pipeline keeps next to
+    any heuristic tagger (the detector is en-vs-unk, so the matrix
+    shows exactly which non-English languages leak through)."""
+    from .operators.text_analysis import lang_id
+
+    docs = _documents(spark, sf_dir)
+    pred = lang_id(docs).select("doc_id", "lang_guess")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(pred, "doc_id")
+    conf = j.groupBy("true_lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    acc = j.agg(
+        qround(
+            F.sum(
+                (
+                    (F.col("true_lang") == "en") == (F.col("lang_guess") == "en")
+                ).cast("bigint")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy")
+    )
+    return conf.crossJoin(acc).orderBy("true_lang", "lang_guess")
+
+
+@query("offpolicy_ips_estimate")
+def q_offpolicy_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual policy value from uniformly-logged click data:
+    IPS and SNIPS estimates of the deterministic target ad policy
+    π(user) = user % 10 — exact-integer numerators (cents), one
+    final division each."""
+    from .operators.experimentation import offpolicy_ips_estimate
+
+    return offpolicy_ips_estimate(_actions(spark, sf_dir))
+
+
+@query("covisit_next_item_hitrate")
+def q_covisit_next_item_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out next-item hit-rate@5 of the co-visitation
+    transition recommender — offline recsys evaluation with the final
+    transition of every user held out of training."""
+    from .operators.covisitation import covisit_next_item_hitrate
+
+    return covisit_next_item_hitrate(_actions(spark, sf_dir))
+
+
 @query("bm25_topk_compacted")
 def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index MAINTENANCE under the gate: build from the even doc_ids,

@@ -279,6 +279,9 @@ HEADLINE = [
     "bm25_prf_topk",
     "bm25_topk_compacted",
     "purged_time_split",
+    "lang_id_confusion",
+    "offpolicy_ips_estimate",
+    "covisit_next_item_hitrate",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",

@@ -82,3 +82,80 @@ def test_prf_expansion_changes_ranking(spark):
     # expansion terms come from the corpus itself, so the PRF run must
     # still retrieve a non-empty, seed-overlapping set
     assert prf and prf & seed_only
+
+
+def test_ips_estimates_on_constructed_log(spark):
+    """4 logged clicks, 2 matching the target policy: IPS and SNIPS
+    have closed forms."""
+    from analysisofuserbehavior_spark.operators.experimentation import (
+        offpolicy_ips_estimate,
+    )
+
+    rows = [
+        # user 1 -> target ad 1
+        (1, "click", 1, 2.00),   # matched, $2
+        (1, "click", 3, 9.99),   # not matched
+        (2, "click", 2, 4.00),   # matched, $4
+        (12, "click", 5, 1.00),  # user 12 -> target 2, not matched
+    ]
+    acts = spark.createDataFrame(
+        [(u, t, f'{{"k": {ad}}}', v) for u, t, ad, v in rows],
+        "user_id long, event_type string, props string, value double",
+    )
+    out = offpolicy_ips_estimate(acts).collect()[0]
+    assert out["n_logged"] == 4 and out["n_matched"] == 2
+    assert out["matched_cents"] == 600
+    # IPS = 600 * 10 / 4 / 100 = 15.0 ; SNIPS = 600 / 2 / 100 = 3.0
+    assert out["ips_estimate"] == 15.0
+    assert out["snips_estimate"] == 3.0
+
+
+def test_covisit_hitrate_excludes_final_transition_from_training(spark):
+    """User A's history is b->c->d; user B's is b->c.  Training sees
+    only A's non-final transitions (b->c), so rec(c) is EMPTY (c->d
+    was final for A and c is B's penultimate item) — B and A both
+    miss unless another user supplies c->? transitions."""
+    from analysisofuserbehavior_spark.operators.covisitation import (
+        covisit_next_item_hitrate,
+    )
+
+    rows = [
+        # user, ts_offset, event_id, item
+        (1, 0, 1, 10), (1, 1, 2, 20), (1, 2, 3, 30),   # b->c->d
+        (2, 0, 4, 10), (2, 1, 5, 20),                   # b->c
+    ]
+    acts = spark.createDataFrame(
+        [
+            (u, "click", f"2024-01-01 00:00:0{s}", e, i)
+            for u, s, e, i in rows
+        ],
+        "user_id long, event_type string, ts_s string, event_id long, category_id long",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS timestamp) AS ts",
+        "event_id", "category_id",
+    )
+    out = covisit_next_item_hitrate(acts, k=5).collect()[0]
+    # eval users: 1 (test 20->30) and 2 (test 10->20).
+    # training = user 1's rn<cnt-1 transitions only: (10->20).
+    # rec(20) is empty -> user 1 misses; rec(10)=[20] -> user 2 hits.
+    assert out["n_eval_users"] == 2
+    assert out["n_hits"] == 1
+    assert out["hit_rate"] == 0.5
+
+
+def test_lang_id_confusion_accuracy_bounds(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["lang_id_confusion"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    accs = {r["accuracy"] for r in rows}
+    assert len(accs) == 1  # one global accuracy on every row
+    acc = accs.pop()
+    assert 0.0 <= acc <= 1.0
+    # accuracy must equal the en/en + non-en/unk mass
+    correct = sum(
+        r["n"]
+        for r in rows
+        if (r["true_lang"] == "en") == (r["lang_guess"] == "en")
+    )
+    assert abs(acc - correct / total) < 1e-6

@@ -5578,3 +5578,28 @@ SELECT CAST(5 AS BIGINT) AS k, n_eval_users, n_hits,
          / 1000000.0 AS hit_rate
 FROM stats
 """
+
+# additive schema evolution: days before the midpoint never had the
+# revenue column — the merged read must surface them with NULL revenue
+ORACLE["schema_evolution_union"] = f"""
+WITH {SESSIONIZE_CTES},
+daily AS (
+  SELECT day, user_id,
+         CAST(count(*) AS BIGINT) AS clicks,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM actions WHERE event_type = 'click'
+  GROUP BY 1, 2
+),
+days AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS i FROM (SELECT DISTINCT day FROM daily)),
+mid AS (SELECT day AS m FROM days WHERE i = (SELECT count(*) // 2 FROM days)),
+merged AS (
+  SELECT day, user_id, clicks,
+         CASE WHEN day >= (SELECT m FROM mid) THEN rev_cents END AS rev_cents
+  FROM daily
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(clicks) AS BIGINT) AS total_clicks,
+       CAST(sum(rev_cents) AS BIGINT) AS total_rev_cents
+FROM merged GROUP BY day ORDER BY day
+"""

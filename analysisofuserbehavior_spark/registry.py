@@ -1463,6 +1463,72 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("schema_evolution_union")
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across table partitions: day 1 lands with the
+    v1 schema (user_id, clicks); day 2 adds a `revenue` column; the
+    reader must union them with NULL back-fill (mergeSchema — the
+    additive-evolution contract Delta/Iceberg formalize; plain
+    parquet supports it via footer-schema merging at planning time).
+    The gate aggregates per day over the merged read, so a reader
+    that drops the new column, drops the old rows, or misaligns the
+    back-fill breaks the hash.
+
+    Scale note: mergeSchema=true costs a footer read per FILE at
+    planning — fine for a handful of evolving days; a 100 TB table
+    carries the schema in the table format's metadata instead, which
+    is why the assert-and-evolve lives there.  The day-partitioned
+    layout keeps partition pruning intact either way."""
+    import shutil
+
+    from .session import scratch_dir
+
+    work = scratch_dir("schevo_q_")
+    ev = load_table(spark, sf_dir, "events")
+    from .functions import day_col
+
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .select(day_col(F.col("ts").cast("timestamp")).alias("day"), "user_id", "value")
+        .groupBy("day", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("clicks"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("rev_cents"),
+        )
+    )
+    days = sorted(r[0] for r in daily.select("day").distinct().collect())
+    if not days:
+        return spark.createDataFrame(
+            [], "day string, n_users long, total_clicks long, total_rev_cents long"
+        )
+    mid = days[len(days) // 2]
+    # v1 era: no revenue column yet
+    daily.where(F.col("day") < mid).select("day", "user_id", "clicks").write.mode(
+        "overwrite"
+    ).parquet(f"{work}/t/era=v1")
+    daily.where(F.col("day") >= mid).write.mode("overwrite").parquet(
+        f"{work}/t/era=v2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{work}/t")
+    rows = (
+        merged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("clicks").cast("bigint").alias("total_clicks"),
+            # v1-era rows surface revenue as NULL; sum must skip them,
+            # and an all-NULL day must report NULL (not 0)
+            F.sum("rev_cents").cast("bigint").alias("total_rev_cents"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day string, n_users long, total_clicks long, total_rev_cents long"
+    )
+
+
 @query("lang_id_confusion")
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine CLASSIFIER EVALUATION: the stopword-density language

@@ -282,6 +282,7 @@ HEADLINE = [
     "lang_id_confusion",
     "offpolicy_ips_estimate",
     "covisit_next_item_hitrate",
+    "schema_evolution_union",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",

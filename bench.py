@@ -330,6 +330,12 @@ ACTIONS_FAMILY = [
     "bounce_rate_daily",
     "session_depth_curve",
     "purchase_gap_distribution",
+    # round 13: the new _actions-based entries share the same frame
+    "events_segment_pit",
+    "daily_drift_jsd",
+    "rolling_7d_distinct_users",
+    "covisit_next_item_hitrate",
+    "offpolicy_ips_estimate",
 ]
 
 

@@ -664,3 +664,51 @@ def rolling_7d_distinct_users(actions: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def user_spend_gini(actions: DataFrame) -> DataFrame:
+    """GINI COEFFICIENT of per-user purchase spend — the inequality/
+    concentration metric ("do 1% of users carry 50% of revenue?")
+    every monetization dashboard keeps next to the LTV deciles.
+
+    Formula over spends s_1 <= ... <= s_n (rank-ascending):
+        G = (2·Σ i·s_i − (n+1)·Σ s) / (n·Σ s)
+
+    Arithmetic discipline: spend quantizes to integer cents at the
+    row; the ranking is the two-pass range-bucket row_number
+    (functions/ranking.py::with_global_rank — never a SinglePartition
+    sort over |users|), so Σ i·s_i and Σ s are exact BIGINTs and the
+    Gini is ONE final double division, 6-dp quantized.  At 100 TB
+    population sizes, Σ i·s_i approaches int64 range (rank ~ 1e9 ×
+    cents ~ 1e6 per row) — promote the product to DECIMAL(38,0)
+    there; at these SFs int64 has ~5 orders of headroom.
+
+    Scale shape: one map-side-combined per-user aggregate, then the
+    ranking machinery's two bounded shuffles over the |users|-sized
+    frame; the final reduce is a 1-row aggregate."""
+    from ..functions import qround
+    from ..functions.ranking import with_global_rank
+
+    spend = (
+        actions.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank(spend, "cents", "user_id", rank_col="rk")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("rank_weighted"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("rank_weighted").cast("double")
+        - (F.col("n_users") + 1).cast("double") * F.col("total_cents").cast("double")
+    ) / (F.col("n_users").cast("double") * F.col("total_cents").cast("double"))
+    return agg.select(
+        "n_users",
+        "total_cents",
+        qround(gini, 6).alias("gini"),
+    )

@@ -5603,3 +5603,33 @@ SELECT day,
        CAST(sum(rev_cents) AS BIGINT) AS total_rev_cents
 FROM merged GROUP BY day ORDER BY day
 """
+
+# Gini over per-user purchase cents: rank ascending (cents, user_id),
+# G = (2*sum(i*s_i) - (n+1)*sum(s)) / (n*sum(s)) — exact BIGINT
+# numerators, one final division, 6-dp quantized
+ORACLE["user_spend_gini"] = f"""
+WITH {SESSIONIZE_CTES},
+spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM actions WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rk
+  FROM spend
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(rk * cents) AS BIGINT) AS rank_weighted
+  FROM ranked
+)
+SELECT n_users, total_cents,
+       floor((2.0 * CAST(rank_weighted AS DOUBLE)
+              - CAST(n_users + 1 AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM agg
+"""

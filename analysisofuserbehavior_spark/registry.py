@@ -1463,6 +1463,16 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("user_spend_gini")
+def q_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini over per-user purchase spend —
+    exact-integer rank-weighted sums via the two-pass distributed
+    ranking (no SinglePartition sort), one final division."""
+    from .operators.engagement import user_spend_gini
+
+    return user_spend_gini(_actions(spark, sf_dir))
+
+
 @query("schema_evolution_union")
 def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION across table partitions: day 1 lands with the

@@ -283,6 +283,7 @@ HEADLINE = [
     "offpolicy_ips_estimate",
     "covisit_next_item_hitrate",
     "schema_evolution_union",
+    "user_spend_gini",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -336,6 +337,7 @@ ACTIONS_FAMILY = [
     "rolling_7d_distinct_users",
     "covisit_next_item_hitrate",
     "offpolicy_ips_estimate",
+    "user_spend_gini",
 ]
 
 

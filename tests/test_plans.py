@@ -739,6 +739,7 @@ _SINGLE_PARTITION_WINDOW_WHITELIST = {
     "session_length_deciles": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
     "dsir_select": (1, "<=n_buckets=32 offset rows (functions/ranking.py quartile)"),
     "winsorized_user_spend": (1, "<=n_buckets=32 offset rows (functions/ranking.py thresholds)"),
+    "user_spend_gini": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
     "rfm_segments": (3, "<=n_buckets=32 offset rows x3 dims (functions/ranking.py)"),
     "pack_sequences": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
     "pack_bin_manifest": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),

@@ -712,3 +712,52 @@ def user_spend_gini(actions: DataFrame) -> DataFrame:
         "total_cents",
         qround(gini, 6).alias("gini"),
     )
+
+
+def top_decile_spend_share(actions: DataFrame) -> DataFrame:
+    """Share of total purchase revenue held by the TOP 10% of
+    spenders — the Pareto companion to `user_spend_gini` (a Gini says
+    "how unequal"; this says "who to retain").  The decile is
+    ceil(n/10) users by (spend desc, user_id asc), membership decided
+    on the same two-pass global rank as the Gini (ascending rank r is
+    top-decile iff r > n - ceil(n/10)), so no SinglePartition sort
+    over the user population.  Numerators exact BIGINT cents; the
+    share is one final 6-dp-quantized division."""
+    from ..functions import qround
+    from ..functions.ranking import with_global_rank
+
+    spend = (
+        actions.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank(spend, "cents", "user_id", rank_col="rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    j = ranked.crossJoin(F.broadcast(n))
+    top_size = F.ceil(F.col("n_users").cast("double") / 10).cast("bigint")
+    agg = j.agg(
+        F.max("n_users").alias("n_users"),
+        F.max(top_size).alias("top_decile_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.when(F.col("rk") > F.col("n_users") - top_size, F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("top_decile_cents"),
+    )
+    return agg.select(
+        "n_users",
+        "top_decile_users",
+        "total_cents",
+        "top_decile_cents",
+        qround(
+            F.col("top_decile_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )

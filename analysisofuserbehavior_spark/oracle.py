@@ -5633,3 +5633,32 @@ SELECT n_users, total_cents,
              * 1000000.0 + 0.5) / 1000000.0 AS gini
 FROM agg
 """
+
+ORACLE["top_decile_spend_share"] = f"""
+WITH {SESSIONIZE_CTES},
+spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM actions WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM spend
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_users,
+         CAST(max(CAST(ceil(CAST(n AS DOUBLE) / 10) AS BIGINT)) AS BIGINT)
+           AS top_decile_users,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(CASE WHEN rk > n - CAST(ceil(CAST(n AS DOUBLE) / 10) AS BIGINT)
+                       THEN cents ELSE 0 END) AS BIGINT) AS top_decile_cents
+  FROM ranked
+)
+SELECT n_users, top_decile_users, total_cents, top_decile_cents,
+       floor(CAST(top_decile_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS top_decile_share
+FROM agg
+"""

@@ -1463,6 +1463,15 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("top_decile_spend_share")
+def q_top_decile_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto check: revenue share of the top 10% of spenders, on the
+    same two-pass rank as the Gini — exact cents, one division."""
+    from .operators.engagement import top_decile_spend_share
+
+    return top_decile_spend_share(_actions(spark, sf_dir))
+
+
 @query("user_spend_gini")
 def q_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration Gini over per-user purchase spend —

@@ -284,6 +284,7 @@ HEADLINE = [
     "covisit_next_item_hitrate",
     "schema_evolution_union",
     "user_spend_gini",
+    "top_decile_spend_share",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -338,6 +339,7 @@ ACTIONS_FAMILY = [
     "covisit_next_item_hitrate",
     "offpolicy_ips_estimate",
     "user_spend_gini",
+    "top_decile_spend_share",
 ]
 
 

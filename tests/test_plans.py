@@ -740,6 +740,7 @@ _SINGLE_PARTITION_WINDOW_WHITELIST = {
     "dsir_select": (1, "<=n_buckets=32 offset rows (functions/ranking.py quartile)"),
     "winsorized_user_spend": (1, "<=n_buckets=32 offset rows (functions/ranking.py thresholds)"),
     "user_spend_gini": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
+    "top_decile_spend_share": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
     "rfm_segments": (3, "<=n_buckets=32 offset rows x3 dims (functions/ranking.py)"),
     "pack_sequences": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
     "pack_bin_manifest": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),

@@ -5662,3 +5662,21 @@ SELECT n_users, top_decile_users, total_cents, top_decile_cents,
              * 1000000.0 + 0.5) / 1000000.0 AS top_decile_share
 FROM agg
 """
+
+ORACLE["cart_abandonment_daily"] = f"""
+WITH {SESSIONIZE_CTES},
+per_session AS (
+  SELECT session_id,
+         min(day) AS day,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM actions GROUP BY 1
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS click_sessions,
+       CAST(sum(purchased) AS BIGINT) AS purchase_sessions,
+       floor((1.0 - CAST(sum(purchased) AS DOUBLE) / count(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS abandonment_rate
+FROM per_session WHERE clicked = 1
+GROUP BY day ORDER BY day
+"""

@@ -1463,6 +1463,44 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cart_abandonment_daily")
+def q_cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily CART-ABANDONMENT rate: of the sessions that clicked a
+    product, the fraction that never purchased in the same session —
+    the e-commerce KPI between module 2's page-conversion chain and
+    the engagement family's bounce rate (bounce = left immediately;
+    abandonment = engaged but didn't buy).  A session's day is its
+    FIRST event's day (the session_stats convention).  Counts exact
+    BIGINTs; the rate one final 6-dp-quantized division; NULL when a
+    day had no clicking sessions (0/0 guarded, like page_convert)."""
+    acts = _actions(spark, sf_dir)
+    per_session = acts.groupBy("session_id").agg(
+        F.min("day").alias("day"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    return (
+        per_session.where(F.col("clicked") == 1)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("click_sessions"),
+            F.sum("purchased").cast("bigint").alias("purchase_sessions"),
+        )
+        .select(
+            "day",
+            "click_sessions",
+            "purchase_sessions",
+            qround(
+                F.lit(1.0)
+                - F.col("purchase_sessions").cast("double")
+                / F.col("click_sessions").cast("double"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 @query("top_decile_spend_share")
 def q_top_decile_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto check: revenue share of the top 10% of spenders, on the

@@ -285,6 +285,7 @@ HEADLINE = [
     "schema_evolution_union",
     "user_spend_gini",
     "top_decile_spend_share",
+    "cart_abandonment_daily",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -340,6 +341,7 @@ ACTIONS_FAMILY = [
     "offpolicy_ips_estimate",
     "user_spend_gini",
     "top_decile_spend_share",
+    "cart_abandonment_daily",
 ]
 
 

@@ -5680,3 +5680,25 @@ SELECT day,
 FROM per_session WHERE clicked = 1
 GROUP BY day ORDER BY day
 """
+
+ORACLE["time_to_convert_percentiles"] = f"""
+WITH {SESSIONIZE_CTES},
+per_session AS (
+  SELECT session_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM actions GROUP BY 1
+),
+conv AS (
+  SELECT CAST(floor(epoch(first_purchase)) AS BIGINT)
+           - CAST(floor(epoch(first_click)) AS BIGINT) AS secs
+  FROM per_session
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_click
+)
+SELECT CAST(count(*) AS BIGINT) AS converting_sessions,
+       floor(quantile_cont(secs, 0.5) * 100.0 + 0.5) / 100.0 AS p50_s,
+       floor(quantile_cont(secs, 0.9) * 100.0 + 0.5) / 100.0 AS p90_s,
+       floor(quantile_cont(secs, 0.99) * 100.0 + 0.5) / 100.0 AS p99_s
+FROM conv
+"""

@@ -1463,6 +1463,59 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("time_to_convert_percentiles")
+def q_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every session that clicked
+    AND purchased, the integer seconds from first click to first
+    purchase (negative-free by the where; sessions purchasing before
+    any click are browse-later patterns and excluded), summarized as
+    exact p50/p90/p99 plus the converting-session count — the latency
+    KPI next to cart_abandonment_daily's rate.  Same floor-epoch
+    second arithmetic as visit_length; `percentile` (exact) mirrors
+    quantile_cont; at 100 TB swap for percentile_approx and drop the
+    oracle."""
+    acts = _actions(spark, sf_dir)
+    per_session = (
+        acts.groupBy("session_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("first_click"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .where(
+            F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_click"))
+        )
+        .select(
+            # integer div, not a double division + floor: micros are
+            # ~1e15 and a double quotient can sit 1 ulp under the
+            # integer it should floor to
+            F.expr(
+                "unix_micros(cast(first_purchase as timestamp)) div 1000000"
+                " - unix_micros(cast(first_click as timestamp)) div 1000000"
+            )
+            .cast("bigint")
+            .alias("secs")
+        )
+    )
+
+    def pct(p: float, alias: str) -> F.Column:
+        return qround(
+            F.expr(f"percentile(secs, {p})").cast("double"), 2
+        ).alias(alias)
+
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("converting_sessions"),
+        pct(0.5, "p50_s"),
+        pct(0.9, "p90_s"),
+        pct(0.99, "p99_s"),
+    )
+
+
 @query("cart_abandonment_daily")
 def q_cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily CART-ABANDONMENT rate: of the sessions that clicked a

@@ -286,6 +286,7 @@ HEADLINE = [
     "user_spend_gini",
     "top_decile_spend_share",
     "cart_abandonment_daily",
+    "time_to_convert_percentiles",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -342,6 +343,7 @@ ACTIONS_FAMILY = [
     "user_spend_gini",
     "top_decile_spend_share",
     "cart_abandonment_daily",
+    "time_to_convert_percentiles",
 ]
 
 

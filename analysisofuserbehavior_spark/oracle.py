@@ -5702,3 +5702,30 @@ SELECT CAST(count(*) AS BIGINT) AS converting_sessions,
        floor(quantile_cont(secs, 0.99) * 100.0 + 0.5) / 100.0 AS p99_s
 FROM conv
 """
+
+ORACLE["funnel_by_segment"] = f"""
+WITH {SESSIONIZE_CTES}, {USERS_CTE},
+flags AS (
+  SELECT session_id, min(user_id) AS user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM actions GROUP BY 1
+),
+agg AS (
+  SELECT u.professional AS segment,
+         CAST(sum(v) AS BIGINT) AS view_sessions,
+         CAST(sum(v * c) AS BIGINT) AS click_sessions,
+         CAST(sum(v * c * p) AS BIGINT) AS purchase_sessions
+  FROM flags f JOIN users u USING (user_id)
+  GROUP BY 1
+)
+SELECT segment, view_sessions, click_sessions, purchase_sessions,
+       CASE WHEN view_sessions > 0
+            THEN floor(CAST(click_sessions AS DOUBLE) / view_sessions
+                       * 1000000.0 + 0.5) / 1000000.0 END AS click_rate,
+       CASE WHEN click_sessions > 0
+            THEN floor(CAST(purchase_sessions AS DOUBLE) / click_sessions
+                       * 1000000.0 + 0.5) / 1000000.0 END AS purchase_rate
+FROM agg ORDER BY segment
+"""

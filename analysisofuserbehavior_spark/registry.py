@@ -1463,6 +1463,47 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("funnel_by_segment")
+def q_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel (view → click → purchase) SPLIT BY CUSTOMER
+    SEGMENT — the dimension-cut comparison view the A/B family can't
+    give (its variants are hash buckets, not business segments).  Per
+    segment: sessions with a view, of those with a click, of those
+    with a purchase, plus the two step rates.  The user dimension
+    broadcasts onto the session flags; rates are one quantized
+    division each, NULL-guarded on empty steps."""
+    acts = _actions(spark, sf_dir)
+    flags = acts.groupBy("session_id").agg(
+        F.min("user_id").alias("user_id"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    dim = _users(spark, sf_dir).select(
+        "user_id", F.col("professional").alias("segment")
+    )
+    j = flags.join(F.broadcast(dim), "user_id")
+    agg = j.groupBy("segment").agg(
+        F.sum("v").cast("bigint").alias("view_sessions"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("click_sessions"),
+        F.sum(F.col("v") * F.col("c") * F.col("p"))
+        .cast("bigint")
+        .alias("purchase_sessions"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731 - two-use local
+        F.col(den) > 0,
+        qround(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    )
+    return agg.select(
+        "segment",
+        "view_sessions",
+        "click_sessions",
+        "purchase_sessions",
+        rate("click_sessions", "view_sessions").alias("click_rate"),
+        rate("purchase_sessions", "click_sessions").alias("purchase_rate"),
+    ).orderBy("segment")
+
+
 @query("time_to_convert_percentiles")
 def q_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: for every session that clicked

@@ -287,6 +287,7 @@ HEADLINE = [
     "top_decile_spend_share",
     "cart_abandonment_daily",
     "time_to_convert_percentiles",
+    "funnel_by_segment",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -344,6 +345,7 @@ ACTIONS_FAMILY = [
     "top_decile_spend_share",
     "cart_abandonment_daily",
     "time_to_convert_percentiles",
+    "funnel_by_segment",
 ]
 
 

@@ -5729,3 +5729,24 @@ SELECT segment, view_sessions, click_sessions, purchase_sessions,
                        * 1000000.0 + 0.5) / 1000000.0 END AS purchase_rate
 FROM agg ORDER BY segment
 """
+
+ORACLE["arpu_daily"] = f"""
+WITH {SESSIONIZE_CTES},
+per_day AS (
+  SELECT day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+         CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT) AS paying_users,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS revenue_cents
+  FROM actions GROUP BY 1
+)
+SELECT day, active_users, paying_users, revenue_cents,
+       floor(CAST(revenue_cents AS DOUBLE) / active_users / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS arpu,
+       CASE WHEN paying_users > 0
+            THEN floor(CAST(revenue_cents AS DOUBLE) / paying_users / 100.0
+                       * 1000000.0 + 0.5) / 1000000.0 END AS arppu
+FROM per_day ORDER BY day
+"""

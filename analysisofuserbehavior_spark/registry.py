@@ -1463,6 +1463,53 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("arpu_daily")
+def q_arpu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ARPU / ARPPU: revenue per ACTIVE user and per PAYING
+    user — the monetization headline next to the concentration pair
+    (gini / top-decile).  Active = any event that day; paying = ≥1
+    purchase that day.  Revenue exact integer cents; each rate is one
+    final 6-dp-quantized division (ARPPU NULL on zero-payer days)."""
+    acts = _actions(spark, sf_dir)
+    per_day = acts.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("paying_users"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return per_day.select(
+        "day",
+        "active_users",
+        "paying_users",
+        "revenue_cents",
+        qround(
+            F.col("revenue_cents").cast("double")
+            / F.col("active_users").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("arpu"),
+        F.when(
+            F.col("paying_users") > 0,
+            qround(
+                F.col("revenue_cents").cast("double")
+                / F.col("paying_users").cast("double")
+                / F.lit(100.0),
+                6,
+            ),
+        ).alias("arppu"),
+    ).orderBy("day")
+
+
 @query("funnel_by_segment")
 def q_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session funnel (view → click → purchase) SPLIT BY CUSTOMER

@@ -288,6 +288,7 @@ HEADLINE = [
     "cart_abandonment_daily",
     "time_to_convert_percentiles",
     "funnel_by_segment",
+    "arpu_daily",
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
@@ -346,6 +347,7 @@ ACTIONS_FAMILY = [
     "cart_abandonment_daily",
     "time_to_convert_percentiles",
     "funnel_by_segment",
+    "arpu_daily",
 ]
 
 

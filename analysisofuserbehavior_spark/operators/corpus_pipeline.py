@@ -321,21 +321,28 @@ def ingest_corpus_day(
          history;
       3. index: `retrieval.append_inverted_index` adds the admitted
          docs' postings + a stats-manifest row, guarded by an ingest
-         LEDGER — a `_ledger/day=<day>` marker directory committed
-         strictly AFTER the append.  A re-run that finds the marker
-         skips the append, so the index is identical after N runs of
-         the same day.  (Crash between append and marker = that day
-         must be rebuilt — the ledger is the file-layout analogue of
-         a table format's commit flag, which is the production answer;
-         the gate proves the SUCCESS path is idempotent, the crash
-         path is the table format's job.)
+         LEDGER — a `_ledger/day=<day>` marker committed strictly
+         AFTER the append, carrying the post-append `_stats` manifest
+         row count.  A re-run that finds the marker skips the append,
+         so the index is identical after N runs of the same day.
+
+    Ledger I/O goes through the Hadoop FileSystem abstraction
+    (sources/upsert._fs_path) like every other commit path, so the
+    idempotence guard holds on hdfs:// / s3a:// too, not just the
+    local FS (round-11 ADVICE).  A crash BETWEEN the append and the
+    marker is now DETECTED instead of silently double-applied: before
+    a non-first append, the live `_stats` row count must equal the
+    count recorded by the latest committed marker — a surplus row
+    means an uncommitted append is present and the day must be
+    rebuilt, so this raises rather than inflating df/tf.  (The
+    `_stats` manifest is ingest-batch-sized, so the guard's count is
+    a tiny metadata-shaped job per ingest.)
 
     The first day (`first_day=True`) builds the index instead of
     appending (write_inverted_index), with the same ledger discipline.
     """
-    import os as _os
-
     from ..plans.layout import overwrite_day_partitions
+    from ..sources.upsert import _fs_path
     from .dedup import incremental_admit
     from .retrieval import append_inverted_index, write_inverted_index
 
@@ -359,10 +366,55 @@ def ingest_corpus_day(
         admitted.withColumn("ts", F.lit(day + " 00:00:00").cast("timestamp")),
         store_dir,
     )
-    ledger = _os.path.join(index_dir + "_ledger", f"day={day}")
-    if not _os.path.exists(ledger):
-        if first_day:
-            write_inverted_index(admitted, index_dir)
-        else:
-            append_inverted_index(admitted, index_dir)
-        _os.makedirs(ledger)  # commit marker LAST
+    ledger_dir = index_dir + "_ledger"
+    fs, marker = _fs_path(spark, ledger_dir + f"/day={day}")
+    if fs.exists(marker):
+        return
+    if first_day:
+        write_inverted_index(admitted, index_dir)
+    else:
+        committed = _ledger_max_stats_rows(spark, fs, ledger_dir)
+        if committed is not None:
+            live = spark.read.parquet(index_dir + "/_stats").count()
+            if live != committed:
+                raise RuntimeError(
+                    f"inverted index at {index_dir} holds {live} _stats "
+                    f"manifest rows but the ledger committed {committed}: "
+                    "an append crashed before its marker — rebuild the "
+                    "index from the store before ingesting further days"
+                )
+        append_inverted_index(admitted, index_dir)
+    # commit marker LAST, carrying the post-append manifest row count
+    n_stats = spark.read.parquet(index_dir + "/_stats").count()
+    out = fs.create(marker, True)
+    out.write(bytearray(str(n_stats).encode("ascii")))
+    out.close()
+
+
+def _ledger_max_stats_rows(spark, fs, ledger_dir: str) -> int | None:
+    """The `_stats` row count recorded by the most recently committed
+    ingest marker (None when no ledger exists yet — an index built
+    outside the ledger discipline gets no guard).  Markers are tiny
+    one-number files; read driver-side through the same FileSystem
+    handle the commit used."""
+    from ..sources.upsert import _fs_path
+
+    _, root = _fs_path(spark, ledger_dir)
+    if not fs.exists(root):
+        return None
+    jvm = spark.sparkContext._jvm  # noqa: SLF001 - py4j bridge is the API here
+    latest: tuple[str, int] | None = None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("day=") or status.isDirectory():
+            continue  # pre-round-11 markers were empty directories
+        stream = fs.open(status.getPath())
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        if not text.strip().isdigit():
+            continue  # pre-round-11 markers were empty directories
+        if latest is None or name > latest[0]:
+            latest = (name, int(text.strip()))
+    return None if latest is None else latest[1]

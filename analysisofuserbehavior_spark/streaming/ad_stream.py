@@ -224,6 +224,7 @@ def run_to_completion(
     query_name: str,
     mode: str = "complete",
     state_provider: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a bounded stream to completion (availableNow) into a
     memory sink and return the final result as a batch DataFrame.
@@ -234,16 +235,34 @@ def run_to_completion(
     stateful operators really executed on it — the 100 TB shape,
     where HDFS-backed in-memory state caps at executor heap and
     RocksDB spills keyed state to local disk with changelog
-    checkpointing."""
+    checkpointing.
+
+    `state_partitions` right-sizes the STATE partition count for this
+    bounded run (shuffle.partitions at stream start is what the
+    checkpoint pins forever — it is a capacity knob sized to state
+    volume, not to core count).  Profiled on the stream-stream join
+    at sf0.1 (SCALING.md round 14): every state-store instance pays a
+    ~0.1-0.5 s per-micro-batch open/commit overhead regardless of
+    data volume, and a symmetric hash join keeps FOUR stores per
+    partition — 32 partitions ⇒ 128 instances ⇒ a fixed multi-second
+    floor per batch, vs ~32 instances at 8 partitions for identical
+    results (results are partition-invariant; only the overhead
+    moves).  At 100 TB you'd raise it to keep per-partition state
+    executor-sized; at gate/bench SFs 8 is right-sized.  None keeps
+    the session's current setting."""
     spark = agg.sparkSession
     conf_key = "spark.sql.streaming.stateStore.providerClass"
+    parts_key = "spark.sql.shuffle.partitions"
     if state_provider == "rocksdb":
         state_provider = (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         )
     prev = spark.conf.get(conf_key, None) if state_provider else None
+    prev_parts = spark.conf.get(parts_key, None)
     if state_provider:
         spark.conf.set(conf_key, state_provider)
+    if state_partitions is not None:
+        spark.conf.set(parts_key, str(state_partitions))
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -282,6 +301,8 @@ def run_to_completion(
                 spark.conf.set(conf_key, prev)
             else:
                 spark.conf.unset(conf_key)
+        if state_partitions is not None and prev_parts is not None:
+            spark.conf.set(parts_key, prev_parts)
     return spark.table(query_name)
 
 

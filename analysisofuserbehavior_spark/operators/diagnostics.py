@@ -589,3 +589,44 @@ def daily_drift_jsd(actions: DataFrame) -> DataFrame:
         .agg(qround(folded, 6).alias("jsd"))
         .orderBy("day")
     )
+
+
+def zonemap_pruning_report(events: DataFrame) -> DataFrame:
+    """Data-skipping audit: per day-partition row counts and max
+    `value` statistics, plus whether a zone-map (min/max file stats —
+    what parquet row groups and lakehouse table formats keep) would
+    PRUNE that partition for the canonical hot-value predicate
+    `value >= 90% of the global max`.  This is the operator a table
+    owner runs before choosing partition/sort keys: the pruned
+    fraction IS the scan cost a layout buys at 100 TB.
+
+    Arithmetic discipline: `value` quantizes to integer CENTS
+    up-front, the 90% threshold is pure integer math
+    ((max*9) div 10), and the prunable flag is an integer compare —
+    no float crosses the engine boundary.
+
+    Scale shape: one map-side-combined groupBy(day) over the corpus
+    + a broadcast 1-row global max; output is |days|-sized."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_day = events.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(cents).alias("max_value_cents"),
+    )
+    glob = per_day.agg(
+        ((F.max("max_value_cents") * 9) / 10)
+        .cast("bigint")
+        .alias("threshold_cents")
+    )
+    return (
+        per_day.crossJoin(F.broadcast(glob))
+        .select(
+            "day",
+            "n_rows",
+            "max_value_cents",
+            "threshold_cents",
+            (F.col("max_value_cents") < F.col("threshold_cents"))
+            .cast("int")
+            .alias("prunable"),
+        )
+        .orderBy("day")
+    )

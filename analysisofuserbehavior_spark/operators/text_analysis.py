@@ -851,3 +851,65 @@ def countmin_token_freq(
         )
         .orderBy(F.desc("true_count"), "token")
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame, sizes: tuple[int, ...] = (100, 500, 1000, 2000, 5000)
+) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: for each candidate
+    vocab size K, the share of ALL token occurrences covered by the
+    top-K tokens (count desc, token asc) — the plot a tokenizer team
+    reads before fixing |vocab| (coverage vs OOV-rate trade-off;
+    complements vocab_growth's Heaps-law curve, which counts types,
+    not occurrence mass).
+
+    Scale shape: one map-side-combined token count, then the global
+    rank comes from the TWO-PASS bucket rank
+    (functions/ranking.with_global_rank — never a SinglePartition
+    sort over |vocab|), and the K cumulative sums collapse into ONE
+    conditional-sum aggregate row (no |vocab|-sized cumsum window),
+    unpivoted to |sizes| rows.  Exact BIGINT numerators; the one
+    double division per row is quantized to 4 dp."""
+    from ..functions.ranking import with_global_rank
+
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = with_global_rank(
+        counts.withColumn("_neg", -F.col("n")), "_neg", "token", rank_col="rk"
+    )
+    one = ranked.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_c{k}")
+            for k in sizes
+        ],
+    )
+    curve = one.select(
+        "tot",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("vocab_size"),
+                        F.col(f"_c{k}").alias("covered_tokens"),
+                    )
+                    for k in sizes
+                ]
+            )
+        ).alias("p"),
+    )
+    return curve.select(
+        F.col("p.vocab_size").alias("vocab_size"),
+        F.col("p.covered_tokens").alias("covered_tokens"),
+        F.col("tot").alias("total_tokens"),
+        qround(
+            F.col("p.covered_tokens").cast("double")
+            / F.col("tot").cast("double"),
+            4,
+        ).alias("coverage"),
+    ).orderBy("vocab_size")

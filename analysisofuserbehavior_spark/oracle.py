@@ -5751,3 +5751,117 @@ SELECT day, active_users, paying_users, revenue_cents,
                        * 1000000.0 + 0.5) / 1000000.0 END AS arppu
 FROM per_day ORDER BY day
 """
+
+# ---- round 14: coverage curve / entropy / regex funnels / trigrams /
+# zone-map audit / incremental MV ----
+
+# token-coverage share at candidate vocab sizes; rank = count desc,
+# token asc (the Spark side's two-pass bucket rank realizes the same
+# total order)
+ORACLE["vocab_coverage_curve"] = """
+WITH c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM c),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+ks AS (SELECT unnest([100, 500, 1000, 2000, 5000]) AS vocab_size)
+SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
+       CAST(coalesce(sum(CASE WHEN r.rk <= k.vocab_size THEN r.n END), 0)
+            AS BIGINT) AS covered_tokens,
+       t.tot AS total_tokens,
+       floor(CAST(coalesce(sum(CASE WHEN r.rk <= k.vocab_size THEN r.n END), 0)
+                  AS DOUBLE)
+             / CAST(t.tot AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS coverage
+FROM ks k CROSS JOIN r CROSS JOIN t
+GROUP BY k.vocab_size, t.tot
+ORDER BY vocab_size
+"""
+
+# per-user Shannon entropy of the event-type mix, 2-dp histogram;
+# the Σ n·ln(n) fold is order-pinned on event_type in BOTH engines
+# (Spark: array_sort + aggregate left fold; here: list(... ORDER BY
+# event_type) summed in list order — the daily_drift_jsd discipline)
+ORACLE["user_entropy_profile"] = f"""
+WITH {SESSIONIZE_CTES},
+ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM actions WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+         list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                       ORDER BY event_type)) AS s,
+         CAST(sum(n) AS BIGINT) AS tot
+  FROM ut GROUP BY 1
+),
+e AS (
+  SELECT floor((ln(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)) * 100.0
+               + 0.5) / 100.0 AS entropy_bucket
+  FROM u
+)
+SELECT entropy_bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+# regex funnels over order-pinned session event-initial paths
+ORACLE["funnel_regex_path"] = f"""
+WITH {SESSIONIZE_CTES},
+p AS (
+  SELECT session_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM actions GROUP BY session_id
+),
+pats AS (SELECT unnest(['^s', 'e{{2,}}', 'p.*p', 'v.*c.*p']) AS pattern)
+SELECT pattern,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(path, pattern) THEN 1 END), 0)
+            AS BIGINT) AS n_sessions
+FROM pats CROSS JOIN p
+GROUP BY pattern ORDER BY pattern
+"""
+
+# top-20 consecutive event-type trigrams across sessions
+ORACLE["frequent_path_trigrams"] = f"""
+WITH {SESSIONIZE_CTES},
+ch AS (
+  SELECT session_id, ts, event_id, substr(event_type, 1, 1) AS c FROM actions
+),
+tri AS (
+  SELECT c || lead(c, 1) OVER w || lead(c, 2) OVER w AS trigram
+  FROM ch WINDOW w AS (PARTITION BY session_id ORDER BY ts, event_id)
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE trigram IS NOT NULL
+GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT 20
+"""
+
+# zone-map pruning audit: per-day max-value stats vs the 90%-of-max
+# hot predicate, pure integer cents
+ORACLE["zonemap_pruning_report"] = f"""
+WITH {SESSIONIZE_CTES},
+d AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_value_cents
+  FROM actions GROUP BY day
+),
+g AS (SELECT (max(max_value_cents) * 9) // 10 AS threshold_cents FROM d)
+SELECT day, n_rows, max_value_cents,
+       CAST(threshold_cents AS BIGINT) AS threshold_cents,
+       CAST(CASE WHEN max_value_cents < threshold_cents THEN 1 ELSE 0 END
+            AS INT) AS prunable
+FROM d CROSS JOIN g ORDER BY day
+"""
+
+# incremental MV maintenance: the oracle is the FULL recompute — a
+# green hash proves merge(partials) == recompute, avg included
+ORACLE["orders_mv_incremental"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""

@@ -5575,6 +5575,85 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(_documents(spark, sf_dir))
 
 
+@query("vocab_coverage_curve")
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage share at candidate vocab sizes (top-K occurrence
+    mass / total) — the tokenizer-sizing curve next to vocab_growth's
+    Heaps-law type curve.  Two-pass bucket rank (never a
+    SinglePartition sort over |vocab|), one conditional-sum aggregate
+    for all K cut-offs (operators/text_analysis.py)."""
+    from .operators.text_analysis import vocab_coverage_curve
+
+    return vocab_coverage_curve(_documents(spark, sf_dir))
+
+
+@query("user_entropy_profile")
+def q_user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user Shannon entropy (nats, 2 dp) over the
+    event-type mix — behavioral-diversity monitoring; exact-integer
+    counts, order-pinned ln fold (the surprisal/JSD parity contract)
+    (operators/engagement.py)."""
+    from .operators.engagement import user_entropy_profile
+
+    return user_entropy_profile(_actions(spark, sf_dir))
+
+
+@query("funnel_regex_path")
+def q_funnel_regex_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex funnels over order-pinned whole-session event-initial
+    paths: sessions matching each behavioral pattern (browse→click→
+    purchase, signup-opening, error burst, repeat purchase) — the
+    ad-hoc sequence-question surface next to the fixed-chain funnels
+    (operators/engagement.py)."""
+    from .operators.engagement import funnel_regex_path
+
+    return funnel_regex_path(_actions(spark, sf_dir))
+
+
+@query("frequent_path_trigrams")
+def q_frequent_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type trigrams across sessions — the
+    length-3 sequential-pattern mine next to page_transition_probs'
+    bigram chain; per-session window + TakeOrderedAndProject
+    (operators/engagement.py)."""
+    from .operators.engagement import frequent_path_trigrams
+
+    return frequent_path_trigrams(_actions(spark, sf_dir))
+
+
+@query("zonemap_pruning_report")
+def q_zonemap_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: per-day row counts + max-value zone stats
+    and whether min/max pruning would skip the partition for the
+    hot-value predicate (value ≥ 90% of global max, pure integer
+    cents) — the layout-choice evidence a 100 TB table owner reads
+    (operators/diagnostics.py)."""
+    from .operators.diagnostics import zonemap_pruning_report
+
+    return zonemap_pruning_report(_actions(spark, sf_dir))
+
+
+@query("orders_mv_incremental")
+def q_orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-priority
+    order count/revenue/avg view refreshed by MERGING the standing
+    partials with a delta batch's partials (orders from 1998 on)
+    instead of recomputing — the oracle IS the full recompute, so the
+    gate proves merge(partials) == recompute exactly, avg rebuilt
+    from merged sum/count included (operators/scd.py)."""
+    from .operators.scd import mv_incremental_merge
+    from .sources.loaders import ntz_lit
+
+    od = load_table(spark, sf_dir, "orders")
+    split = ntz_lit("1998-01-01 00:00:00")
+    return mv_incremental_merge(
+        od.where(F.col("o_orderdate") < split),
+        od.where(F.col("o_orderdate") >= split),
+        key="o_orderpriority",
+        cents_col="o_totalprice",
+    )
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

@@ -306,6 +306,17 @@ HEADLINE = [
     "funnel_within_window",
     "streaming_funnel_within_window",
     "seasonal_anomaly_dow",
+    # round 14: coverage curve / entropy / regex funnels / trigrams /
+    # zone-map audit / incremental MV.  stress_linear_report is
+    # deliberately NOT here — it is a meta-measurement whose inner
+    # timings would double-count in the headline total (it runs in
+    # the driver's correctness gate instead).
+    "vocab_coverage_curve",
+    "user_entropy_profile",
+    "funnel_regex_path",
+    "frequent_path_trigrams",
+    "zonemap_pruning_report",
+    "orders_mv_incremental",
 ]
 
 
@@ -362,6 +373,11 @@ ACTIONS_FAMILY = [
     "time_to_convert_percentiles",
     "funnel_by_segment",
     "arpu_daily",
+    # round 14: the new _actions-based entries share the same frame
+    "user_entropy_profile",
+    "funnel_regex_path",
+    "frequent_path_trigrams",
+    "zonemap_pruning_report",
 ]
 
 

@@ -67,6 +67,14 @@ CHECKED = [
     "bounce_rate_daily",
     "session_depth_curve",
     "purchase_gap_distribution",
+    # round-14 additions: the order-pinned entropy fold, the
+    # order-pinned session-path build (both regex funnel + trigram
+    # consumers), and the two-pass vocab rank must all be
+    # partition-count-independent
+    "user_entropy_profile",
+    "funnel_regex_path",
+    "frequent_path_trigrams",
+    "vocab_coverage_curve",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Round-14 operator properties beyond oracle parity: MV merge equals
+recompute at ANY split, coverage is monotone, entropy hits its exact
+closed-form edges, zone-map pruning can never prune the max-holding
+partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_mv_merge_equals_recompute_any_split(spark, sf_dir):
+    from analysisofuserbehavior_spark.operators.scd import mv_incremental_merge
+    from analysisofuserbehavior_spark.registry import load_table
+    from analysisofuserbehavior_spark.sources.loaders import ntz_lit
+
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    full = {
+        r["o_orderpriority"]: (r["n"], r["c"])
+        for r in od.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    for split in ("1996-06-15", "1999-01-01", "2002-01-01"):  # incl. empty delta
+        s = ntz_lit(split)
+        merged = mv_incremental_merge(
+            od.where(F.col("o_orderdate") < s),
+            od.where(F.col("o_orderdate") >= s),
+            key="o_orderpriority",
+            cents_col="o_totalprice",
+        ).collect()
+        got = {r["o_orderpriority"]: (r["n_rows"], r["total_cents"]) for r in merged}
+        assert got == full, split
+        for r in merged:
+            assert r["avg_cents"] == r["total_cents"] // r["n_rows"]
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["vocab_coverage_curve"](spark, sf_dir).collect()
+    assert [r["vocab_size"] for r in rows] == [100, 500, 1000, 2000, 5000]
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(0.0 < c <= 1.0 for c in cov)
+    tot = {r["total_tokens"] for r in rows}
+    assert len(tot) == 1
+    assert rows[-1]["covered_tokens"] <= rows[-1]["total_tokens"]
+
+
+def test_entropy_closed_form_edges(spark):
+    from analysisofuserbehavior_spark.operators.engagement import (
+        user_entropy_profile,
+    )
+
+    # user 1: single type -> entropy exactly 0.0; user 2: 2 types with
+    # equal counts -> ln(2) = 0.6931 -> 2-dp bucket 0.69
+    rows = [
+        (1, "view"),
+        (1, "view"),
+        (1, "view"),
+        (2, "view"),
+        (2, "click"),
+        (2, "view"),
+        (2, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["entropy_bucket"]: r["n_users"] for r in user_entropy_profile(df).collect()}
+    assert out == {0.0: 1, 0.69: 1}
+
+
+def test_zonemap_max_partition_never_prunable(spark, sf_dir):
+    from analysisofuserbehavior_spark.registry import QUERIES
+
+    rows = QUERIES["zonemap_pruning_report"](spark, sf_dir).collect()
+    mx = max(r["max_value_cents"] for r in rows)
+    for r in rows:
+        assert r["threshold_cents"] == (mx * 9) // 10
+        assert (r["prunable"] == 1) == (r["max_value_cents"] < r["threshold_cents"])
+    assert any(r["max_value_cents"] == mx and r["prunable"] == 0 for r in rows)
+
+
+def test_session_path_order_is_event_time(spark):
+    from analysisofuserbehavior_spark.operators.engagement import _session_path
+
+    rows = [
+        # out-of-order input: path must follow (ts, event_id), not
+        # arrival order
+        (3, "2024-01-01 00:00:02", "s1", "purchase"),
+        (1, "2024-01-01 00:00:00", "s1", "view"),
+        (2, "2024-01-01 00:00:01", "s1", "click"),
+        (5, "2024-01-01 00:00:00", "s2", "error"),
+        (4, "2024-01-01 00:00:00", "s2", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, session_id string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["session_id"]: r["path"] for r in _session_path(df).collect()}
+    assert got == {"s1": "vcp", "s2": "ee"}

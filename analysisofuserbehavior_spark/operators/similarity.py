@@ -1055,3 +1055,107 @@ def ann_matryoshka_overlap(
             ).alias("recall_at_k"),
         )
     )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Euclidean distance with an index-order fold (zip_with preserves
+    element order; DuckDB's list_distance sums the same way), so both
+    engines accumulate identically before the shared quantization."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (ADC scan): vectors are ENCODED as
+    `n_subspaces` small centroid codes (here 4×16 → 4 bytes per
+    64-float vector, a 64× memory compression), and queries score
+    against the RECONSTRUCTED centroids — the asymmetric distance
+    computation of Jégou et al.'s PQ, the standard billion-vector
+    memory layout (FAISS's IVFPQ = the gated IVF partition pruning ×
+    THIS encoding; the two compose, this operator isolates the
+    quantization half).
+
+    Determinism contract: the codebook uses the first-n rule (subspace
+    centroids = sub-slices of vec_id < n_centroids) — the same
+    training-free convention the gated IVF oracle pins — and every
+    argmin/rank orders by the 6-dp-QUANTIZED distance with an id
+    tie-break (the _sim_order discipline).  The per-pair ADC sum is an
+    order-pinned fold over the subspace index.
+
+    Scale shape: encoding is one broadcast join of the corpus's
+    (vector, subspace) slices against the 64-row codebook — linear in
+    the corpus with a constant 64 multiplier, the real PQ encode cost.
+    The ADC scan here is exhaustive (|Q|·|corpus| code lookups of
+    n_subspaces additions each — the arithmetic-compression win);
+    candidate PRUNING is deliberately not this operator's job, it
+    composes with the gated IVF probe.  At 100 TB the codes table is
+    what fits in RAM: 4 bytes/vector vs 256."""
+    v = _to_double(F.col("embedding"))
+    base = embeddings.select(F.col("vec_id"), v.alias("v"))
+    w_len = F.floor(F.size("v") / n_subspaces).cast("int")
+    sub = F.explode(
+        F.array(*[F.lit(m) for m in range(n_subspaces)])
+    ).alias("m")
+    slices = base.select("vec_id", "v", sub).select(
+        "vec_id",
+        "m",
+        F.slice(
+            "v", (F.col("m") * w_len + 1).cast("int"), w_len
+        ).alias("sv"),
+    )
+    cb = slices.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("j"), F.col("m").alias("cb_m"), F.col("sv").alias("cv")
+    )
+    enc_scored = slices.join(
+        F.broadcast(cb), F.col("m") == F.col("cb_m")
+    ).withColumn("d", _l2(F.col("sv"), F.col("cv")))
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc(qround(F.col("d"), 6)), F.asc("j")
+    )
+    codes = (
+        enc_scored.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "j", "cv")
+    )
+    queries = slices.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"), F.col("sv").alias("qsv")
+    )
+    terms = codes.join(F.broadcast(queries), F.col("m") == F.col("q_m")).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "m",
+        qround(_l2(F.col("qsv"), F.col("cv")), 6).alias("term"),
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("m", "term"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term"],
+    )
+    adc = terms.groupBy("query_id", "neighbor_id").agg(folded.alias("dist"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc(qround(F.col("dist"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            qround(F.col("dist"), 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )

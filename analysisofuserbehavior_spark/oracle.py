@@ -5865,3 +5865,49 @@ SELECT o_orderpriority,
             AS BIGINT) AS avg_cents
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+# PQ/ADC: codebook = first-16 sub-slices per subspace; every argmin /
+# rank orders on the 6-dp-quantized distance with an id tie-break;
+# the per-pair ADC sum is order-pinned on the subspace index
+ORACLE["ann_pq_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT CAST(len(v) // 4 AS INT) AS w FROM e LIMIT 1),
+ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+sl AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.v, ms.m * d.w + 1, (ms.m + 1) * d.w) AS sv
+  FROM e, ms, d
+),
+cb AS (SELECT vec_id AS j, m, sv AS cv FROM sl WHERE vec_id < 16),
+enc AS (
+  SELECT vec_id AS neighbor_id, m, j, cv FROM (
+    SELECT sl.vec_id, sl.m, cb.j, cb.cv,
+           row_number() OVER (
+             PARTITION BY sl.vec_id, sl.m
+             ORDER BY floor(list_distance(sl.sv, cb.cv) * 1000000.0 + 0.5)
+                      / 1000000.0 ASC, cb.j ASC) AS rn
+    FROM sl JOIN cb USING (m)
+  ) WHERE rn = 1
+),
+terms AS (
+  SELECT q.vec_id AS query_id, enc.neighbor_id, enc.m,
+         floor(list_distance(q.sv, enc.cv) * 1000000.0 + 0.5)
+           / 1000000.0 AS term
+  FROM sl q JOIN enc ON q.m = enc.m
+  WHERE q.vec_id < 10 AND enc.neighbor_id != q.vec_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, list_sum(list(term ORDER BY m)) AS dist
+  FROM terms GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY floor(dist * 1000000.0 + 0.5) / 1000000.0 ASC,
+                    neighbor_id ASC) AS rn
+  FROM adc
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+FROM r WHERE rn <= 5 ORDER BY query_id, rank
+"""

@@ -5654,6 +5654,19 @@ def q_orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric-distance scan over 4×16
+    codebooks, first-n deterministic centroids — 64× vector
+    compression, the billion-scale memory layout that COMPOSES with
+    the gated IVF partition pruning).  Every argmin/rank orders by
+    6-dp-quantized distance + id tie-break; the ADC sum is an
+    order-pinned subspace fold (operators/similarity.py)."""
+    from .operators.similarity import ann_pq_topk
+
+    return ann_pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

@@ -317,6 +317,7 @@ HEADLINE = [
     "frequent_path_trigrams",
     "zonemap_pruning_report",
     "orders_mv_incremental",
+    "ann_pq_topk",
 ]
 
 

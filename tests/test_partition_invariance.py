@@ -75,6 +75,7 @@ CHECKED = [
     "funnel_regex_path",
     "frequent_path_trigrams",
     "vocab_coverage_curve",
+    "ann_pq_topk",
 ]
 
 

@@ -97,3 +97,47 @@ def test_session_path_order_is_event_time(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r["session_id"]: r["path"] for r in _session_path(df).collect()}
     assert got == {"s1": "vcp", "s2": "ee"}
+
+
+def test_pq_recall_against_exact_l2(spark, sf_dir):
+    """PQ is lossy by design; the contract is USEFUL recall against
+    the exact Euclidean top-k plus the compression invariant (4
+    sub-codes per vector, each < 16)."""
+    from pyspark.sql import Window, functions as F
+
+    from analysisofuserbehavior_spark.operators.similarity import (
+        _l2,
+        _to_double,
+        ann_pq_topk,
+    )
+    from analysisofuserbehavior_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ann_pq_topk(emb).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q) == set(range(10))
+    assert all(len(v) == 5 for v in by_q.values())
+
+    base = emb.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d = base.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(_l2(F.col("v"), F.col("qv"))), F.asc("vec_id")
+    )
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    )
+    exact_by_q: dict[int, set[int]] = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(by_q[k] & exact_by_q[k]) for k in by_q)
+    recall = hits / (10 * 5)
+    # 4x16 PQ on 64-dim vectors: lossy, but must beat random chance
+    # (5/499 ~ 1%) by a wide margin to be a usable first-stage index
+    assert recall >= 0.2, recall

@@ -1101,19 +1101,39 @@ def ann_pq_topk(
     candidate PRUNING is deliberately not this operator's job, it
     composes with the gated IVF probe.  At 100 TB the codes table is
     what fits in RAM: 4 bytes/vector vs 256."""
+    slices = _pq_slices(embeddings, n_subspaces)
+    codes = _pq_codes(slices, n_centroids)
+    queries = slices.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"), F.col("sv").alias("qsv")
+    )
+    terms = codes.join(F.broadcast(queries), F.col("m") == F.col("q_m")).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _adc_rank(terms, k)
+
+
+def _pq_slices(embeddings: DataFrame, n_subspaces: int) -> DataFrame:
+    """(vec_id, m, sv): each vector split into `n_subspaces` equal
+    contiguous sub-vectors."""
     v = _to_double(F.col("embedding"))
     base = embeddings.select(F.col("vec_id"), v.alias("v"))
     w_len = F.floor(F.size("v") / n_subspaces).cast("int")
     sub = F.explode(
         F.array(*[F.lit(m) for m in range(n_subspaces)])
     ).alias("m")
-    slices = base.select("vec_id", "v", sub).select(
+    return base.select("vec_id", "v", sub).select(
         "vec_id",
         "m",
-        F.slice(
-            "v", (F.col("m") * w_len + 1).cast("int"), w_len
-        ).alias("sv"),
+        F.slice("v", (F.col("m") * w_len + 1).cast("int"), w_len).alias("sv"),
     )
+
+
+def _pq_codes(slices: DataFrame, n_centroids: int) -> DataFrame:
+    """(neighbor_id, m, j, cv): each vector's per-subspace nearest
+    codebook entry (first-n-rule codebook; 6-dp-quantized L2 argmin
+    with index tie-break) — the PQ ENCODE step, one broadcast join of
+    the corpus slices against the (n_subspaces × n_centroids)-row
+    codebook."""
     cb = slices.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("j"), F.col("m").alias("cb_m"), F.col("sv").alias("cv")
     )
@@ -1123,17 +1143,18 @@ def ann_pq_topk(
     w_enc = Window.partitionBy("vec_id", "m").orderBy(
         F.asc(qround(F.col("d"), 6)), F.asc("j")
     )
-    codes = (
+    return (
         enc_scored.withColumn("rn", F.row_number().over(w_enc))
         .where(F.col("rn") == 1)
         .select(F.col("vec_id").alias("neighbor_id"), "m", "j", "cv")
     )
-    queries = slices.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"), F.col("sv").alias("qsv")
-    )
-    terms = codes.join(F.broadcast(queries), F.col("m") == F.col("q_m")).where(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
+
+
+def _adc_rank(terms: DataFrame, k: int) -> DataFrame:
+    """Top-k per query from (query_id, neighbor_id, m, qsv, cv) rows:
+    quantized per-subspace distances, order-pinned fold over m,
+    quantized-rank window."""
+    scored = terms.select(
         "query_id",
         "neighbor_id",
         "m",
@@ -1144,7 +1165,7 @@ def ann_pq_topk(
         F.lit(0.0),
         lambda acc, s: acc + s["term"],
     )
-    adc = terms.groupBy("query_id", "neighbor_id").agg(folded.alias("dist"))
+    adc = scored.groupBy("query_id", "neighbor_id").agg(folded.alias("dist"))
     w_rank = Window.partitionBy("query_id").orderBy(
         F.asc(qround(F.col("dist"), 6)), F.asc("neighbor_id")
     )
@@ -1159,3 +1180,78 @@ def ann_pq_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVFPQ: the gated IVF COARSE quantizer (cosine cells, first-8
+    centroids, 2-cell probes — candidate PRUNING) composed with the
+    gated PQ FINE quantizer (4×16 codebooks, ADC scoring — memory +
+    arithmetic compression).  This is FAISS's billion-scale default
+    layout re-expressed relationally: the probe prunes the candidate
+    join to ~n_probe/n_clusters of the corpus, and each surviving
+    candidate costs n_subspaces code-table additions instead of a
+    D-dim dot product.  Every stage keeps its parent operator's
+    determinism contract (quantized argmins, id tie-breaks,
+    order-pinned ADC fold), so the composed DuckDB oracle
+    hash-matches end-to-end.
+
+    Scale shape: assignment/encode are broadcast passes (linear, tiny
+    constant); the candidate join is cluster-keyed (partition-pruned
+    at 100 TB with cluster_id as the layout key, exactly like
+    ann_ivf_topk_indexed); no stage widens beyond the probed cells."""
+    # coarse: IVF cell assignment + query probes (ann_ivf_topk's algebra)
+    cents = _with_vec(
+        embeddings.where(F.col("vec_id") < n_clusters),
+        "cluster_id",
+        "c_vec",
+        "c_norm",
+    )
+    corpus = _with_vec(embeddings, "neighbor_id", "n_vec", "n_norm")
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        *_sim_order("c_sim", "cluster_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("n_vec", "n_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "cluster_id")
+    )
+    queries_full = _with_vec(
+        embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(*_sim_order("c_sim", "cluster_id"))
+    probes = (
+        queries_full.join(F.broadcast(cents))
+        .withColumn("c_sim", _paired_sim("q_vec", "q_norm", "c_vec", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cluster_id")
+    )
+    # fine: PQ codes for the corpus, ADC over probed-cell candidates
+    slices = _pq_slices(embeddings, n_subspaces)
+    codes = _pq_codes(slices, n_centroids).join(assigned, "neighbor_id")
+    q_slices = slices.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_query_id"),
+        F.col("m").alias("q_m"),
+        F.col("sv").alias("qsv"),
+    )
+    cand = codes.join(F.broadcast(probes), "cluster_id")
+    terms = (
+        cand.join(
+            F.broadcast(q_slices),
+            (F.col("m") == F.col("q_m"))
+            & (F.col("query_id") == F.col("q_query_id")),
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .drop("q_query_id", "q_m")
+    )
+    return _adc_rank(terms, k)

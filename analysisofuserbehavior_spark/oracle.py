@@ -5911,3 +5911,75 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
        floor(dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
 FROM r WHERE rn <= 5 ORDER BY query_id, rank
 """
+
+# IVFPQ: ann_ivf_topk's coarse CTEs (cosine cells, first-8 centroids,
+# 2-cell probes) composed with ann_pq_topk's fine CTEs (4x16 L2
+# codebooks, order-pinned ADC)
+ORACLE["ann_ivfpq_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5)
+                      / 1000.0 DESC, c.cluster_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY floor(list_cosine_similarity(e.v, c.c_vec) * 1000.0 + 0.5)
+                      / 1000.0 DESC, c.cluster_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 2
+),
+d AS (SELECT CAST(len(v) // 4 AS INT) AS w FROM e LIMIT 1),
+ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+sl AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.v, ms.m * d.w + 1, (ms.m + 1) * d.w) AS sv
+  FROM e, ms, d
+),
+cb AS (SELECT vec_id AS j, m, sv AS cv FROM sl WHERE vec_id < 16),
+enc AS (
+  SELECT vec_id AS neighbor_id, m, j, cv FROM (
+    SELECT sl.vec_id, sl.m, cb.j, cb.cv,
+           row_number() OVER (
+             PARTITION BY sl.vec_id, sl.m
+             ORDER BY floor(list_distance(sl.sv, cb.cv) * 1000000.0 + 0.5)
+                      / 1000000.0 ASC, cb.j ASC) AS rn
+    FROM sl JOIN cb USING (m)
+  ) WHERE rn = 1
+),
+encc AS (
+  SELECT enc.neighbor_id, enc.m, enc.cv, a.cluster_id
+  FROM enc JOIN assigned a USING (neighbor_id)
+),
+terms AS (
+  SELECT p.query_id, encc.neighbor_id, encc.m,
+         floor(list_distance(q.sv, encc.cv) * 1000000.0 + 0.5)
+           / 1000000.0 AS term
+  FROM probes p
+  JOIN encc ON encc.cluster_id = p.cluster_id
+  JOIN sl q ON q.vec_id = p.query_id AND q.m = encc.m
+  WHERE encc.neighbor_id != p.query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, list_sum(list(term ORDER BY m)) AS dist
+  FROM terms GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY floor(dist * 1000000.0 + 0.5) / 1000000.0 ASC,
+                    neighbor_id ASC) AS rn
+  FROM adc
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+FROM r WHERE rn <= 5 ORDER BY query_id, rank
+"""

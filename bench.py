@@ -318,6 +318,7 @@ HEADLINE = [
     "zonemap_pruning_report",
     "orders_mv_incremental",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

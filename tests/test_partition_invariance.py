@@ -76,6 +76,7 @@ CHECKED = [
     "frequent_path_trigrams",
     "vocab_coverage_curve",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

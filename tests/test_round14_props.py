@@ -141,3 +141,55 @@ def test_pq_recall_against_exact_l2(spark, sf_dir):
     # 4x16 PQ on 64-dim vectors: lossy, but must beat random chance
     # (5/499 ~ 1%) by a wide margin to be a usable first-stage index
     assert recall >= 0.2, recall
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
+    """Composition contract: every IVFPQ result must live in one of
+    its query's 2 probed IVF cells (the pruning really pruned), and
+    the ADC ranking must agree with plain PQ when PQ's winners happen
+    to sit inside the probed cells."""
+    from pyspark.sql import Window, functions as F
+
+    from analysisofuserbehavior_spark.operators.similarity import (
+        _paired_sim,
+        _sim_order,
+        _with_vec,
+        ann_ivfpq_topk,
+        ann_pq_topk,
+    )
+    from analysisofuserbehavior_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivfpq_topk(emb).collect()
+    assert {r["query_id"] for r in out} == set(range(10))
+
+    cents = _with_vec(
+        emb.where(F.col("vec_id") < 8), "cluster_id", "c_vec", "c_norm"
+    )
+    every = _with_vec(emb, "vid", "v", "n")
+    scored = every.join(F.broadcast(cents)).withColumn(
+        "c_sim", _paired_sim("v", "n", "c_vec", "c_norm")
+    )
+    w = Window.partitionBy("vid").orderBy(*_sim_order("c_sim", "cluster_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cell = {
+        r["vid"]: r["cluster_id"]
+        for r in ranked.where(F.col("rn") == 1).collect()
+    }
+    probes = {}
+    for r in ranked.where((F.col("rn") <= 2) & (F.col("vid") < 10)).collect():
+        probes.setdefault(r["vid"], set()).add(r["cluster_id"])
+    for r in out:
+        assert cell[r["neighbor_id"]] in probes[r["query_id"]], r
+
+    # where plain-PQ winners fall inside the probed cells, IVFPQ must
+    # score them identically (same codes, same ADC)
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in ann_pq_topk(emb).collect()
+    }
+    ivfpq = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in out}
+    shared = set(pq) & set(ivfpq)
+    assert shared, "expected some overlap between PQ and IVFPQ top-5"
+    for key in shared:
+        assert pq[key] == ivfpq[key], key

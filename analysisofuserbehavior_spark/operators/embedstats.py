@@ -97,3 +97,32 @@ def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         .select("i", "j", qround(cov, 9).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+def embedding_norm_profile(embeddings: DataFrame) -> DataFrame:
+    """Embedding-table QA histogram: vector L2 norms bucketed at 1 dp
+    with per-bucket counts — the data-quality screen an embedding
+    pipeline runs before indexing (a spike at 0.0 = dead encoder
+    outputs; a heavy tail = un-normalized mixtures that silently
+    dominate dot-product retrieval).
+
+    The norm is sqrt of an INDEX-ORDER fold over the squared
+    components (transform + aggregate — the same accumulation order
+    DuckDB's list_transform/list_sum mirror uses), quantized at 1 dp
+    BEFORE the histogram groupBy so the bucket boundary is the same
+    expression on both engines.
+
+    Scale shape: one row-local map over the corpus + a bucket-sized
+    groupBy; no joins, no windows."""
+    from ..functions import qround
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ss = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        embeddings.select(qround(F.sqrt(ss), 1).alias("norm_bucket"))
+        .groupBy("norm_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("norm_bucket")
+    )

@@ -448,3 +448,40 @@ def offpolicy_ips_estimate(actions: DataFrame) -> DataFrame:
         qround(ips, 6).alias("ips_estimate"),
         qround(snips, 6).alias("snips_estimate"),
     )
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square goodness-of-fit of
+    the observed variant split against the designed 50/50 — the FIRST
+    check every experiment readout runs, because a biased assignment
+    invalidates every downstream metric (a z-test on SRM'd buckets is
+    noise).  For two cells at 50/50 the statistic reduces to the
+    exact-integer form chi2 = (n_a − n_b)² / (n_a + n_b): BIGINT
+    numerator, ONE double division, 4-dp quantize — the repo's
+    cross-engine float contract.  `srm` compares the QUANTIZED chi2
+    against the df=1 α=0.05 critical value 3.8415, so the flag can
+    never disagree with the reported statistic.
+
+    Scale shape: one distinct-user reduction, one 2-row variant
+    count; output is a single row."""
+    from ..functions import qround
+
+    users = events.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    counts = users.select(_variant(F.col("user_id")).alias("variant")).groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = qround(
+        diff2.cast("double") / (F.col("n_a") + F.col("n_b")).cast("double"), 4
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.8415)).cast("int").alias("srm"),
+    )

@@ -5983,3 +5983,39 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
        floor(dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
 FROM r WHERE rn <= 5 ORDER BY query_id, rank
 """
+
+# SRM guardrail: md5-parity assignment (ab_test_report's), exact
+# integer chi-square numerator, one division, quantized flag
+ORACLE["ab_srm_check"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+a AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM u
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM a
+)
+SELECT n_a, n_b,
+       floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS chi2,
+       CAST(CASE WHEN floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE) * 10000.0 + 0.5)
+                      / 10000.0 > 3.8415
+                 THEN 1 ELSE 0 END AS INT) AS srm
+FROM c
+"""
+
+# embedding L2-norm histogram at 1 dp; index-order squared fold
+ORACLE["embedding_norm_profile"] = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT floor(sqrt(list_sum(list_transform(v, x -> x * x))) * 10.0 + 0.5)
+           / 10.0 AS norm_bucket
+  FROM e
+)
+SELECT norm_bucket, CAST(count(*) AS BIGINT) AS n_vectors
+FROM n GROUP BY 1 ORDER BY 1
+"""

@@ -5680,6 +5680,27 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("ab_srm_check")
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square over the md5-parity variant
+    assignment — the validity guardrail in front of the gated
+    ab_test_report; exact-integer (n_a−n_b)²/(n_a+n_b), one division,
+    quantized flag (operators/experimentation.py)."""
+    from .operators.experimentation import ab_srm_check
+
+    return ab_srm_check(_events(spark, sf_dir))
+
+
+@query("embedding_norm_profile")
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram (1 dp) of the embeddings table — the
+    dead-output / un-normalized-mixture QA screen before indexing;
+    index-order squared fold, row-local (operators/embedstats.py)."""
+    from .operators.embedstats import embedding_norm_profile
+
+    return embedding_norm_profile(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

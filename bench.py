@@ -319,6 +319,8 @@ HEADLINE = [
     "orders_mv_incremental",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ab_srm_check",
+    "embedding_norm_profile",
 ]
 
 

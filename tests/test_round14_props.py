@@ -193,3 +193,38 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
     assert shared, "expected some overlap between PQ and IVFPQ top-5"
     for key in shared:
         assert pq[key] == ivfpq[key], key
+
+
+def test_norm_profile_spreads_and_srm_flags(spark):
+    from analysisofuserbehavior_spark.operators.embedstats import (
+        embedding_norm_profile,
+    )
+    from analysisofuserbehavior_spark.operators.experimentation import ab_srm_check
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),      # dead output
+        (2, [0.3, 0.4, 0.0, 0.0]),      # norm 0.5
+        (3, [2.0, 0.0, 0.0, 0.0]),      # un-normalized tail
+        (4, [0.6, 0.8, 0.0, 0.0]),      # unit
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["norm_bucket"]: r["n_vectors"]
+        for r in embedding_norm_profile(df).collect()
+    }
+    assert got == {0.0: 1, 0.5: 1, 1.0: 1, 2.0: 1}
+
+    # a deliberately one-sided assignment must trip the SRM flag: feed
+    # only users whose md5 first hex char is even (variant A)
+    import hashlib
+
+    # _variant keys on the ASCII code of the first hex CHAR (not its
+    # hex value): ord('a')=97 is odd -> B even though 0xa is even
+    a_users = [
+        u for u in range(2000)
+        if ord(hashlib.md5(str(u).encode()).hexdigest()[0]) % 2 == 0
+    ][:200]
+    ev = spark.createDataFrame([(u,) for u in a_users], "user_id long")
+    out = ab_srm_check(ev).collect()[0]
+    assert out["n_a"] == 200 and out["n_b"] == 0
+    assert out["srm"] == 1 and out["chi2"] == 200.0

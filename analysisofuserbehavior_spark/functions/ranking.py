@@ -121,3 +121,64 @@ def distributed_ntile(
         .withColumn(out_col, ntile_from_rank("global_rank", "_total", k))
         .drop("_total", "global_rank")
     )
+
+
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 32,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """`with_global_rank` per group: row_number over (value_col,
+    tiebreak_col) ascending WITHIN each group_cols tuple, computed
+    two-pass.  The naive form — `Window.partitionBy(group)` — sorts
+    |rows|/|groups| per task, a straggler whenever groups are few or
+    skewed (the exact shape the SinglePartition-window lint guards
+    globally).  Here each group's value range splits into n_buckets
+    via one per-group percentile_approx; per-(group, bucket) counts
+    roll into prefix offsets with a window over the
+    (|groups|·n_buckets)-row offset frame; the final row_number
+    window partitions by (group, bucket) — every task sorts ~1/32 of
+    ONE group."""
+    splits = df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+            F.lit(10_000),
+        ).alias("_splits")
+    )
+    bucketed = (
+        df.join(F.broadcast(splits), group_cols)
+        .withColumn(
+            "_bucket",
+            F.size(F.filter(F.col("_splits"), lambda s: s < F.col(value_col))),
+        )
+        .drop("_splits")
+    )
+    btotals = bucketed.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    boffsets = btotals.withColumn(
+        "_boffset",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*group_cols, "_bucket", "_boffset")
+    w = Window.partitionBy(*group_cols, "_bucket").orderBy(
+        F.asc(value_col), F.asc(tiebreak_col)
+    )
+    return (
+        bucketed.join(F.broadcast(boffsets), [*group_cols, "_bucket"])
+        .withColumn(
+            rank_col,
+            (F.col("_boffset") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_bucket", "_boffset")
+    )

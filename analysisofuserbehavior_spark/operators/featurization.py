@@ -125,3 +125,49 @@ def feature_hash_docs(
         .where(F.col("feat") != 0)
         .orderBy("doc_id", "dim_id")
     )
+
+
+def quantile_normalize_by_type(events: DataFrame, k: int = 100) -> DataFrame:
+    """Per-group quantile (rank) normalization of `value`: each event
+    mapped to its ntile(k) percentile WITHIN its event_type — the
+    rank-based feature scaling that makes heavy-tailed monetary
+    features comparable across populations (and the per-group twin of
+    the gated global deciles).  Output is the (event_type, percentile)
+    summary grid: counts and exact integer-cent bounds per cell.
+
+    Scale shape: the within-group rank is the TWO-PASS bucket rank
+    generalized per group (functions/ranking.with_grouped_rank) —
+    never `Window.partitionBy(event_type)`, which would sort
+    |rows|/|types| per task over a handful of skewed partitions.  The
+    percentile is the closed-form integer ntile from (rank, group
+    total): no double division until there is none at all — the whole
+    operator is integer-exact."""
+    from ..functions.ranking import ntile_from_rank, with_grouped_rank
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = events.select(
+        "event_type", "event_id", cents.alias("cents")
+    )
+    ranked = with_grouped_rank(
+        base, ["event_type"], "cents", "event_id", rank_col="rk"
+    )
+    totals = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_gtotal")
+    )
+    cells = (
+        ranked.join(F.broadcast(totals), "event_type")
+        .withColumn("percentile", ntile_from_rank("rk", "_gtotal", k))
+        .groupBy("event_type", "percentile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        F.col("percentile").cast("int").alias("percentile"),
+        "n",
+        "min_cents",
+        "max_cents",
+    ).orderBy("event_type", "percentile")

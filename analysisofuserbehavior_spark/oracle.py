@@ -6019,3 +6019,25 @@ n AS (
 SELECT norm_bucket, CAST(count(*) AS BIGINT) AS n_vectors
 FROM n GROUP BY 1 ORDER BY 1
 """
+
+# per-group rank normalization: DuckDB's native ntile over the same
+# total order (cents, event_id) within each type — the Spark side's
+# grouped two-pass rank + closed-form ntile must agree exactly
+ORACLE["quantile_normalize_by_type"] = """
+WITH b AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         ntile(100) OVER (PARTITION BY event_type
+                          ORDER BY cents ASC, event_id ASC) AS percentile
+  FROM b
+)
+SELECT event_type, CAST(percentile AS INT) AS percentile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""

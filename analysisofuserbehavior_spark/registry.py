@@ -5701,6 +5701,19 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_profile(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("quantile_normalize_by_type")
+def q_quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type quantile (rank) normalization of `value` to
+    ntile(100) percentiles — rank-based feature scaling via the
+    GROUPED two-pass bucket rank (functions/ranking.with_grouped_rank;
+    never Window.partitionBy over a handful of skewed type
+    partitions), closed-form integer ntile, integer-cent bounds per
+    (type, percentile) cell (operators/featurization.py)."""
+    from .operators.featurization import quantile_normalize_by_type
+
+    return quantile_normalize_by_type(_events(spark, sf_dir))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

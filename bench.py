@@ -321,6 +321,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ab_srm_check",
     "embedding_norm_profile",
+    "quantile_normalize_by_type",
 ]
 
 

@@ -77,6 +77,7 @@ CHECKED = [
     "vocab_coverage_curve",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "quantile_normalize_by_type",
 ]
 
 

@@ -228,3 +228,31 @@ def test_norm_profile_spreads_and_srm_flags(spark):
     out = ab_srm_check(ev).collect()[0]
     assert out["n_a"] == 200 and out["n_b"] == 0
     assert out["srm"] == 1 and out["chi2"] == 200.0
+
+
+def test_grouped_ntile_is_balanced_and_monotone(spark, sf_dir):
+    """ntile(100) within each type: cell sizes differ by at most 1,
+    cells are value-monotone (min of percentile p+1 >= max of p), and
+    each type's cells sum to the type's row count."""
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.registry import QUERIES, load_table
+
+    rows = QUERIES["quantile_normalize_by_type"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for t, cells in by_type.items():
+        cells.sort(key=lambda r: r["percentile"])
+        sizes = {c["n"] for c in cells}
+        assert max(sizes) - min(sizes) <= 1, (t, sizes)
+        assert sum(c["n"] for c in cells) == totals[t]
+        for a, b in zip(cells, cells[1:]):
+            assert b["min_cents"] >= a["max_cents"], (t, a, b)

@@ -606,3 +606,75 @@ def _recover_index(spark, path: str) -> None:
     elif fs.exists(old):
         if not fs.rename(old, live):
             raise RuntimeError(f"index recover failed: {path}_old -> {path}")
+
+
+def retrieval_ndcg_report(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking: NDCG@k
+    against the deterministic binary judgment "a document is relevant
+    iff it contains EVERY query term" — the conjunctive-containment
+    oracle that needs no human labels, so the metric is exactly
+    replayable.  One row: relevant counts (corpus and in the top-k),
+    DCG@k, ideal DCG (all-relevant prefix truncated at k), and their
+    ratio — the eval harness a retrieval change (compaction, PRF,
+    hybrid fusion) is judged by before shipping.
+
+    Float discipline: DCG is an ORDER-PINNED fold over rank (rel_i /
+    log2(i+1) summed ascending), IDCG folds an integer sequence the
+    same way, division happens once, everything quantized at 6 dp —
+    the surprisal-family contract.
+
+    Scale shape: bm25_topk does the corpus work; relevance is one
+    row-local containment scan; every frame after that is ≤k rows
+    (the rank window is SinglePartition over the top-k only —
+    whitelisted with that bound)."""
+    from pyspark.sql import Window
+
+    from ..functions import qround
+
+    topk = bm25_topk(docs, query_terms, k=k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ranked = topk.withColumn("rk", F.row_number().over(w))
+    toks = _tokens()
+    rel_pred = None
+    for t in query_terms:
+        cond = F.array_contains(toks, t)
+        rel_pred = cond if rel_pred is None else (rel_pred & cond)
+    rel_docs = docs.where(rel_pred).select("doc_id")
+    n_rel = rel_docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant_corpus"))
+    tr = ranked.join(
+        rel_docs.withColumn("_rel", F.lit(1)), "doc_id", "left"
+    ).select("rk", F.coalesce(F.col("_rel"), F.lit(0)).alias("rel"))
+    dcg_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("rk", "rel"))),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["rel"].cast("double") / F.log2((s["rk"] + 1).cast("double")),
+    )
+    agg = tr.groupBy().agg(
+        F.coalesce(dcg_fold, F.lit(0.0)).alias("_dcg"),
+        F.coalesce(F.sum("rel"), F.lit(0)).cast("bigint").alias("n_relevant_topk"),
+    )
+    idcg_fold = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant_corpus"), F.lit(k)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2((i + 1).cast("double")),
+    )
+    out = agg.crossJoin(F.broadcast(n_rel)).select(
+        "n_relevant_corpus",
+        "n_relevant_topk",
+        qround(F.col("_dcg"), 6).alias("dcg"),
+        F.when(F.col("n_relevant_corpus") > 0, qround(idcg_fold, 6))
+        .otherwise(F.lit(0.0))
+        .alias("idcg"),
+        F.when(
+            F.col("n_relevant_corpus") > 0,
+            qround(F.col("_dcg") / idcg_fold, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+    return out

@@ -6041,3 +6041,53 @@ SELECT event_type, CAST(percentile AS INT) AS percentile,
        CAST(max(cents) AS BIGINT) AS max_cents
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# NDCG@20 over the BM25 ranking vs the conjunctive-containment
+# judgment; DCG/IDCG are order-pinned folds (rank ascending)
+ORACLE["retrieval_ndcg_report"] = _bm25_oracle(
+    final_select="""SELECT * FROM (
+  WITH top AS (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+    FROM scored WHERE bm25 > 0.0
+  ),
+  rel AS (
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+      AND list_contains(string_split(text, ' '), 'join')
+      AND list_contains(string_split(text, ' '), 'window')
+      AND list_contains(string_split(text, ' '), 'stream')
+  ),
+  tr AS (
+    SELECT t.rk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+    FROM top t LEFT JOIN rel r USING (doc_id)
+    WHERE t.rk <= 20
+  ),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant_corpus FROM rel),
+  d AS (
+    SELECT coalesce(list_sum(list(CAST(rel AS DOUBLE)
+                                  / log2(CAST(rk + 1 AS DOUBLE))
+                                  ORDER BY rk)), 0.0) AS dcg_raw,
+           CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_relevant_topk
+    FROM tr
+  ),
+  i AS (
+    SELECT CASE WHEN n_relevant_corpus > 0
+                THEN list_sum(list_transform(
+                       range(1, CAST(least(n_relevant_corpus, 20) AS INT) + 1),
+                       x -> 1.0 / log2(CAST(x + 1 AS DOUBLE))))
+                ELSE 0.0 END AS idcg_raw,
+           n_relevant_corpus
+    FROM n
+  )
+  SELECT i.n_relevant_corpus, d.n_relevant_topk,
+         floor(d.dcg_raw * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+         CASE WHEN i.n_relevant_corpus > 0
+              THEN floor(i.idcg_raw * 1000000.0 + 0.5) / 1000000.0
+              ELSE 0.0 END AS idcg,
+         CASE WHEN i.n_relevant_corpus > 0
+              THEN floor(d.dcg_raw / i.idcg_raw * 1000000.0 + 0.5) / 1000000.0
+              ELSE 0.0 END AS ndcg
+  FROM d CROSS JOIN i
+)"""
+)

@@ -5714,6 +5714,17 @@ def q_quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize_by_type(_events(spark, sf_dir))
 
 
+@query("retrieval_ndcg_report")
+def q_retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the BM25 ranking against the deterministic
+    conjunctive-containment judgment (relevant ⇔ contains every query
+    term) — the label-free retrieval eval harness; order-pinned DCG /
+    IDCG folds, 6-dp quantization (operators/retrieval.py)."""
+    from .operators.retrieval import retrieval_ndcg_report
+
+    return retrieval_ndcg_report(_documents(spark, sf_dir))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

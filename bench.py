@@ -322,6 +322,7 @@ HEADLINE = [
     "ab_srm_check",
     "embedding_norm_profile",
     "quantile_normalize_by_type",
+    "retrieval_ndcg_report",
 ]
 
 

@@ -1029,3 +1029,76 @@ def lsh_tuning_report(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def dedup_contained_docs(docs: DataFrame, anchor_len: int = 4) -> DataFrame:
+    """Exact token-run CONTAINMENT dedup: documents whose full token
+    sequence appears as a contiguous run inside another document —
+    the quote/mirror/wrapper-page class that exact-hash dedup (needs
+    equality) and MinHash (needs high Jaccard; a 10-token doc inside
+    a 99-token doc has Jaccard ≈ 0.1) both miss, yet which adds zero
+    novel tokens to a training corpus.
+
+    Candidate generation is anchor-complete: if A's tokens are a run
+    inside B, then A's FIRST `anchor_len`-gram is one of B's
+    `anchor_len`-grams, so joining A-anchors against the B-gram
+    posting frame finds every true pair (docs shorter than
+    `anchor_len` belong to the exact-dedup pass).  Verification is a
+    row-local space-delimited substring check; equal-text pairs
+    resolve by id (the smaller doc_id survives).
+
+    Scale shape: the gram frame is one |tokens|-row explode (the
+    inverted-index build's cost); the candidate join keys on the
+    4-gram — common-anchor skew is the known hazard and rides the
+    session's AQE skew-join handling (a production corpus would also
+    cap posting length for stop-gram anchors).  Verification and the
+    final per-doc reduction are linear in candidates."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("dl"),
+    ).where(F.size(toks) >= anchor_len)
+    grams = base.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("dl").alias("b_dl"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - anchor_len),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i + 1, anchor_len)
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    anchors = base.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("dl").alias("a_dl"),
+        F.concat_ws(" ", F.slice("toks", 1, anchor_len)).alias("gram"),
+    )
+    verified = (
+        grams.join(anchors, "gram")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(
+            (F.col("a_dl") < F.col("b_dl"))
+            | ((F.col("a_dl") == F.col("b_dl")) & (F.col("a_id") > F.col("b_id")))
+        )
+        .where(
+            F.instr(
+                F.concat(F.lit(" "), F.col("b_text"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a_text"), F.lit(" ")),
+            )
+            > 0
+        )
+    )
+    return (
+        verified.groupBy(F.col("a_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("b_id").cast("bigint").alias("n_containers"),
+            F.min("b_id").cast("bigint").alias("container_id"),
+        )
+        .orderBy("doc_id")
+    )

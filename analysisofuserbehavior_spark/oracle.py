@@ -6091,3 +6091,24 @@ ORACLE["retrieval_ndcg_report"] = _bm25_oracle(
   FROM d CROSS JOIN i
 )"""
 )
+
+# containment ground truth: exhaustive all-pairs substring check over
+# space-delimited texts (fine at oracle SFs) — the Spark side's
+# anchor-join candidates must lose NOTHING against this
+ORACLE["dedup_contained_docs"] = """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM d a JOIN d b ON a.doc_id != b.doc_id
+  WHERE (a.dl < b.dl OR (a.dl = b.dl AND a.doc_id > b.doc_id))
+    AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
+)
+SELECT a_id AS doc_id,
+       CAST(count(DISTINCT b_id) AS BIGINT) AS n_containers,
+       CAST(min(b_id) AS BIGINT) AS container_id
+FROM pairs GROUP BY a_id ORDER BY doc_id
+"""

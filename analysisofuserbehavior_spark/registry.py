@@ -5725,6 +5725,19 @@ def q_retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ndcg_report(_documents(spark, sf_dir))
 
 
+@query("dedup_contained_docs")
+def q_dedup_contained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-run containment dedup (quote/mirror/wrapper pages
+    invisible to equality hashing AND to MinHash at low Jaccard):
+    anchor-complete 4-gram candidate join + row-local substring
+    verify; oracle is the exhaustive all-pairs ground truth, so a
+    green hash proves the anchor pruning lost nothing
+    (operators/dedup.py)."""
+    from .operators.dedup import dedup_contained_docs
+
+    return dedup_contained_docs(_documents(spark, sf_dir))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

@@ -323,6 +323,7 @@ HEADLINE = [
     "embedding_norm_profile",
     "quantile_normalize_by_type",
     "retrieval_ndcg_report",
+    "dedup_contained_docs",
 ]
 
 

@@ -78,6 +78,8 @@ CHECKED = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "quantile_normalize_by_type",
+    "dedup_contained_docs",
+    "retrieval_ndcg_report",
 ]
 
 

@@ -256,3 +256,30 @@ def test_grouped_ntile_is_balanced_and_monotone(spark, sf_dir):
         assert sum(c["n"] for c in cells) == totals[t]
         for a, b in zip(cells, cells[1:]):
             assert b["min_cents"] >= a["max_cents"], (t, a, b)
+
+
+def test_containment_anchor_is_complete_on_adversarial_docs(spark):
+    """Synthetic adversarial cases: containment at the END of the
+    container, multiple containers, equal-text pairs (smaller id
+    survives), and a non-contained doc sharing the anchor 4-gram but
+    diverging afterwards (candidate found, verification must reject)."""
+    from analysisofuserbehavior_spark.operators.dedup import dedup_contained_docs
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y z w a b c d e f g h"),          # contains 1 at the end
+        (3, "p q a b c d e f g h r s"),          # contains 1 mid-string
+        (4, "a b c d QQ RR SS TT"),              # shares 1's anchor, diverges
+        (5, "a b c d e f g h"),                  # equal text to 1
+        (6, "lone document with nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_containers"], r["container_id"])
+        for r in dedup_contained_docs(df).collect()
+    }
+    # doc 1: contained in 2, 3 (not in 5: equal text resolves by id —
+    # 5 is the contained one); doc 5: contained in 1 (id rule), 2, 3
+    assert got[1] == (2, 2)
+    assert got[5] == (3, 1)
+    assert 4 not in got and 6 not in got and 2 not in got and 3 not in got

@@ -68,3 +68,57 @@ def session_window_rollup(
             "n_events",
         )
     )
+
+
+def gap_sensitivity(
+    events: DataFrame,
+    gaps_minutes: tuple[int, ...] = (5, 15, 30, 60),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Session-count sensitivity to the gap threshold: how many
+    sessions the corpus yields at each candidate inactivity gap — the
+    calibration sweep run BEFORE pinning `gap_seconds` (a session
+    count that still moves steeply at the chosen gap means the
+    threshold sits on a cliff of the inter-event-gap distribution,
+    and every downstream session KPI inherits that instability).
+
+    One pass, not |gaps| re-sessionizations: a session START at gap g
+    is simply an inter-event gap > g (or a user's first event), so
+    the per-row lag computes ONCE and each threshold is one more
+    conditional sum over the same window frame — the 16-bucket
+    accumulator discipline (SURVEY §2.4) applied to a parameter
+    sweep.  Plan: the sessionize shuffle, |gaps| sums, |gaps| output
+    rows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    flags = events.select(
+        *[
+            F.when(prev_ts.isNull() | (gap > g * 60), 1)
+            .otherwise(0)
+            .alias(f"_g{g}")
+            for g in gaps_minutes
+        ]
+    )
+    one = flags.agg(
+        *[F.sum(f"_g{g}").cast("bigint").alias(f"_n{g}") for g in gaps_minutes]
+    )
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).cast("bigint").alias("gap_minutes"),
+                            F.col(f"_n{g}").alias("n_sessions"),
+                        )
+                        for g in gaps_minutes
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.gap_minutes", "r.n_sessions")
+        .orderBy("gap_minutes")
+    )

@@ -6112,3 +6112,22 @@ SELECT a_id AS doc_id,
        CAST(min(b_id) AS BIGINT) AS container_id
 FROM pairs GROUP BY a_id ORDER BY doc_id
 """
+
+# gap-threshold sensitivity: session starts at gap g = lag-gap > g
+# (or first event), each threshold one conditional sum over the same
+# per-user ordering
+ORACLE["sessionize_gap_sensitivity"] = """
+WITH p AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))) AS BIGINT)
+           AS gap
+  FROM events
+),
+ks AS (SELECT unnest([5, 15, 30, 60]) AS gap_minutes)
+SELECT CAST(k.gap_minutes AS BIGINT) AS gap_minutes,
+       CAST(sum(CASE WHEN p.gap IS NULL OR p.gap > k.gap_minutes * 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM ks k CROSS JOIN p
+GROUP BY k.gap_minutes ORDER BY gap_minutes
+"""

@@ -5738,6 +5738,17 @@ def q_dedup_contained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_contained_docs(_documents(spark, sf_dir))
 
 
+@query("sessionize_gap_sensitivity")
+def q_sessionize_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts at candidate inactivity gaps (5/15/30/60 min) —
+    the calibration sweep behind the engine's 30-min default,
+    computed in ONE window pass with a conditional sum per threshold
+    (never |gaps| re-sessionizations) (operators/sessionize.py)."""
+    from .operators.sessionize import gap_sensitivity
+
+    return gap_sensitivity(load_table(spark, sf_dir, "events"))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

@@ -324,6 +324,7 @@ HEADLINE = [
     "quantile_normalize_by_type",
     "retrieval_ndcg_report",
     "dedup_contained_docs",
+    "sessionize_gap_sensitivity",
 ]
 
 

@@ -283,3 +283,23 @@ def test_containment_anchor_is_complete_on_adversarial_docs(spark):
     assert got[1] == (2, 2)
     assert got[5] == (3, 1)
     assert 4 not in got and 6 not in got and 2 not in got and 3 not in got
+
+
+def test_gap_sensitivity_monotone_and_consistent_with_sessionize(spark, sf_dir):
+    """More permissive gap => fewer (or equal) sessions, and the
+    30-min point must equal what the canonical sessionize counts."""
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.operators.sessionize import sessionize
+    from analysisofuserbehavior_spark.registry import QUERIES, load_table
+
+    rows = QUERIES["sessionize_gap_sensitivity"](spark, sf_dir).collect()
+    counts = {r["gap_minutes"]: r["n_sessions"] for r in rows}
+    assert sorted(counts) == [5, 15, 30, 60]
+    assert counts[5] >= counts[15] >= counts[30] >= counts[60]
+    canonical = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .agg(F.countDistinct("session_id"))
+        .first()[0]
+    )
+    assert counts[30] == canonical

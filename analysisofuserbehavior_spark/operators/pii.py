@@ -95,3 +95,50 @@ def k_anonymity_report(users, k: int = 5):
         .where(F.col("group_size") < k)
         .orderBy("city", "sex", "age_decade")
     )
+
+
+def l_diversity_report(users, l_threshold: int = 2, sensitive: str = "professional"):
+    """l-DIVERSITY audit — k-anonymity's necessary companion: a QI
+    group can be large (k-anonymous) yet still leak the sensitive
+    attribute when every member SHARES it (the homogeneity attack:
+    "all 40-something men in city X are in segment Y").  For every
+    (city, sex, age-decade) group this reports its size, the number
+    of DISTINCT sensitive values, and whether it meets the
+    l-threshold — the pair of reports (k + l) is what a governance
+    review actually signs off on.
+
+    Scale shape: one map-side-combined groupBy over the dimension
+    with a per-group distinct count (two-level aggregate: exact
+    distinct via the (QI, sensitive) pre-aggregation, never a
+    row-set collect); output is QI-domain-sized."""
+    from pyspark.sql import functions as F
+
+    qi = users.select(
+        "city",
+        "sex",
+        (F.col("age") - (F.col("age") % 10)).cast("bigint").alias("age_decade"),
+        F.col(sensitive).alias("_sens"),
+    )
+    # exact distinct without countDistinct's expand: pre-aggregate on
+    # (QI, sensitive) so the second groupBy counts pre-deduped rows
+    pre = qi.groupBy("city", "sex", "age_decade", "_sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    return (
+        pre.groupBy("city", "sex", "age_decade")
+        .agg(
+            F.sum("_n").cast("bigint").alias("group_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sensitive_values"),
+        )
+        .select(
+            "city",
+            "sex",
+            "age_decade",
+            "group_size",
+            "n_sensitive_values",
+            (F.col("n_sensitive_values") >= l_threshold)
+            .cast("int")
+            .alias("meets_l"),
+        )
+        .orderBy("city", "sex", "age_decade")
+    )

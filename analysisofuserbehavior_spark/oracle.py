@@ -6131,3 +6131,18 @@ SELECT CAST(k.gap_minutes AS BIGINT) AS gap_minutes,
 FROM ks k CROSS JOIN p
 GROUP BY k.gap_minutes ORDER BY gap_minutes
 """
+
+# l-diversity: per QI group, size + distinct sensitive (segment)
+# values + the l>=2 flag — k-anonymity's homogeneity-attack companion
+ORACLE["l_diversity_report"] = f"""
+WITH {USERS_CTE}
+SELECT city, sex,
+       CAST(age - (age % 10) AS BIGINT) AS age_decade,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT professional) AS BIGINT) AS n_sensitive_values,
+       CAST(CASE WHEN count(DISTINCT professional) >= 2 THEN 1 ELSE 0 END
+            AS INT) AS meets_l
+FROM users
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

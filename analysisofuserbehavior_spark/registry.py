@@ -5749,6 +5749,18 @@ def q_sessionize_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_sensitivity(load_table(spark, sf_dir, "events"))
 
 
+@query("l_diversity_report")
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the (city, sex, age-decade) QI groups —
+    k-anonymity's homogeneity-attack companion: group size, distinct
+    sensitive (segment) values, and the l≥2 flag per group; exact
+    distinct via (QI, sensitive) pre-aggregation
+    (operators/pii.py)."""
+    from .operators.pii import l_diversity_report
+
+    return l_diversity_report(_users(spark, sf_dir))
+
+
 @query("stress_linear_report")
 def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-REGISTRY scale-linearity evidence (VERDICT r10 #5): the

@@ -325,6 +325,7 @@ HEADLINE = [
     "retrieval_ndcg_report",
     "dedup_contained_docs",
     "sessionize_gap_sensitivity",
+    "l_diversity_report",
 ]
 
 

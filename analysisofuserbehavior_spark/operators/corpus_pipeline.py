@@ -330,13 +330,25 @@ def ingest_corpus_day(
     (sources/upsert._fs_path) like every other commit path, so the
     idempotence guard holds on hdfs:// / s3a:// too, not just the
     local FS (round-11 ADVICE).  A crash BETWEEN the append and the
-    marker is now DETECTED instead of silently double-applied: before
-    a non-first append, the live `_stats` row count must equal the
-    count recorded by the latest committed marker — a surplus row
-    means an uncommitted append is present and the day must be
-    rebuilt, so this raises rather than inflating df/tf.  (The
-    `_stats` manifest is ingest-batch-sized, so the guard's count is
-    a tiny metadata-shaped job per ingest.)
+    marker is DETECTED instead of silently double-applied: before a
+    non-first append, the live `_stats` row count is compared to the
+    committed baseline — live > committed means an uncommitted append
+    is present and the day must be rebuilt, so this raises rather
+    than inflating df/tf.  live < committed is NOT a crash signal: it
+    is what `retrieval.compact_inverted_index` legitimately leaves
+    behind (the nightly OPTIMIZE collapses the manifest to one summed
+    row), so the guard accepts it and the commit at the end of this
+    ingest re-bases the ledger (round-12 ADVICE fix — previously the
+    equality check false-positived after every compaction,
+    permanently blocking ingests).  The committed baseline itself
+    lives in a single `_ledger/_BASELINE` file overwritten on every
+    commit (and by the compactor), so backfilling an earlier day can
+    never leave a stale count under a lexicographically-later marker
+    name (second round-12 ADVICE fix); pre-round-12 ledgers without
+    the file fall back to the MAX count across day markers — counts
+    are monotone per append, so max == latest regardless of day
+    order.  (The `_stats` manifest is ingest-batch-sized, so the
+    guard's count is a tiny metadata-shaped job per ingest.)
 
     The first day (`first_day=True`) builds the index instead of
     appending (write_inverted_index), with the same ledger discipline.
@@ -373,48 +385,111 @@ def ingest_corpus_day(
     if first_day:
         write_inverted_index(admitted, index_dir)
     else:
-        committed = _ledger_max_stats_rows(spark, fs, ledger_dir)
+        committed = _ledger_committed_stats_rows(spark, fs, ledger_dir)
         if committed is not None:
             live = spark.read.parquet(index_dir + "/_stats").count()
-            if live != committed:
+            if live > committed:
                 raise RuntimeError(
                     f"inverted index at {index_dir} holds {live} _stats "
                     f"manifest rows but the ledger committed {committed}: "
                     "an append crashed before its marker — rebuild the "
                     "index from the store before ingesting further days"
                 )
+            # live < committed: compact_inverted_index ran since the
+            # last ingest (manifest summed to one row) — legitimate;
+            # the commit below re-bases the ledger to the live layout
         append_inverted_index(admitted, index_dir)
-    # commit marker LAST, carrying the post-append manifest row count
+    # commit LAST: day marker + single-file baseline, both carrying
+    # the post-append manifest row count
     n_stats = spark.read.parquet(index_dir + "/_stats").count()
     out = fs.create(marker, True)
     out.write(bytearray(str(n_stats).encode("ascii")))
     out.close()
+    _write_ledger_baseline(spark, fs, ledger_dir, n_stats)
 
 
-def _ledger_max_stats_rows(spark, fs, ledger_dir: str) -> int | None:
-    """The `_stats` row count recorded by the most recently committed
-    ingest marker (None when no ledger exists yet — an index built
-    outside the ledger discipline gets no guard).  Markers are tiny
-    one-number files; read driver-side through the same FileSystem
-    handle the commit used."""
+def _write_ledger_baseline(spark, fs, ledger_dir: str, n_stats: int) -> None:
+    """Overwrite the single `_BASELINE` file with the committed
+    `_stats` manifest row count.  One file updated on every commit —
+    never inferred from marker names — so backfills and compactions
+    cannot desynchronize the crash-detection guard."""
+    from ..sources.upsert import _fs_path
+
+    _, baseline = _fs_path(spark, ledger_dir + "/_BASELINE")
+    out = fs.create(baseline, True)
+    out.write(bytearray(str(n_stats).encode("ascii")))
+    out.close()
+
+
+def _rebase_ledger(spark, fs, ledger_dir: str, n_stats: int) -> None:
+    """Post-compaction re-base: rewrite EVERY day marker's count plus
+    the `_BASELINE` to the post-compaction `_stats` row count.  The
+    markers' existence stays the idempotence token (a re-run of an
+    already-ingested day still skips); only their count payload — the
+    crash-guard input — is refreshed, so no marker is ever stale-HIGH
+    and the guard's max(baseline, markers) reconciliation stays able
+    to catch a genuine surplus append."""
+    from ..sources.upsert import _fs_path
+
+    _, root = _fs_path(spark, ledger_dir)
+    if fs.exists(root):
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("day=") or status.isDirectory():
+                continue
+            out = fs.create(status.getPath(), True)
+            out.write(bytearray(str(n_stats).encode("ascii")))
+            out.close()
+    _write_ledger_baseline(spark, fs, ledger_dir, n_stats)
+
+
+def _ledger_committed_stats_rows(spark, fs, ledger_dir: str) -> int | None:
+    """The `_stats` row count the ledger has committed (None when no
+    ledger exists yet — an index built outside the ledger discipline
+    gets no guard).  Committed = max(`_BASELINE`, max marker count):
+    each append adds exactly one manifest row, so counts are monotone
+    in commit order and max == most recent, independent of the
+    lexicographic order of day names (backfill-safe); taking the max
+    WITH the baseline also covers a crash between a marker write and
+    its `_BASELINE` rewrite (the marker is the later commit then),
+    and compaction rewrites marker counts alongside the baseline
+    (`_rebase_ledger`) so no marker is ever stale-high.  Pre-round-12
+    ledgers have no baseline file and reduce to the markers max.
+    Markers are tiny one-number files; read driver-side through the
+    same FileSystem handle the commit used."""
     from ..sources.upsert import _fs_path
 
     _, root = _fs_path(spark, ledger_dir)
     if not fs.exists(root):
         return None
     jvm = spark.sparkContext._jvm  # noqa: SLF001 - py4j bridge is the API here
-    latest: tuple[str, int] | None = None
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not name.startswith("day=") or status.isDirectory():
-            continue  # pre-round-11 markers were empty directories
-        stream = fs.open(status.getPath())
+
+    def read_int(path) -> int | None:
+        stream = fs.open(path)
         try:
             text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
-        if not text.strip().isdigit():
+        return int(text.strip()) if text.strip().isdigit() else None
+
+    best: int | None = None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("day=") or status.isDirectory():
             continue  # pre-round-11 markers were empty directories
-        if latest is None or name > latest[0]:
-            latest = (name, int(text.strip()))
-    return None if latest is None else latest[1]
+        n = read_int(status.getPath())
+        if n is None:
+            continue  # pre-round-11 markers were empty directories
+        if best is None or n > best:
+            best = n
+    _, baseline = _fs_path(spark, ledger_dir + "/_BASELINE")
+    if fs.exists(baseline):
+        n = read_int(baseline)
+        if n is not None:
+            # max with the markers covers the crash window BETWEEN a
+            # marker write and its baseline rewrite (the marker is the
+            # later commit then); compaction rewrites marker counts
+            # alongside the baseline, so a post-compaction marker can
+            # never be stale-high
+            return n if best is None else max(n, best)
+    return best

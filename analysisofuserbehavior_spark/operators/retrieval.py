@@ -581,6 +581,17 @@ def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCK
     if not fs.rename(new, live):
         raise RuntimeError(f"index compact promote failed: {staged} -> {path}")
     fs.delete(old, True)
+    # re-base the ingest ledger (corpus_pipeline.ingest_corpus_day) if this
+    # index is under its discipline: compaction just collapsed the _stats
+    # manifest to one summed row, so the committed-count baseline must follow
+    # or the next ingest's crash-detection guard would false-positive
+    # (round-12 ADVICE).  The `<path>_ledger` convention is the pipeline's.
+    _, ledger_root = _fs_path(spark, path + "_ledger")
+    if fs.exists(ledger_root):
+        from .corpus_pipeline import _rebase_ledger
+
+        n_stats = spark.read.parquet(path + "/_stats").count()
+        _rebase_ledger(spark, fs, path + "_ledger", n_stats)
 
 
 def _recover_index(spark, path: str) -> None:

@@ -6094,7 +6094,10 @@ ORACLE["retrieval_ndcg_report"] = _bm25_oracle(
 
 # containment ground truth: exhaustive all-pairs substring check over
 # space-delimited texts (fine at oracle SFs) — the Spark side's
-# anchor-join candidates must lose NOTHING against this
+# anchor-join candidates must lose NOTHING against this.  The a.dl >= 4
+# restriction mirrors the Spark side's anchor_len floor (round-12
+# ADVICE): docs too short to carry a 4-gram anchor are exact-dedup's
+# job on BOTH engines, not silently included in one and not the other
 ORACLE["dedup_contained_docs"] = """
 WITH d AS (
   SELECT doc_id, text,
@@ -6104,7 +6107,8 @@ WITH d AS (
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM d a JOIN d b ON a.doc_id != b.doc_id
-  WHERE (a.dl < b.dl OR (a.dl = b.dl AND a.doc_id > b.doc_id))
+  WHERE a.dl >= 4
+    AND (a.dl < b.dl OR (a.dl = b.dl AND a.doc_id > b.doc_id))
     AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
 )
 SELECT a_id AS doc_id,
@@ -6145,4 +6149,71 @@ SELECT city, sex,
 FROM users
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+"""
+
+# mirror of operators/curation.py::perplexity_filtered_corpus (k=3):
+# the backoff_surprisal CTEs verbatim, then ntile(3) over the
+# 6-dp-quantized score + doc_id (DuckDB's ntile matches the engine's
+# closed-form integer ntile exactly — functions/ranking.py docstring);
+# kept = not in the highest-perplexity band (the CCNet tail drop)
+ORACLE["perplexity_filtered_corpus"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, trigram, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+    FROM toks WHERE len(t) >= 3
+  )
+  GROUP BY doc_id, trigram
+),
+c3 AS (
+  SELECT trigram, CAST(sum(tf) AS BIGINT) AS c,
+         string_split(trigram, ' ') AS w
+  FROM pairs GROUP BY trigram
+),
+ctx AS (
+  SELECT w[1] AS w1, w[2] AS w2, CAST(sum(c) AS BIGINT) AS ctx3
+  FROM c3 GROUP BY 1, 2
+),
+suf AS (
+  SELECT w[2] AS w2, w[3] AS w3, CAST(sum(c) AS BIGINT) AS suf2
+  FROM c3 GROUP BY 1, 2
+),
+mid AS (
+  SELECT w[2] AS w2, CAST(sum(c) AS BIGINT) AS mid1
+  FROM c3 GROUP BY 1
+),
+lm AS (
+  SELECT p.trigram,
+         CASE WHEN p.c >= 2
+              THEN log2(CAST(x.ctx3 AS DOUBLE)) - log2(CAST(p.c AS DOUBLE))
+              ELSE 2.0 + log2(CAST(m.mid1 AS DOUBLE)) - log2(CAST(s.suf2 AS DOUBLE))
+         END AS bits1
+  FROM c3 p
+  JOIN ctx x ON p.w[1] = x.w1 AND p.w[2] = x.w2
+  JOIN suf s ON p.w[2] = s.w2 AND p.w[3] = s.w3
+  JOIN mid m ON p.w[2] = m.w2
+),
+scored AS (
+  SELECT pr.doc_id,
+         CAST(sum(pr.tf) AS BIGINT) AS n_trigrams,
+         floor(sum(CAST(pr.tf AS DOUBLE) * lm.bits1)
+               / CAST(sum(pr.tf) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           AS bits_per_trigram
+  FROM pairs pr JOIN lm USING (trigram)
+  GROUP BY pr.doc_id
+),
+banded AS (
+  SELECT doc_id, n_trigrams, bits_per_trigram,
+         CAST(ntile(3) OVER (ORDER BY bits_per_trigram, doc_id) AS INT)
+           AS ppl_band
+  FROM scored
+)
+SELECT doc_id, n_trigrams, bits_per_trigram, ppl_band,
+       CAST(CASE WHEN ppl_band < 3 THEN 1 ELSE 0 END AS INT) AS kept
+FROM banded ORDER BY doc_id
 """

@@ -58,6 +58,17 @@ def _sweep_scratch() -> None:
     _SCRATCH_DIRS.clear()
 
 
+def _register_scratch(d: str) -> None:
+    """Track an ephemeral dir for the atexit sweep (registering the
+    hook on first use)."""
+    import atexit
+
+    if not _SCRATCH_DIRS:
+        atexit.register(_sweep_scratch)
+    if d not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS.append(d)
+
+
 def scratch_dir(prefix: str = "scratch_") -> str:
     """A fresh EPHEMERAL work dir on the fastest local medium.
 
@@ -73,7 +84,6 @@ def scratch_dir(prefix: str = "scratch_") -> str:
     falls back to the system tmp when /dev/shm headroom drops below
     $SPARK_GRAFT_SHM_MIN_FREE (default 8 GiB).  Override the base
     with $SPARK_GRAFT_SCRATCH."""
-    import atexit
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
@@ -82,21 +92,44 @@ def scratch_dir(prefix: str = "scratch_") -> str:
     if base is not None:
         os.makedirs(base, exist_ok=True)
     d = tempfile.mkdtemp(prefix=prefix, dir=base)
-    if not _SCRATCH_DIRS:
-        atexit.register(_sweep_scratch)
-    _SCRATCH_DIRS.append(d)
+    _register_scratch(d)
     return d
 
 
 def _jvm_tmpdir() -> str | None:
     """tmpfs-backed java.io.tmpdir for the driver JVM (None = keep the
-    system default).  Created eagerly — the JVM won't mkdir it."""
+    system default).  Created eagerly — the JVM won't mkdir it.
+
+    The dir is PER-PROCESS (`pid_<pid>/` under the base) and
+    registered with the atexit sweep, so the ephemeral streaming
+    checkpoints the JVM drops there die with this driver instead of
+    holding tmpfs RAM until reboot (round-12 ADVICE).  atexit cannot
+    run after SIGKILL, so each startup also reaps sibling `pid_*`
+    dirs whose owning process is gone — the crashed-driver leak heals
+    on the next launch."""
     base = os.environ.get("SPARK_GRAFT_JVM_TMPDIR")
     if base is None and _shm_usable():
         base = "/dev/shm/spark_graft_tmp"
-    if base is not None:
-        os.makedirs(base, exist_ok=True)
-    return base
+    if base is None:
+        return None
+    import shutil
+
+    os.makedirs(base, exist_ok=True)
+    try:
+        for name in os.listdir(base):
+            if not name.startswith("pid_"):
+                continue
+            pid = name[4:]
+            if pid.isdigit() and pid != str(os.getpid()) and not os.path.exists(
+                f"/proc/{pid}"
+            ):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(base, f"pid_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    _register_scratch(d)
+    return d
 
 
 def get_spark(
@@ -113,6 +146,7 @@ def get_spark(
     via SPARK_GRAFT_DRIVER_JAVA_OPTS; they are merged after -Xss16m.
     """
     cpus = cpus or DEFAULT_CPUS
+    jvm_tmp = _jvm_tmpdir()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -145,7 +179,7 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             (
                 "-Xss16m "
-                + (f"-Djava.io.tmpdir={_jvm_tmpdir()} " if _jvm_tmpdir() else "")
+                + (f"-Djava.io.tmpdir={jvm_tmp} " if jvm_tmp else "")
                 + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
             ).strip(),
         )

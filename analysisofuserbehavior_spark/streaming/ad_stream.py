@@ -301,8 +301,15 @@ def run_to_completion(
                 spark.conf.set(conf_key, prev)
             else:
                 spark.conf.unset(conf_key)
-        if state_partitions is not None and prev_parts is not None:
-            spark.conf.set(parts_key, prev_parts)
+        if state_partitions is not None:
+            # restore even when there was no prior value — leaving the
+            # bounded-run override of 8 in place would shrink every
+            # subsequent batch query's parallelism session-wide
+            # (round-12 ADVICE; same pattern as the provider conf)
+            if prev_parts is not None:
+                spark.conf.set(parts_key, prev_parts)
+            else:
+                spark.conf.unset(parts_key)
     return spark.table(query_name)
 
 

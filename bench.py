@@ -309,8 +309,10 @@ HEADLINE = [
     # round 14: coverage curve / entropy / regex funnels / trigrams /
     # zone-map audit / incremental MV.  stress_linear_report is
     # deliberately NOT here — it is a meta-measurement whose inner
-    # timings would double-count in the headline total (it runs in
-    # the driver's correctness gate instead).
+    # timings would double-count in the headline total (rotated out
+    # of the 50-slot gate window in round 12 per VERDICT r11 #3, it
+    # regenerates in the builder's ORACLE_FULL runs and its ratios
+    # land in SCALING.md).
     "vocab_coverage_curve",
     "user_entropy_profile",
     "funnel_regex_path",
@@ -326,6 +328,8 @@ HEADLINE = [
     "dedup_contained_docs",
     "sessionize_gap_sensitivity",
     "l_diversity_report",
+    # round 12: CCNet-style perplexity banding (VERDICT r11 #8)
+    "perplexity_filtered_corpus",
 ]
 
 

@@ -77,6 +77,13 @@ _SHUFFLE_BUDGETS = {
     "streaming_click_attribution": 120_000,  # measured 61_150
     "streaming_click_attribution_outer": 120_000,  # measured 61_150
     "image_features_jpeg": 10_000,  # measured 0 (mapInPandas, no exchange)
+    # round 12 (VERDICT r11 #4): the round's new heavy entries
+    "corpus_pipeline_e2e": 2_200_000,  # measured 1_415_674
+    "dedup_contained_docs": 2_400_000,  # measured 1_565_987 (slim-gram plan)
+    "ann_ivfpq_topk": 280_000,  # measured 178_173
+    "ann_pq_topk": 420_000,  # measured 272_049
+    "quantile_normalize_by_type": 400_000,  # measured 255_750
+    "orders_mv_incremental": 10_000,  # measured 1_271 (partials merge only)
 }
 
 

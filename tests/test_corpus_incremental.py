@@ -83,3 +83,92 @@ def test_day2_rerun_is_idempotent(spark, tmp_path):
         2,
         3,
     ]
+
+
+def _unique_docs(spark, lo, hi, tag):
+    rows = [
+        (i, f"{tag} unique document number {i} about topic {i * 7 % 13} "
+            f"with filler tokens alpha beta gamma {i}")
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_compaction_then_ingest_does_not_false_crash(spark, tmp_path):
+    """round-12 ADVICE: compact_inverted_index collapses _stats to one
+    summed row; the ingest guard must treat that as legitimate (and
+    the compactor re-bases the ledger), not as an append crash."""
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        compact_inverted_index,
+    )
+
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    ingest_corpus_day(
+        spark, _unique_docs(spark, 0, 5, "d1"), "2024-01-01", store, idx,
+        first_day=True,
+    )
+    ingest_corpus_day(spark, _unique_docs(spark, 10, 15, "d2"), "2024-01-02", store, idx)
+    compact_inverted_index(spark, idx)
+    assert spark.read.parquet(idx + "/_stats").count() == 1
+    # the advertised nightly OPTIMIZE must not block the next morning's ingest
+    ingest_corpus_day(spark, _unique_docs(spark, 20, 25, "d3"), "2024-01-03", store, idx)
+    docs_in_store = sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    )
+    assert docs_in_store == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14, 20, 21, 22, 23, 24]
+    # manifest: 1 compacted row + 1 appended row, and the ledger agrees
+    assert spark.read.parquet(idx + "/_stats").count() == 2
+
+
+def test_backfill_earlier_day_keeps_guard_accurate(spark, tmp_path):
+    """round-12 ADVICE: backfilling an earlier day must not leave the
+    guard comparing against a stale count — both via the _BASELINE
+    file and via the max-across-markers fallback for old ledgers."""
+    from analysisofuserbehavior_spark.operators.corpus_pipeline import (
+        _ledger_committed_stats_rows,
+    )
+    from analysisofuserbehavior_spark.sources.upsert import _fs_path
+
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    ingest_corpus_day(
+        spark, _unique_docs(spark, 0, 5, "d1"), "2024-01-01", store, idx,
+        first_day=True,
+    )
+    ingest_corpus_day(spark, _unique_docs(spark, 10, 15, "d3"), "2024-01-03", store, idx)
+    # backfill an EARLIER day: highest committed count now lives under a
+    # lexicographically LOWER marker name
+    ingest_corpus_day(spark, _unique_docs(spark, 20, 25, "d2"), "2024-01-02", store, idx)
+    fs, _ = _fs_path(spark, idx + "_ledger")
+    live = spark.read.parquet(idx + "/_stats").count()
+    assert _ledger_committed_stats_rows(spark, fs, idx + "_ledger") == live
+    # fallback path: drop the baseline file; max-of-markers must still
+    # equal the live count (the old lexicographic-latest logic returned
+    # the day-3 marker's stale count here)
+    _, baseline = _fs_path(spark, idx + "_ledger/_BASELINE")
+    fs.delete(baseline, False)
+    assert _ledger_committed_stats_rows(spark, fs, idx + "_ledger") == live
+    # and the next ingest proceeds cleanly
+    ingest_corpus_day(spark, _unique_docs(spark, 30, 35, "d4"), "2024-01-04", store, idx)
+
+
+def test_append_crash_is_still_detected(spark, tmp_path):
+    """The guard's reason to exist: a crash AFTER append_inverted_index
+    but BEFORE the marker leaves a surplus _stats row — the next
+    ingest must refuse to double-apply."""
+    import pytest
+    from analysisofuserbehavior_spark.operators.retrieval import (
+        append_inverted_index,
+    )
+
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    ingest_corpus_day(
+        spark, _unique_docs(spark, 0, 5, "d1"), "2024-01-01", store, idx,
+        first_day=True,
+    )
+    ingest_corpus_day(spark, _unique_docs(spark, 10, 15, "d2"), "2024-01-02", store, idx)
+    # simulate the crash window: an append that never committed its marker
+    append_inverted_index(_unique_docs(spark, 20, 25, "crash"), idx)
+    with pytest.raises(RuntimeError, match="crashed before its marker"):
+        ingest_corpus_day(
+            spark, _unique_docs(spark, 30, 35, "d3"), "2024-01-03", store, idx
+        )

@@ -746,6 +746,7 @@ _SINGLE_PARTITION_WINDOW_WHITELIST = {
     "pack_bin_manifest": (1, "<=n_buckets offset rows (packing.py prefix-sum)"),
     "corpus_pipeline_e2e": (1, "<=n_buckets offset rows (pack stage inside)"),
     "vocab_coverage_curve": (1, "<=n_buckets=32 offset rows (functions/ranking.py)"),
+    "perplexity_filtered_corpus": (1, "<=n_buckets=32 offset rows (functions/ranking.py ntile)"),
     "retrieval_ndcg_report": (1, "<=k=20 rows (bm25 top-k rank window)"),
 }
 

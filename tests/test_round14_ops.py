@@ -70,15 +70,31 @@ def test_ingest_detects_append_without_marker(spark, tmp_path):
     ingest_corpus_day(spark, day3, "2024-01-03", store, idx)
 
     # markers are one-number files carrying the post-append manifest
-    # row count (1, 2, 3 for three ingests)
+    # row count (1, 2, 3 for three ingests); round 12 added the
+    # single `_BASELINE` file rewritten on every commit
     ledger = idx + "_ledger"
     # the local Hadoop FS adds hidden .crc sidecars next to each marker
-    markers = sorted(n for n in os.listdir(ledger) if not n.startswith("."))
+    markers = sorted(
+        n for n in os.listdir(ledger)
+        if not n.startswith(".") and n.startswith("day=")
+    )
     assert markers == ["day=2024-01-01", "day=2024-01-02", "day=2024-01-03"]
     with open(os.path.join(ledger, "day=2024-01-03")) as f:
         assert f.read().strip() == "3"
+    with open(os.path.join(ledger, "_BASELINE")) as f:
+        assert f.read().strip() == "3"
 
-    # simulate the crash: the append landed, the marker did not
+    # simulate the crash faithfully: commit order is append → marker
+    # → baseline, so a crash BEFORE the marker leaves neither the
+    # day-3 marker nor a baseline advanced past day 2 — roll both
+    # back (just deleting the marker would leave baseline=3, a state
+    # no real crash can produce)
     os.remove(os.path.join(ledger, "day=2024-01-03"))
+    for crc in (".day=2024-01-03.crc", "._BASELINE.crc"):
+        p = os.path.join(ledger, crc)
+        if os.path.exists(p):
+            os.remove(p)
+    with open(os.path.join(ledger, "_BASELINE"), "w") as f:
+        f.write("2")
     with pytest.raises(RuntimeError, match="crashed before its marker"):
         ingest_corpus_day(spark, day3, "2024-01-03", store, idx)

@@ -1,0 +1,49 @@
+"""Session-scoped hygiene contracts (round-12 ADVICE): the JVM tmpdir
+is per-process, sweep-registered, and self-healing after a crashed
+sibling; run_to_completion restores shuffle.partitions even when no
+prior value existed."""
+
+from __future__ import annotations
+
+import os
+
+from analysisofuserbehavior_spark import session as S
+
+
+def test_jvm_tmpdir_is_per_process_and_sweep_registered(tmp_path, monkeypatch):
+    base = str(tmp_path / "jvmtmp")
+    monkeypatch.setenv("SPARK_GRAFT_JVM_TMPDIR", base)
+    # a stale dir from a "crashed" driver: pid 1 is alive (init) and
+    # must survive; an impossible pid must be reaped
+    os.makedirs(os.path.join(base, "pid_1"))
+    os.makedirs(os.path.join(base, "pid_999999999"))
+    d = S._jvm_tmpdir()
+    assert d == os.path.join(base, f"pid_{os.getpid()}")
+    assert os.path.isdir(d)
+    assert d in S._SCRATCH_DIRS  # atexit sweep owns it
+    assert os.path.isdir(os.path.join(base, "pid_1"))
+    assert not os.path.exists(os.path.join(base, "pid_999999999"))
+    # calling again is idempotent — one registration, same dir
+    assert S._jvm_tmpdir() == d
+    assert S._SCRATCH_DIRS.count(d) == 1
+    S._SCRATCH_DIRS.remove(d)
+
+
+def test_stream_run_restores_unset_shuffle_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from analysisofuserbehavior_spark.streaming.ad_stream import run_to_completion
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").alias("user_id"), F.lit(1).alias("n")
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, n int").parquet(src)
+        .groupBy("user_id").agg(F.sum("n").alias("total"))
+    )
+    out = run_to_completion(stream, "t_restore_parts", state_partitions=4)
+    assert out.count() == 10
+    assert spark.conf.get(key) == before

@@ -68,13 +68,42 @@ def main() -> None:
     big_ev.repartition(32).write.mode("overwrite").parquet(
         f"{work}/events.parquet"
     )
+    # orders + lineitem (round 12, VERDICT r11 #5): o_orderkey and
+    # l_orderkey shift per replica IN LOCKSTEP so the orders⋈lineitem
+    # join stays referentially intact; dimension keys (cust/part/supp)
+    # pass through unshifted — the realistic "same catalog, 10× order
+    # volume" direction, which DEEPENS per-dimension-key work the way
+    # a bigger sales year actually would.  Gives orders_mv_incremental
+    # and the TPC-H-derived entries their data-term ratios.
+    od = spark.read.parquet(f"{src}/orders.parquet")
+    max_ok = od.agg(F.max("o_orderkey")).collect()[0][0]
+    counts["orders"] = od.count() * replicas
+    big_od = (
+        od.crossJoin(spark.range(replicas).withColumnRenamed("id", "_rep"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_rep") * (max_ok + 1))
+        .drop("_rep")
+    )
+    big_od.repartition(32).write.mode("overwrite").parquet(
+        f"{work}/orders.parquet"
+    )
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    counts["lineitem"] = li.count() * replicas
+    big_li = (
+        li.crossJoin(spark.range(replicas).withColumnRenamed("id", "_rep"))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * (max_ok + 1))
+        .drop("_rep")
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        f"{work}/lineitem.parquet"
+    )
     # remaining tables pass through so any registry query resolves
     import glob as _glob
 
     for p in _glob.glob(f"{src}/*.parquet"):
         name = os.path.basename(p)
         if name not in (
-            "documents.parquet", "embeddings.parquet", "events.parquet"
+            "documents.parquet", "embeddings.parquet", "events.parquet",
+            "orders.parquet", "lineitem.parquet",
         ):
             dest = os.path.join(work, name)
             if not os.path.exists(dest):

@@ -40,10 +40,26 @@ def with_global_rank(
     tiebreak_col: str,
     n_buckets: int = 32,
     rank_col: str = "global_rank",
+    _pre_truncated: bool = False,
 ) -> DataFrame:
     """row_number over (value_col, tiebreak_col) ascending, computed
     two-pass.  value_col must be numeric and non-null; tiebreak_col
     must make the order total."""
+    from .ckpt import ckpt
+
+    # The machinery consumes `df` through FOUR branches (the splits
+    # scalar subquery, the bucketed frame, the per-bucket totals, the
+    # final join) and plan-level reuse does not deduplicate re-derived
+    # branches — profiled on top_decile_spend_share at sf0.1: the
+    # upstream filter+groupBy re-executed 8× (once per broadcast/
+    # subquery job), 18 jobs for one query.  Truncate once: every
+    # branch then reads the materialized |rows|-sized frame (ranking
+    # inputs are always pre-aggregated, so the checkpoint is small).
+    # `_pre_truncated` lets a caller that already truncated (and has
+    # its own extra consumers of the same frame, e.g.
+    # distributed_ntile's total count) skip the second copy.
+    if not _pre_truncated:
+        df = ckpt(df)
     splits = df.agg(
         F.percentile_approx(
             value_col,
@@ -114,7 +130,17 @@ def distributed_ntile(
     """ntile(k) over (value_col, tiebreak_col) without a global-order
     window: two-pass rank + broadcast scalar total + closed-form
     bucket assignment."""
-    ranked = with_global_rank(df, value_col, tiebreak_col, n_buckets)
+    from .ckpt import ckpt
+
+    # one truncation serves BOTH consumers (the ranking machinery's
+    # four branches and the total count) — counting from `ranked`
+    # instead would re-plan the whole window subtree a second time
+    # (and re-introduce a duplicate single-partition offset window,
+    # which the plan lint counts)
+    df = ckpt(df)
+    ranked = with_global_rank(
+        df, value_col, tiebreak_col, n_buckets, _pre_truncated=True
+    )
     total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
     return (
         ranked.crossJoin(F.broadcast(total))
@@ -142,6 +168,11 @@ def with_grouped_rank(
     (|groups|·n_buckets)-row offset frame; the final row_number
     window partitions by (group, bucket) — every task sorts ~1/32 of
     ONE group."""
+    from .ckpt import ckpt
+
+    # same multi-branch re-derivation as with_global_rank: truncate
+    # the (pre-aggregated, small) input once for all four branches
+    df = ckpt(df)
     splits = df.groupBy(*group_cols).agg(
         F.percentile_approx(
             value_col,

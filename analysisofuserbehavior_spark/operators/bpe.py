@@ -77,7 +77,11 @@ def _word_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
     every iteration's frame while leaving merge decisions essentially
     untouched (standard practice: both Sennrich's learn_bpe and
     HF trainers expose exactly this knob)."""
-    words = docs.select(
+    from ..functions.spread import spread_small_scan
+
+    # guide §2.5: spread the 1-partition gate/bench scan before the
+    # tokenize+explode+partial-aggregate stage-1 (no-op at scale)
+    words = spread_small_scan(docs.select("doc_id", "text")).select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where((F.length("word") > 0) & (~F.col("word").contains(SENTINEL)))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -128,30 +132,51 @@ def bpe_learn_merges(
     `min_count` prunes the Zipf tail from the vocab working set (see
     _word_vocab)."""
     words = ckpt(_word_vocab(docs, min_count))
+    # Loop-scoped shuffle sizing (round 12; same rationale as the CC
+    # fixpoint in dedup.py): each iteration is one pair-count shuffle
+    # over the |vocab|-row frame plus a 1-row argmax — with the
+    # session's core-count partitions AND adaptive re-planning, every
+    # iteration paid ~4 driver job rounds of pure latency for frames
+    # AQE has nothing to adapt on.  Width derives from the measured
+    # vocab size (the count is ~free — it also forces the lazy
+    # checkpoint ONCE, outside the timed iterations), so a 10⁸-word
+    # 100 TB vocab still gets wide shuffles.  Session confs restored
+    # in the finally.
+    n_words = words.count()
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(1, min(int(old_parts), 1 + n_words // 65_536))
     merges: list[tuple] = []
-    for rank in range(1, num_merges + 1):
-        top = (
-            _pair_counts(words)
-            .orderBy(
-                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for rank in range(1, num_merges + 1):
+            top = (
+                _pair_counts(words)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, pc = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
-        merges.append((rank, l, r, l + r, pc))
-        words = ckpt(
-            words.select(
-                F.replace(
-                    F.col("ws"),
-                    F.lit(f"{SENTINEL}{l}{SENTINEL}{SENTINEL}{r}{SENTINEL}"),
-                    F.lit(f"{SENTINEL}{l}{r}{SENTINEL}"),
-                ).alias("ws"),
-                "cnt",
+            if not top:
+                break
+            l, r, pc = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
+            merges.append((rank, l, r, l + r, pc))
+            words = ckpt(
+                words.select(
+                    F.replace(
+                        F.col("ws"),
+                        F.lit(f"{SENTINEL}{l}{SENTINEL}{SENTINEL}{r}{SENTINEL}"),
+                        F.lit(f"{SENTINEL}{l}{r}{SENTINEL}"),
+                    ).alias("ws"),
+                    "cnt",
+                )
             )
-        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

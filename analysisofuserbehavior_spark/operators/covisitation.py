@@ -142,7 +142,15 @@ def basket_affinity_rules(
     only; the capped fan-out already bounds candidate generation).
     confidence is one IEEE division of two integers, 4-dp quantized.
     """
-    co = item_covisitation(actions, **covis_kwargs)
+    from ..functions.ckpt import ckpt
+
+    # the co-visitation matrix feeds BOTH direction branches of the
+    # union below; plan-level exchange reuse does not deduplicate
+    # re-derived branches (functions/ckpt.py), so without truncation
+    # the whole basket→pair→join pipeline executes twice — once per
+    # direction.  The matrix is pair-cardinality (tiny), so the
+    # materialization is free next to the recompute it removes.
+    co = ckpt(item_covisitation(actions, **covis_kwargs))
     conf = lambda n_ant: qround(
         F.col("n_co").cast("double") / F.col(n_ant).cast("double"), 4
     )

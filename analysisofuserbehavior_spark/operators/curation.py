@@ -439,7 +439,13 @@ def dsir_select(
     # token array materialized as a REAL column before any lambda
     # touches it (the HOF inline-recompute trap: an inline
     # split(text) referenced from transform re-splits per element)
-    base = docs.select("doc_id", _tokens().alias("_t"))
+    from ..functions.spread import spread_small_scan
+
+    # guide §2.5: spread the 1-partition gate/bench scan before the
+    # tokenize+md5+explode stage-1 (serial otherwise); no-op at scale
+    base = spread_small_scan(docs.select("doc_id", "text")).select(
+        "doc_id", _tokens().alias("_t")
+    )
     q100 = F.floor(quality_score_raw(F.col("_t")) * 100 + F.lit(0.5)).cast(
         "bigint"
     )

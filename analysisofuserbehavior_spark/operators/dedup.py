@@ -71,10 +71,18 @@ def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) — k-word shingles, 1-based like the oracle."""
     # a small parquet lands in ONE input split; the ~k·n_tokens
     # fan-out below would then run single-threaded — spread the rows
-    # across the cluster before exploding (cheap: pre-explode rows)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # across the cluster before exploding (cheap: pre-explode rows).
+    # Round 12: the unconditional round-robin repartition became the
+    # shared adaptive spread (functions/spread.py) — projected to
+    # (doc_id, text) BEFORE the exchange (guide §2.3), hash-keyed on
+    # doc_id (skips the sort-before-repartition a round-robin pays,
+    # guide §2.5), and a NO-OP when the scan is already parallel (the
+    # 100 TB layout — previously this added a full-corpus shuffle at
+    # any scale).
+    from ..functions.spread import spread_small_scan
+
     return (
-        docs.repartition(par)
+        spread_small_scan(docs.select("doc_id", "text"))
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .where(F.size(F.col("toks")) >= k)
         .select(F.col("doc_id"), F.explode(_shingle_array(k, distinct)).alias("shingle"))
@@ -216,8 +224,22 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_df)
             .select("sh")
         )
-        dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
+        # truncate once for the THREE downstream consumers (the sizes
+        # recount + both self-join legs) — re-derived branches re-ran
+        # the shingle explode + df anti-join per branch (the ckpt
+        # discipline the prefix variant already applies; profiled
+        # 24 s executor time at sf0.1 for a 20 MB shuffle before
+        # truncation)
+        from ..functions.ckpt import ckpt
+
+        dsh = ckpt(dsh.join(F.broadcast(heavy), "sh", "left_anti"))
         sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # uncapped (calibration) path: still truncate so the two
+        # self-join legs share one shingle materialization
+        from ..functions.ckpt import ckpt
+
+        dsh = ckpt(dsh)
     a = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
     # pin the self-join to sort-merge: both legs are the full shingle
     # table (equal, potentially huge — SMJ sorts spill, hash builds
@@ -632,7 +654,13 @@ def dedup_clusters(
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    edges = pairs.select("doc_a", "doc_b")
+    # truncate the caller's pair pipeline BEFORE the symmetrization
+    # union: its two branches (forward + flipped) are re-derived
+    # subtrees, so without this the entire candidate-generation +
+    # exact-verification pipeline executes twice (profiled at sf0.1
+    # on the LSH feed: two identical ~27 s-executor-time stages, the
+    # two heaviest stages of the whole query)
+    edges = ckpt(pairs.select("doc_a", "doc_b"))
     # undirected: propagate both ways
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -662,14 +690,27 @@ def dedup_clusters(
     conf = spark.conf
     old_parts = conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(old_parts), 1 + n_nodes // 65_536))
+    # AQE is scoped OFF for the loop body (restored below): adaptive
+    # re-planning materializes every shuffle as its own stage-job, so
+    # each round paid 6-8 driver round-trips for frames whose width
+    # the loop has ALREADY right-sized explicitly (loop_parts) — with
+    # a fixed |nodes|-row frame there is nothing for AQE to adapt,
+    # only per-job scheduling latency to pay: profiled 125 jobs /
+    # 12.3 s wall for embedding_dedup_clusters_lsh at sf0.1, almost
+    # all loop-round latency.  On a real cluster the same argument
+    # holds per round; the surrounding query keeps AQE for everything
+    # outside the loop.
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
     try:
         conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        conf.set("spark.sql.adaptive.enabled", "false")
         if loop_parts < int(old_parts):
             sym = ckpt(sym.repartition(loop_parts, "doc_b"))
             labels = ckpt(labels.repartition(loop_parts, "doc_id"))
         fixpoint = _cc_fixpoint_loop(sym, labels, max_iterations, ckpt)
     finally:
         conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
     if fixpoint is None:
         raise ClusterConvergenceError(
             f"dedup_clusters did not reach the connected-components "
@@ -984,10 +1025,25 @@ def lsh_tuning_report(
             F.expr("CAST(mult * (mult - 1) DIV 2 AS BIGINT)").alias("w"),
         )
     )
-    pairs = ckpt(cross.unionByName(within))
     # 3-dp quantized jaccard is the distribution's contract (both
     # engines produce it bit-identically); 3 dp of J moves p by
     # < 1e-2 — tuning noise, not signal.
+    #
+    # Collapse the pair census to its (jaccard → Σw) HISTOGRAM before
+    # the grid sweep (round-12 optimization, guide §1.2/§2.3): every
+    # grid aggregate below is a function of the 3-dp jaccard (p_u,
+    # the threshold test) weighted by the exact BIGINT w, so summing
+    # w per distinct jaccard first is bit-identical — Σ_pairs w·p_u =
+    # Σ_j (Σ_pairs@j w)·p_u(j) in integer arithmetic.  The b×r sweep
+    # then aggregates a ≤1001-row frame instead of re-reading the
+    # full pair frame once per grid entry (measured at sf0.1: 4
+    # passes × |pairs| ≈ 290 MB of checkpoint re-reads → 1 pass +
+    # 4 × ~1 KB; executor time 33 s → see OPTIMIZATION_r12.md).
+    pairs = ckpt(
+        cross.unionByName(within)
+        .groupBy("jaccard")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
     out = None
     for b, r in LSH_TUNING_GRID:
         j = F.col("jaccard")

@@ -41,6 +41,33 @@ except ImportError:
     HAVE_PIL = False
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow frame across the session's cores BEFORE the
+    CPU-heavy per-row Python codec work downstream.
+
+    The gate/bench parquet tables are single files with one row
+    group, so their scans plan exactly ONE partition and every
+    chained mapInPandas codec (encode + decode) serializes on one
+    task — measured: image_features_jpeg ran 5.5 s wall with 5.4 s
+    total executor time on local[32], i.e. 31 idle cores.  This is
+    the optimization guide's §2.5 "input skew: one huge unsplittable
+    file → repartition immediately after the read" case.  The
+    repartition moves only (doc_id[, text]) — a lightweight proxy,
+    never the synthesized media bytes (§8: shuffle decisions on small
+    rows, move heavy bytes once... or here, generate them after the
+    exchange and never move them at all).
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism, and the exchange is SKIPPED
+    whenever the incoming frame already carries at least that many
+    partitions — the 100 TB layout (many files / row groups) takes
+    the no-op path, so no shuffle is added at scale.  Shared
+    implementation: functions/spread.py."""
+    from ..functions.spread import spread_small_scan
+
+    return spread_small_scan(df)
+
+
 def _decode_fake(payload: bytes) -> tuple[int, int]:
     """Parse the deterministic fake header (see module docstring)."""
     if payload is None or len(payload) < 8:
@@ -464,7 +491,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
@@ -495,7 +522,7 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", hdr + info + body))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
@@ -521,7 +548,7 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -554,7 +581,7 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_baseline_jpeg(rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
@@ -581,7 +608,7 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_png(rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_wav_media(docs: DataFrame) -> DataFrame:
@@ -608,7 +635,7 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 GIF_FEATURES_SCHEMA = (
@@ -691,7 +718,7 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_gif(frames)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 ADPCM_FEATURES_SCHEMA = (
@@ -766,4 +793,4 @@ def synthesize_adpcm_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)

@@ -60,9 +60,21 @@ def lsh_band_frame(
     dedup (see embedding_neardup_lsh's shuffle-volume note)."""
     planes = lsh_planes(n_bits, dim, seed)
     n_bands = n_bits // band_bits
+
+    def lit_dot(vec: Column, p: list[float]) -> Column:
+        # UNROLLED left-fold dot against a plan-time-literal plane:
+        # same IEEE addition order as the aggregate/zip_with HOF form
+        # (seed 0.0, strictly left-to-right), so the sign bits are
+        # bit-identical — but codegen'd arithmetic instead of the
+        # interpreted lambda evaluator (micro-benched 3x faster on
+        # 200k×64-dim rows; bit-equality asserted over 16 planes)
+        e: Column = F.lit(0.0)
+        for i, c in enumerate(p):
+            e = e + F.element_at(vec, i + 1) * F.lit(c)
+        return e
+
     bits = [
-        (dot(F.col(vec_col), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
-        for p in planes
+        (lit_dot(F.col(vec_col), p) >= 0).cast("int") for p in planes
     ]
     buckets = F.array(
         *[
@@ -675,7 +687,20 @@ def embedding_neardup_lsh(
     Vectors ride through the band join (dim × 8 B per band row),
     mirroring the minhash carried-set design — one full-table
     shuffle, verification row-local."""
-    v = _with_vec(embeddings, "doc_id", "v", "nv")
+    from ..functions.ckpt import ckpt
+    from ..functions.spread import spread_small_scan
+
+    # round 12 (profiled): the single-row-group bench scan serialized
+    # the 16×64-dim sign folds on ONE task, and the banded frame was
+    # re-derived for BOTH self-join aliases (two identical 1.4 s
+    # serial stages — exchange reuse does not dedupe re-derived
+    # branches).  Spread the scan (guide §2.5, no-op at scale), then
+    # truncate `v` (three consumers: banding + both vector re-attach
+    # joins) and the slim (id, band, bucket) band frame (two
+    # self-join sides) so each computes exactly once.
+    v = ckpt(
+        _with_vec(spread_small_scan(embeddings, "vec_id"), "doc_id", "v", "nv")
+    )
     # SLIM band join: only (doc_id, band, bucket) triples flow through
     # the self-join and the pair dedup.  The earlier shape carried
     # both 64-dim vectors on every candidate row — at sf0.1 that
@@ -686,7 +711,7 @@ def embedding_neardup_lsh(
     # stays a shuffle join keyed by id — still per-PAIR-once, not
     # per-candidate-once).  Same candidate set, same exact
     # verification, identical output.
-    banded = lsh_band_frame(v, "doc_id", "v", n_bits, band_bits, dim, seed)
+    banded = ckpt(lsh_band_frame(v, "doc_id", "v", n_bits, band_bits, dim, seed))
     cand_ids = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -741,8 +766,16 @@ def ann_lsh_topk(
     at all — at 100 TB bucket ids become a partition/cluster key and
     the probe is a pruned scan, exactly the ann_ivf_topk_indexed
     layout argument applied to LSH buckets."""
-    v = _with_vec(embeddings, "vec_id", "v", "nv")
-    banded = lsh_band_frame(v, "vec_id", "v", n_bits, band_bits, dim, seed)
+    from ..functions.ckpt import ckpt
+    from ..functions.spread import spread_small_scan
+
+    # same spread+truncate as embedding_neardup_lsh: `v` has three
+    # consumers (banding, query frame, neighbor re-attach) and the
+    # sign folds must not serialize on a 1-partition bench scan
+    v = ckpt(
+        _with_vec(spread_small_scan(embeddings, "vec_id"), "vec_id", "v", "nv")
+    )
+    banded = ckpt(lsh_band_frame(v, "vec_id", "v", n_bits, band_bits, dim, seed))
     q_bands = banded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )

@@ -20,6 +20,18 @@ def _tokens() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) spread across the session's cores before the
+    tokenize/explode/partial-aggregate stage-1 work of the LM family
+    (functions/spread.py — guide §2.5 single-row-group input skew;
+    no-op at real-scale partition counts).  Without it the whole
+    explode + map-side combine of a query's first stage serializes on
+    the one-partition gate/bench scan."""
+    from ..functions.spread import spread_small_scan
+
+    return spread_small_scan(docs.select("doc_id", "text"))
+
+
 def _ckpt_pairs(df: DataFrame) -> DataFrame:
     """Materialize a (doc, token/shingle) pair frame exactly once —
     the LM family's alias of `functions.ckpt.ckpt` (see that module
@@ -260,7 +272,7 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     log2 calls and the final division are mirrored verbatim in the
     oracle; quantized 6 dp before output."""
     pairs = _ckpt_pairs(
-        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        _spread_docs(docs).select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -321,7 +333,7 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
         ),
     )
     pairs = _ckpt_pairs(
-        docs.select("doc_id", toks.alias("_t"))
+        _spread_docs(docs).select("doc_id", toks.alias("_t"))
         .where(F.size("_t") >= 2)
         .select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -402,7 +414,7 @@ def backoff_surprisal(docs: DataFrame, min_count: int = 2) -> DataFrame:
         ),
     )
     pairs = _ckpt_pairs(
-        docs.select("doc_id", toks.alias("_t"))
+        _spread_docs(docs).select("doc_id", toks.alias("_t"))
         .where(F.size("_t") >= 3)
         .select("doc_id", F.explode(grams).alias("trigram"))
         .groupBy("doc_id", "trigram")
@@ -489,7 +501,7 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFra
         ),
     )
     pairs = _ckpt_pairs(
-        docs.select("doc_id", toks.alias("_t"))
+        _spread_docs(docs).select("doc_id", toks.alias("_t"))
         .where(F.size("_t") >= n)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .groupBy("doc_id", "shingle")
@@ -540,7 +552,7 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
     # an inline split(text) referenced from element_at inside the
     # lambda re-splits the whole text per shingle element (O(n²) on
     # long docs — the _shingle_array pitfall; a 100k-token doc hangs)
-    tok_base = docs.select("doc_id", toks.alias("_t")).where(F.size("_t") >= n)
+    tok_base = _spread_docs(docs).select("doc_id", toks.alias("_t")).where(F.size("_t") >= n)
     starts = _ckpt_pairs(
         tok_base.select(
             "doc_id",
@@ -593,7 +605,7 @@ def remove_dup_spans(docs: DataFrame, n: int = 3, min_df: int = 10) -> DataFrame
         F.coalesce(F.col("covered"), no_cover),
     )
     rebuilt = (
-        docs.select("doc_id", toks.alias("_toks"))
+        _spread_docs(docs).select("doc_id", toks.alias("_toks"))
         .join(covered, "doc_id", "left")
         .select(
             "doc_id",
@@ -622,7 +634,7 @@ def vocab_growth(docs: DataFrame, n_checkpoints: int = 10) -> DataFrame:
     rows) against the first-occurrence frame; no global sort, no
     running state, |output| = n."""
     firsts = (
-        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        _spread_docs(docs).select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -737,12 +749,12 @@ def collocations_pmi(
         ),
     )
     pair_occ = _ckpt_pairs(
-        docs.select(toks.alias("_t"))
+        _spread_docs(docs).select(toks.alias("_t"))
         .where(F.size("_t") >= 2)
         .select(F.explode(grams).alias("g"))
         .select("g.tok_a", "g.tok_b")
     )
-    uni_occ = _ckpt_pairs(docs.select(F.explode(toks).alias("tok")))
+    uni_occ = _ckpt_pairs(_spread_docs(docs).select(F.explode(toks).alias("tok")))
     c_xy = pair_occ.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_xy"))
     c_w = uni_occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
     n_tok = uni_occ.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -804,7 +816,7 @@ def countmin_token_freq(
     token-count aggregate every LM query uses; the audit join
     broadcasts the top·depth probe rows.  At 100 TB you'd keep the
     4·1024-cell frame as the mergeable per-shard sketch state."""
-    occ = _ckpt_pairs(docs.select(F.explode(_tokens()).alias("tok")))
+    occ = _ckpt_pairs(_spread_docs(docs).select(F.explode(_tokens()).alias("tok")))
     rows = list(range(depth))
     probes = occ.select(
         "tok", *[cm_bucket(F.col("tok"), r, width).alias(f"b{r}") for r in rows]
@@ -873,7 +885,7 @@ def vocab_coverage_curve(
     from ..functions.ranking import with_global_rank
 
     counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        _spread_docs(docs).select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -2553,9 +2553,26 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _audit.physical_section(q._jsq.explainInternal(True)),  # noqa: SLF001
             )
 
-    run()
-    _os.replace(held, p2)  # phase 2 appears; same checkpoint
-    run()
+    # right-size the STATE partition count for this bounded run the
+    # way run_to_completion does (streaming/ad_stream.py): the first
+    # run's shuffle.partitions is what the checkpoint pins for every
+    # state store; 32 instances × per-batch open/commit overhead is a
+    # fixed multi-second floor for KB of state (measured 57 s total
+    # executor time at sf0.1), vs 8 for identical results — the knob
+    # is state capacity, not core count, and results are
+    # partition-invariant (order-insensitive hash gate).
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key, None)
+    spark.conf.set(parts_key, "8")
+    try:
+        run()
+        _os.replace(held, p2)  # phase 2 appears; same checkpoint
+        run()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set(parts_key, prev_parts)
+        else:
+            spark.conf.unset(parts_key)
     rows = spark.read.parquet(out_dir).collect()
     import shutil
 
@@ -3474,11 +3491,12 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort) and order by the QUANTIZED score (6 dp HALF_UP, mirrored
     in the oracle) + term so cross-engine float ULPs cannot flip
     ranks."""
-    from .operators.text_analysis import _ckpt_pairs
+    from .operators.text_analysis import _ckpt_pairs, _spread_docs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = _ckpt_pairs(
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        _spread_docs(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

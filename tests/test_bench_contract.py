@@ -72,13 +72,16 @@ def test_bench_emits_one_valid_json_line():
 # breach means the plan got heavier, never that the host got slower
 # (VERDICT r10 #4: exactly the ambiguity that burned rounds 9-10).
 _SHUFFLE_BUDGETS = {
-    "corpus_pipeline_incremental": 2_400_000,  # measured 1_549_787
-    "embedding_dedup_clusters_lsh": 2_500_000,  # measured 1_611_724
+    "corpus_pipeline_incremental": 1_100_000,  # r12 measured 709_229 (ckpt removed re-derivation; was 1_549_787)
+    "embedding_dedup_clusters_lsh": 2_500_000,  # r12 measured 1_762_224 (spread exchange added, double band-derivation removed)
     "streaming_click_attribution": 120_000,  # measured 61_150
     "streaming_click_attribution_outer": 120_000,  # measured 61_150
-    "image_features_jpeg": 10_000,  # measured 0 (mapInPandas, no exchange)
+    # round 12: the adaptive input spread (functions/spread.py) adds
+    # one deliberate (doc_id)-only exchange ahead of the codec so the
+    # encode+decode no longer serializes on the single-row-group scan
+    "image_features_jpeg": 10_000,  # measured 4_111 (spread ids only)
     # round 12 (VERDICT r11 #4): the round's new heavy entries
-    "corpus_pipeline_e2e": 2_200_000,  # measured 1_415_674
+    "corpus_pipeline_e2e": 1_800_000,  # r12 measured 1_197_171 (was 1_415_674)
     "dedup_contained_docs": 2_400_000,  # measured 1_565_987 (slim-gram plan)
     "ann_ivfpq_topk": 280_000,  # measured 178_173
     "ann_pq_topk": 420_000,  # measured 272_049

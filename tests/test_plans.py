@@ -395,14 +395,28 @@ def test_vocab_growth_broadcasts_thresholds_no_smj(spark, sf_dir):
     assert not plans.has_sort_merge_join(df)
 
 
-def test_image_features_ppm_pure_map_no_exchange(spark, sf_dir):
-    """The decode is mapInPandas fused onto the scan: binary payloads
-    are decoded where they are read and NEVER cross a shuffle —
-    zero exchanges in the whole plan."""
+def test_image_features_ppm_media_never_crosses_an_exchange(spark, sf_dir):
+    """The decode is mapInPandas chained onto the synthesizer: binary
+    payloads are decoded where they are generated and NEVER cross a
+    shuffle.  Round 12 added ONE deliberate upstream exchange — the
+    adaptive input spread (functions/spread.py) that carries only the
+    doc_id proxy so the codec work parallelizes past the
+    single-row-group bench scan — so the pin is now: at most one
+    exchange, and no Exchange input may include the media column."""
     df = QUERIES["image_features_ppm"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert "MapInPandas" in plan
-    assert plans.count_exchanges(df) == 0
+    assert plans.count_exchanges(df) <= 1
+    formatted = plans.formatted_plan(df)
+    sections = formatted.split("\n(")
+    ex = [
+        s
+        for s in sections
+        if s.split(")")[0].isdigit() and "Exchange" in s.split("\n")[0]
+    ]
+    for s in ex:
+        inputs = [l for l in s.splitlines() if l.startswith("Input")]
+        assert inputs and all("media#" not in l for l in inputs), s[:800]
 
 
 def test_lm_family_single_build_no_key_partitioned_windows(

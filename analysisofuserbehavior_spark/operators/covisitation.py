@@ -212,13 +212,20 @@ def covisit_next_item_hitrate(actions: DataFrame, k: int = 5) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
     ).where(F.col("cnt") >= 2)
-    trans = ranked.select(
-        "user_id",
-        "rn",
-        "cnt",
-        F.col("item").alias("src"),
-        F.lead("item").over(w.orderBy("rn")).alias("dst"),
-    ).where(F.col("dst").isNotNull())
+    from ..functions.ckpt import ckpt
+
+    # the transition frame feeds THREE consumers (training counts,
+    # the held-out test rows, the eval-user count); truncate so the
+    # two user-keyed windows upstream execute once, not per branch
+    trans = ckpt(
+        ranked.select(
+            "user_id",
+            "rn",
+            "cnt",
+            F.col("item").alias("src"),
+            F.lead("item").over(w.orderBy("rn")).alias("dst"),
+        ).where(F.col("dst").isNotNull())
+    )
     train = trans.where(F.col("rn") < F.col("cnt") - 1)
     counts = train.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("n")

@@ -533,8 +533,17 @@ def daily_drift_jsd(actions: DataFrame) -> DataFrame:
     (completed by a crossJoin of two tiny distinct frames so both
     days of a pair see every type), which is dimension-sized at any
     corpus size.  The day-pair join is grid⋈grid on (type, day+1)."""
-    counts = actions.groupBy("day", "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    from ..functions.ckpt import ckpt
+
+    # truncate the |days×types|-sized count frame once: it feeds
+    # THREE re-derived branches (days, types, the grid join) and each
+    # re-ran the corpus groupBy over the (cached) actions frame —
+    # profiled at sf0.1: ~10 stages each re-scanning the 4.8 MB cache
+    # for 72 s total executor time on a dimension-sized query
+    counts = ckpt(
+        actions.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
     days = counts.select("day").distinct()
     types = counts.select("event_type").distinct()
@@ -548,7 +557,9 @@ def daily_drift_jsd(actions: DataFrame) -> DataFrame:
         )
     )
     tot = grid.groupBy("day").agg(F.sum("n").cast("bigint").alias("total"))
-    g = grid.join(tot, "day")
+    # grid⋈tot feeds both the current- and previous-day projections;
+    # truncate so the pair join's two sides read one materialization
+    g = ckpt(grid.join(tot, "day"))
     cur = g.select(
         F.col("day"),
         "event_type",

@@ -499,7 +499,12 @@ def winsorized_user_spend(actions: DataFrame, event_type: str = "purchase") -> D
     from ..functions import qround
     from ..functions.ranking import with_global_rank
 
-    per_user = (
+    from ..functions.ckpt import ckpt
+
+    # |users|-sized rollup with THREE consumers (total count, the
+    # rank pass, the clamp pass): truncate once so the corpus filter
+    # + groupBy runs once instead of per branch
+    per_user = ckpt(
         actions.where(F.col("event_type") == event_type)
         .select(
             "user_id",
@@ -642,7 +647,12 @@ def rolling_7d_distinct_users(actions: DataFrame) -> DataFrame:
     activity of their own are not reported (they exist only as
     donors); the report is 'for each active day, distinct users over
     [day-6, day]'."""
-    pairs = (
+    from ..functions.ckpt import ckpt
+
+    # the (day,user) pair frame feeds two consumers (active-day list
+    # + the donor fan-out): truncate so the corpus dedup shuffle runs
+    # once, not per branch
+    pairs = ckpt(
         actions.select(F.to_date("day").alias("d"), "user_id")
         .where(F.col("user_id").isNotNull())
         .dropDuplicates(["d", "user_id"])

@@ -91,16 +91,21 @@ def concurrency_by_hour(
         # per-hour regroup would split a bucket across hours
         raise ValueError("bucket_us must divide one hour")
     # intervals feeds TWO branches (starts, ends) and deltas feeds TWO
-    # more (running sums, bucket nets).  The PRE-execution plan shows
-    # every branch re-deriving the upstream (13 exchanges), but these
-    # branches share IDENTICAL exchange subtrees, which AQE's
-    # ReusedExchange deduplicates at runtime — measured A/B at sf0.1:
-    # lineage truncation (ckpt) costs ~1 s of extra materialization
-    # job boundaries and saves nothing.  This is the reuse-WORKS case,
-    # unlike the LM family's aggregate-divergent branches (ckpt.py);
-    # the reliance is pinned by
-    # tests/test_round8_ops.py::test_concurrency_runtime_reuses_exchanges.
-    deltas = (
+    # more (running sums, bucket nets).  Round 8 measured AQE's
+    # ReusedExchange deduplicating these branches at runtime; by
+    # round 12 that no longer held end-to-end — the per-stage profile
+    # showed FOUR identical map stages (each re-scanning the actions
+    # frame and re-writing the same 1.6 MB interval exchange), 26 s
+    # total executor time for a dimension-sized result.  Both frames
+    # are now lineage-truncated like the rest of the multi-consumer
+    # family (functions/ckpt.py): 11 stages → 7, one upstream scan,
+    # executor time −25% at sf0.1.  The round-8 reuse pin in
+    # tests/test_round8_ops.py became a compute-once pin (exactly one
+    # interval-aggregate exchange in the executed plan).
+    from ..functions.ckpt import ckpt
+
+    intervals = ckpt(intervals)
+    deltas = ckpt(
         intervals.select(F.col("start_us").alias("ts_us"), F.lit(1).alias("d"))
         .unionByName(
             intervals.select(F.col("end_us").alias("ts_us"), F.lit(-1).alias("d"))

@@ -76,18 +76,34 @@ def lsh_band_frame(
     bits = [
         (lit_dot(F.col(vec_col), p) >= 0).cast("int") for p in planes
     ]
+    # Two-step shape, load-bearing for codegen: materialize the bucket
+    # expressions as CONCRETE COLUMNS in a Project first, then explode
+    # a tiny array built from those columns.  Inlining the n_bits×dim
+    # unrolled terms directly into the explode's array argument put
+    # ~1024 multiply-adds inside Generate's single doConsume method,
+    # which Janino rejects ("Code grows beyond 64 KB") — the whole
+    # stage then silently fell back to INTERPRETED execution, undoing
+    # the unroll's 3x win (observed on every lsh_band_frame consumer
+    # in the r12 oracle logs).  A Project splits large expression
+    # lists into sub-methods (methodSplitThreshold), so this shape
+    # keeps the same arithmetic fully codegen'd.  Same bits, same
+    # buckets, identical output.
+    bucket_cols = [
+        sum(bits[b * band_bits + r] * (1 << r) for r in range(band_bits)).alias(
+            f"_bucket_{b}"
+        )
+        for b in range(n_bands)
+    ]
+    with_buckets = v_frame.select(id_col, *bucket_cols)
     buckets = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
-                ).alias("bucket"),
+                F.lit(b).alias("band"), F.col(f"_bucket_{b}").alias("bucket")
             )
             for b in range(n_bands)
         ]
     )
-    return v_frame.select(id_col, F.explode(buckets).alias("bb")).select(
+    return with_buckets.select(id_col, F.explode(buckets).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -96,31 +112,79 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+# Default unroll hint for the similarity family's dot/norm folds: the
+# corpus' static embedding width (a table property, 64 in every
+# fixture/SF).  The hint is ONLY a fast-path selector — `dot`/`norm`
+# guard it per row and fall back to the HOF fold on any other width,
+# so a corpus with a different dim stays correct (old speed) and a
+# caller that knows a different static width passes it explicitly
+# (e.g. the matryoshka prefix pass).
+_DIM_HINT = 64
+
+
+def _hof_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    a, b = _to_double(a), _to_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
-
-
-def _with_vec(df: DataFrame, id_alias: str, vec: str, n: str) -> DataFrame:
-    """Project (id, vec_as_double, norm) once per row."""
-    v = _to_double(F.col("embedding"))
-    return df.select(
-        F.col("vec_id").alias(id_alias), v.alias(vec), norm(v).alias(n)
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Index-order dot product.  With `dim` (the corpus' static vector
+    width — a table property every caller knows) the fold is unrolled
+    into a codegen'd left-to-right multiply-add chain with the SAME
+    IEEE addition order as the HOF form (seed 0.0, ascending index),
+    so the value is bit-identical — but ~3x faster than the
+    interpreted lambda evaluator (guide §4.1: prefer built-ins/codegen
+    over interpreted evaluation).  A per-row size guard falls back to
+    the HOF fold for rows that don't match the hint, which makes a
+    wrong `dim` harmless (same result, old speed) rather than wrong —
+    and keeps null/ragged-array semantics identical to zip_with."""
+    if dim is None:
+        return _hof_dot(a, b)
+    e: Column = F.lit(0.0)
+    for i in range(dim):
+        e = e + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), e).otherwise(
+        _hof_dot(a, b)
     )
 
 
-def _paired_sim(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> Column:
-    return dot(F.col(a_vec), F.col(b_vec)) / (F.col(a_norm) * F.col(b_norm))
+def _hof_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same dim-hint unroll/guard contract as `dot`."""
+    if dim is None:
+        return _hof_norm(a)
+    e: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.element_at(a, i + 1)
+        e = e + x * x
+    return F.when(F.size(a) == dim, F.sqrt(e)).otherwise(_hof_norm(a))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _with_vec(
+    df: DataFrame, id_alias: str, vec: str, n: str, dim: int | None = _DIM_HINT
+) -> DataFrame:
+    """Project (id, vec_as_double, norm) once per row."""
+    v = _to_double(F.col("embedding"))
+    return df.select(
+        F.col("vec_id").alias(id_alias), v.alias(vec), norm(v, dim).alias(n)
+    )
+
+
+def _paired_sim(
+    a_vec: str, a_norm: str, b_vec: str, b_norm: str, dim: int | None = _DIM_HINT
+) -> Column:
+    return dot(F.col(a_vec), F.col(b_vec), dim) / (F.col(a_norm) * F.col(b_norm))
 
 
 def _sim_order(sim_col: str, id_col: str) -> list[Column]:
@@ -192,7 +256,7 @@ def hard_negative_mining(
         _to_double(F.col("embedding")).alias("q_vec"),
     )
     queries = queries.select(
-        "query_id", "q_label", "q_vec", norm(F.col("q_vec")).alias("q_norm")
+        "query_id", "q_label", "q_vec", norm(F.col("q_vec"), _DIM_HINT).alias("q_norm")
     )
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -203,7 +267,7 @@ def hard_negative_mining(
         "neighbor_id",
         "neighbor_label",
         "n_vec",
-        norm(F.col("n_vec")).alias("n_norm"),
+        norm(F.col("n_vec"), _DIM_HINT).alias("n_norm"),
     )
     sims = (
         corpus.join(
@@ -270,7 +334,7 @@ def kmeans_centroids(
                 "cluster_id",
                 F.transform("pv", lambda s: s["val"]).alias("c_vec"),
             )
-            .withColumn("c_norm", norm(F.col("c_vec")))
+            .withColumn("c_norm", norm(F.col("c_vec"), _DIM_HINT))
             .localCheckpoint()
         )
     return cents
@@ -939,7 +1003,7 @@ def ann_quantized_topk(
     qcorp = quantize_embeddings(embeddings).withColumn(
         "dq", F.transform("q_vec", lambda x: x * F.col("scale"))
     )
-    dq_norm = norm(F.col("dq"))
+    dq_norm = norm(F.col("dq"), _DIM_HINT)
     corpus = qcorp.select(
         F.col("vec_id").alias("neighbor_id"), "dq", dq_norm.alias("dq_norm")
     )
@@ -1052,16 +1116,16 @@ def ann_matryoshka_overlap(
     def _with_prefix(df: DataFrame, id_alias: str, vec: str, n: str) -> DataFrame:
         v = _to_double(F.slice(F.col("embedding"), 1, prefix_dims))
         return df.select(
-            F.col("vec_id").alias(id_alias), v.alias(vec), norm(v).alias(n)
+            F.col("vec_id").alias(id_alias), v.alias(vec), norm(v, prefix_dims).alias(n)
         )
 
     pre_q = _with_prefix(q, "query_id", "q_vec", "q_norm")
     pre_c = _with_prefix(embeddings, "neighbor_id", "n_vec", "n_norm")
 
-    def topk(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    def topk(queries: DataFrame, corpus: DataFrame, d: int) -> DataFrame:
         sims = corpus.join(
             F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
-        ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm"))
+        ).withColumn("sim", _paired_sim("q_vec", "q_norm", "n_vec", "n_norm", d))
         w = Window.partitionBy("query_id").orderBy(*_sim_order("sim", "neighbor_id"))
         return (
             sims.withColumn("rank", F.row_number().over(w))
@@ -1069,8 +1133,8 @@ def ann_matryoshka_overlap(
             .select("query_id", "neighbor_id")
         )
 
-    full = topk(full_q, full_c)
-    pre = topk(pre_q, pre_c)
+    full = topk(full_q, full_c, _DIM_HINT)
+    pre = topk(pre_q, pre_c, prefix_dims)
     hits = full.join(pre, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap")
     )
@@ -1090,16 +1154,31 @@ def ann_matryoshka_overlap(
     )
 
 
-def _l2(a: Column, b: Column) -> Column:
-    """Euclidean distance with an index-order fold (zip_with preserves
-    element order; DuckDB's list_distance sums the same way), so both
-    engines accumulate identically before the shared quantization."""
+def _hof_l2(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    )
+
+
+def _l2(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Euclidean distance with an index-order fold (zip_with preserves
+    element order; DuckDB's list_distance sums the same way), so both
+    engines accumulate identically before the shared quantization.
+    Same dim-hint unroll/per-row-guard contract as `dot`: the unrolled
+    chain keeps the HOF's IEEE order (seed 0.0, ascending index), so
+    values are bit-identical, and any other row width falls back."""
+    if dim is None:
+        return _hof_l2(a, b)
+    e: Column = F.lit(0.0)
+    for i in range(dim):
+        d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+        e = e + d * d
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), F.sqrt(e)).otherwise(
+        _hof_l2(a, b)
     )
 
 
@@ -1135,14 +1214,15 @@ def ann_pq_topk(
     composes with the gated IVF probe.  At 100 TB the codes table is
     what fits in RAM: 4 bytes/vector vs 256."""
     slices = _pq_slices(embeddings, n_subspaces)
-    codes = _pq_codes(slices, n_centroids)
+    sub_dim = _DIM_HINT // n_subspaces
+    codes = _pq_codes(slices, n_centroids, sub_dim)
     queries = slices.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"), F.col("sv").alias("qsv")
     )
     terms = codes.join(F.broadcast(queries), F.col("m") == F.col("q_m")).where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    return _adc_rank(terms, k)
+    return _adc_rank(terms, k, sub_dim)
 
 
 def _pq_slices(embeddings: DataFrame, n_subspaces: int) -> DataFrame:
@@ -1161,18 +1241,21 @@ def _pq_slices(embeddings: DataFrame, n_subspaces: int) -> DataFrame:
     )
 
 
-def _pq_codes(slices: DataFrame, n_centroids: int) -> DataFrame:
+def _pq_codes(
+    slices: DataFrame, n_centroids: int, sub_dim: int | None = None
+) -> DataFrame:
     """(neighbor_id, m, j, cv): each vector's per-subspace nearest
     codebook entry (first-n-rule codebook; 6-dp-quantized L2 argmin
     with index tie-break) — the PQ ENCODE step, one broadcast join of
     the corpus slices against the (n_subspaces × n_centroids)-row
-    codebook."""
+    codebook.  `sub_dim` = static sub-vector width, the _l2 unroll
+    hint (guarded per row, so it is only ever a speedup)."""
     cb = slices.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("j"), F.col("m").alias("cb_m"), F.col("sv").alias("cv")
     )
     enc_scored = slices.join(
         F.broadcast(cb), F.col("m") == F.col("cb_m")
-    ).withColumn("d", _l2(F.col("sv"), F.col("cv")))
+    ).withColumn("d", _l2(F.col("sv"), F.col("cv"), sub_dim))
     w_enc = Window.partitionBy("vec_id", "m").orderBy(
         F.asc(qround(F.col("d"), 6)), F.asc("j")
     )
@@ -1183,7 +1266,7 @@ def _pq_codes(slices: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def _adc_rank(terms: DataFrame, k: int) -> DataFrame:
+def _adc_rank(terms: DataFrame, k: int, sub_dim: int | None = None) -> DataFrame:
     """Top-k per query from (query_id, neighbor_id, m, qsv, cv) rows:
     quantized per-subspace distances, order-pinned fold over m,
     quantized-rank window."""
@@ -1191,7 +1274,7 @@ def _adc_rank(terms: DataFrame, k: int) -> DataFrame:
         "query_id",
         "neighbor_id",
         "m",
-        qround(_l2(F.col("qsv"), F.col("cv")), 6).alias("term"),
+        qround(_l2(F.col("qsv"), F.col("cv"), sub_dim), 6).alias("term"),
     )
     folded = F.aggregate(
         F.array_sort(F.collect_list(F.struct("m", "term"))),
@@ -1271,7 +1354,8 @@ def ann_ivfpq_topk(
     )
     # fine: PQ codes for the corpus, ADC over probed-cell candidates
     slices = _pq_slices(embeddings, n_subspaces)
-    codes = _pq_codes(slices, n_centroids).join(assigned, "neighbor_id")
+    sub_dim = _DIM_HINT // n_subspaces
+    codes = _pq_codes(slices, n_centroids, sub_dim).join(assigned, "neighbor_id")
     q_slices = slices.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_query_id"),
         F.col("m").alias("q_m"),
@@ -1287,4 +1371,4 @@ def ann_ivfpq_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .drop("q_query_id", "q_m")
     )
-    return _adc_rank(terms, k)
+    return _adc_rank(terms, k, sub_dim)

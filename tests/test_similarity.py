@@ -361,3 +361,45 @@ def test_hard_negative_mining_empty_cross_label(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert similarity.hard_negative_mining(emb, n_queries=2, k=3).count() == 0
+
+
+def test_dim_hint_unroll_bit_identical_and_guarded(spark):
+    """The dim-hinted unrolled dot/norm/_l2 must be BIT-identical to
+    the HOF folds (same IEEE addition order), on matching widths (the
+    unrolled fast path), mismatching widths (the per-row fallback),
+    and null inputs."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        w = 64 if i % 3 else 16  # mix: hint-match and fallback widths
+        a = [rng.uniform(-2, 2) for _ in range(w)]
+        b = [rng.uniform(-2, 2) for _ in range(w)]
+        rows.append((a, b))
+    rows.append((None, [1.0] * 64))
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        similarity.dot(F.col("a"), F.col("b"), 64).alias("d_fast"),
+        similarity._hof_dot(F.col("a"), F.col("b")).alias("d_hof"),
+        similarity.norm(F.col("a"), 64).alias("n_fast"),
+        similarity._hof_norm(F.col("a")).alias("n_hof"),
+        similarity._l2(F.col("a"), F.col("b"), 64).alias("l_fast"),
+        similarity._hof_l2(F.col("a"), F.col("b")).alias("l_hof"),
+    ).collect()
+    assert len(out) == 51
+    for r in out:
+        for fast, hof in (
+            (r["d_fast"], r["d_hof"]),
+            (r["n_fast"], r["n_hof"]),
+            (r["l_fast"], r["l_hof"]),
+        ):
+            if hof is None:
+                assert fast is None
+            else:
+                # bit-identical, not approximately equal
+                assert math.isclose(fast, hof, rel_tol=0.0, abs_tol=0.0) or (
+                    fast == hof
+                ), (fast, hof)
+                assert fast.hex() == hof.hex(), (fast.hex(), hof.hex())

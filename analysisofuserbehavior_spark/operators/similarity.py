@@ -60,66 +60,41 @@ def lsh_band_frame(
     dedup (see embedding_neardup_lsh's shuffle-volume note)."""
     planes = lsh_planes(n_bits, dim, seed)
     n_bands = n_bits // band_bits
-
-    def lit_dot(vec: Column, p: list[float]) -> Column:
-        # UNROLLED left-fold dot against a plan-time-literal plane:
-        # same IEEE addition order as the aggregate/zip_with HOF form
-        # (seed 0.0, strictly left-to-right), so the sign bits are
-        # bit-identical — but codegen'd arithmetic instead of the
-        # interpreted lambda evaluator (micro-benched 3x faster on
-        # 200k×64-dim rows; bit-equality asserted over 16 planes)
-        e: Column = F.lit(0.0)
-        for i, c in enumerate(p):
-            e = e + F.element_at(vec, i + 1) * F.lit(c)
-        return e
-
+    # HOF fold on purpose — an unrolled-literal form was tried twice in
+    # r12 and measured SLOWER both times on the bench corpus (sf0.1,
+    # warm session, noop sink): (a) inlined into the explode it blew
+    # Janino's 64 KB method limit ("Code grows beyond 64 KB" in every
+    # consumer's logs, silent interpreted fallback); (b) moved into a
+    # method-splitting Project it codegen'd cleanly but ran
+    # ann_lsh_topk at 6.7 s vs 2.2 s for this HOF shape — the
+    # n_bits×dim (=1024)-term tree multiplies Catalyst analysis +
+    # codegen cost per query, and a chain of null-checked element_at
+    # calls loses to the interpreted fold's tight array traversal.
+    # Unrolling only pays when per-row arithmetic dominates plan cost
+    # (O(10^8+) rows/stage); see dot()'s docstring for the same
+    # finding on the pair-verification folds.
     bits = [
-        (lit_dot(F.col(vec_col), p) >= 0).cast("int") for p in planes
+        (dot(F.col(vec_col), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
+        for p in planes
     ]
-    # Two-step shape, load-bearing for codegen: materialize the bucket
-    # expressions as CONCRETE COLUMNS in a Project first, then explode
-    # a tiny array built from those columns.  Inlining the n_bits×dim
-    # unrolled terms directly into the explode's array argument put
-    # ~1024 multiply-adds inside Generate's single doConsume method,
-    # which Janino rejects ("Code grows beyond 64 KB") — the whole
-    # stage then silently fell back to INTERPRETED execution, undoing
-    # the unroll's 3x win (observed on every lsh_band_frame consumer
-    # in the r12 oracle logs).  A Project splits large expression
-    # lists into sub-methods (methodSplitThreshold), so this shape
-    # keeps the same arithmetic fully codegen'd.  Same bits, same
-    # buckets, identical output.
-    bucket_cols = [
-        sum(bits[b * band_bits + r] * (1 << r) for r in range(band_bits)).alias(
-            f"_bucket_{b}"
-        )
-        for b in range(n_bands)
-    ]
-    with_buckets = v_frame.select(id_col, *bucket_cols)
     buckets = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"), F.col(f"_bucket_{b}").alias("bucket")
+                F.lit(b).alias("band"),
+                sum(
+                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
+                ).alias("bucket"),
             )
             for b in range(n_bands)
         ]
     )
-    return with_buckets.select(id_col, F.explode(buckets).alias("bb")).select(
+    return v_frame.select(id_col, F.explode(buckets).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
-
-
-# Default unroll hint for the similarity family's dot/norm folds: the
-# corpus' static embedding width (a table property, 64 in every
-# fixture/SF).  The hint is ONLY a fast-path selector — `dot`/`norm`
-# guard it per row and fall back to the HOF fold on any other width,
-# so a corpus with a different dim stays correct (old speed) and a
-# caller that knows a different static width passes it explicitly
-# (e.g. the matryoshka prefix pass).
-_DIM_HINT = 64
 
 
 def _hof_dot(a: Column, b: Column) -> Column:
@@ -129,16 +104,26 @@ def _hof_dot(a: Column, b: Column) -> Column:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Index-order dot product.  With `dim` (the corpus' static vector
-    width — a table property every caller knows) the fold is unrolled
-    into a codegen'd left-to-right multiply-add chain with the SAME
-    IEEE addition order as the HOF form (seed 0.0, ascending index),
-    so the value is bit-identical — but ~3x faster than the
-    interpreted lambda evaluator (guide §4.1: prefer built-ins/codegen
-    over interpreted evaluation).  A per-row size guard falls back to
-    the HOF fold for rows that don't match the hint, which makes a
-    wrong `dim` harmless (same result, old speed) rather than wrong —
-    and keeps null/ragged-array semantics identical to zip_with."""
+    """Index-order dot product.  With `dim` (a static vector width)
+    the fold is unrolled into a left-to-right multiply-add chain with
+    the SAME IEEE addition order as the HOF form (seed 0.0, ascending
+    index), so the value is bit-identical (hex-asserted in
+    test_similarity.py), and a per-row size guard falls back to the
+    HOF fold on any other width — a wrong `dim` is harmless, not
+    wrong.
+
+    NO in-repo caller passes `dim`: an r12 A/B at bench scale (5k-row
+    corpus, sf0.1, warm session) measured the unrolled form ~3x
+    SLOWER end-to-end (ann_bruteforce 0.91 s HOF vs 2.86 s unrolled;
+    every ANN bench entry regressed 2-4x) because the 64-term
+    expression tree multiplies Catalyst analysis + codegen cost per
+    query, which dwarfs the interpreted-eval saving at these row
+    counts.  The unroll only pays when per-row arithmetic dominates
+    plan cost — O(10^8+) pair evaluations per stage — so it is an
+    opt-in knob for that regime, not a default.  (Contrast
+    lsh_band_frame's lit_dot, which IS unrolled by default: literal
+    ±1 planes fold to plain column refs there, and the banding stage
+    feeds every LSH consumer's candidate generation.)"""
     if dim is None:
         return _hof_dot(a, b)
     e: Column = F.lit(0.0)
@@ -172,7 +157,7 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def _with_vec(
-    df: DataFrame, id_alias: str, vec: str, n: str, dim: int | None = _DIM_HINT
+    df: DataFrame, id_alias: str, vec: str, n: str, dim: int | None = None
 ) -> DataFrame:
     """Project (id, vec_as_double, norm) once per row."""
     v = _to_double(F.col("embedding"))
@@ -182,7 +167,7 @@ def _with_vec(
 
 
 def _paired_sim(
-    a_vec: str, a_norm: str, b_vec: str, b_norm: str, dim: int | None = _DIM_HINT
+    a_vec: str, a_norm: str, b_vec: str, b_norm: str, dim: int | None = None
 ) -> Column:
     return dot(F.col(a_vec), F.col(b_vec), dim) / (F.col(a_norm) * F.col(b_norm))
 
@@ -256,7 +241,7 @@ def hard_negative_mining(
         _to_double(F.col("embedding")).alias("q_vec"),
     )
     queries = queries.select(
-        "query_id", "q_label", "q_vec", norm(F.col("q_vec"), _DIM_HINT).alias("q_norm")
+        "query_id", "q_label", "q_vec", norm(F.col("q_vec")).alias("q_norm")
     )
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -267,7 +252,7 @@ def hard_negative_mining(
         "neighbor_id",
         "neighbor_label",
         "n_vec",
-        norm(F.col("n_vec"), _DIM_HINT).alias("n_norm"),
+        norm(F.col("n_vec")).alias("n_norm"),
     )
     sims = (
         corpus.join(
@@ -334,7 +319,7 @@ def kmeans_centroids(
                 "cluster_id",
                 F.transform("pv", lambda s: s["val"]).alias("c_vec"),
             )
-            .withColumn("c_norm", norm(F.col("c_vec"), _DIM_HINT))
+            .withColumn("c_norm", norm(F.col("c_vec")))
             .localCheckpoint()
         )
     return cents
@@ -1003,7 +988,7 @@ def ann_quantized_topk(
     qcorp = quantize_embeddings(embeddings).withColumn(
         "dq", F.transform("q_vec", lambda x: x * F.col("scale"))
     )
-    dq_norm = norm(F.col("dq"), _DIM_HINT)
+    dq_norm = norm(F.col("dq"))
     corpus = qcorp.select(
         F.col("vec_id").alias("neighbor_id"), "dq", dq_norm.alias("dq_norm")
     )
@@ -1116,7 +1101,7 @@ def ann_matryoshka_overlap(
     def _with_prefix(df: DataFrame, id_alias: str, vec: str, n: str) -> DataFrame:
         v = _to_double(F.slice(F.col("embedding"), 1, prefix_dims))
         return df.select(
-            F.col("vec_id").alias(id_alias), v.alias(vec), norm(v, prefix_dims).alias(n)
+            F.col("vec_id").alias(id_alias), v.alias(vec), norm(v).alias(n)
         )
 
     pre_q = _with_prefix(q, "query_id", "q_vec", "q_norm")
@@ -1133,8 +1118,8 @@ def ann_matryoshka_overlap(
             .select("query_id", "neighbor_id")
         )
 
-    full = topk(full_q, full_c, _DIM_HINT)
-    pre = topk(pre_q, pre_c, prefix_dims)
+    full = topk(full_q, full_c, None)
+    pre = topk(pre_q, pre_c, None)
     hits = full.join(pre, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap")
     )
@@ -1214,15 +1199,14 @@ def ann_pq_topk(
     composes with the gated IVF probe.  At 100 TB the codes table is
     what fits in RAM: 4 bytes/vector vs 256."""
     slices = _pq_slices(embeddings, n_subspaces)
-    sub_dim = _DIM_HINT // n_subspaces
-    codes = _pq_codes(slices, n_centroids, sub_dim)
+    codes = _pq_codes(slices, n_centroids)
     queries = slices.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"), F.col("sv").alias("qsv")
     )
     terms = codes.join(F.broadcast(queries), F.col("m") == F.col("q_m")).where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    return _adc_rank(terms, k, sub_dim)
+    return _adc_rank(terms, k)
 
 
 def _pq_slices(embeddings: DataFrame, n_subspaces: int) -> DataFrame:
@@ -1354,8 +1338,7 @@ def ann_ivfpq_topk(
     )
     # fine: PQ codes for the corpus, ADC over probed-cell candidates
     slices = _pq_slices(embeddings, n_subspaces)
-    sub_dim = _DIM_HINT // n_subspaces
-    codes = _pq_codes(slices, n_centroids, sub_dim).join(assigned, "neighbor_id")
+    codes = _pq_codes(slices, n_centroids).join(assigned, "neighbor_id")
     q_slices = slices.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_query_id"),
         F.col("m").alias("q_m"),
@@ -1371,4 +1354,4 @@ def ann_ivfpq_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .drop("q_query_id", "q_m")
     )
-    return _adc_rank(terms, k, sub_dim)
+    return _adc_rank(terms, k)

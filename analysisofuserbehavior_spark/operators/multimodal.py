@@ -62,7 +62,18 @@ def _spread(df: DataFrame) -> DataFrame:
     whenever the incoming frame already carries at least that many
     partitions — the 100 TB layout (many files / row groups) takes
     the no-op path, so no shuffle is added at scale.  Shared
-    implementation: functions/spread.py."""
+    implementation: functions/spread.py.
+
+    Applied ONLY to the synthesizers whose downstream decode is
+    genuinely CPU-heavy — jpeg (Huffman), gif (LZW), adpcm (per-
+    sample predictor loop) — where the r12 bench measured multi-
+    second wins (jpeg 4.69→1.05 s, adpcm 3.50→0.88 s at sf0.1).  The
+    cheap codecs (fake header, bmp, ppm, png, wav: header parse +
+    vectorized numpy over small arrays) measured a NET LOSS under the
+    same spread (media_resize_audit 0.34→1.89 s, media_metadata
+    0.30→0.74 s, wav 0.40→0.88 s): their whole pipeline costs less
+    than the added exchange + 32-task scheduling, so they keep the
+    serial single-partition plan at gate scale."""
     from ..functions.spread import spread_small_scan
 
     return spread_small_scan(df)
@@ -491,7 +502,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return _spread(docs.select("doc_id", "text")).mapInPandas(gen, MEDIA_SCHEMA)
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
@@ -522,7 +533,7 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", hdr + info + body))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
@@ -548,7 +559,7 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -608,7 +619,7 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_png(rgb)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_wav_media(docs: DataFrame) -> DataFrame:
@@ -635,7 +646,7 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
-    return _spread(docs.select("doc_id")).mapInPandas(gen, MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 GIF_FEATURES_SCHEMA = (

@@ -398,11 +398,13 @@ def test_vocab_growth_broadcasts_thresholds_no_smj(spark, sf_dir):
 def test_image_features_ppm_media_never_crosses_an_exchange(spark, sf_dir):
     """The decode is mapInPandas chained onto the synthesizer: binary
     payloads are decoded where they are generated and NEVER cross a
-    shuffle.  Round 12 added ONE deliberate upstream exchange — the
+    shuffle.  The pin allows at most ONE upstream exchange — the
     adaptive input spread (functions/spread.py) that carries only the
-    doc_id proxy so the codec work parallelizes past the
-    single-row-group bench scan — so the pin is now: at most one
-    exchange, and no Exchange input may include the media column."""
+    doc_id proxy — because the heavy codecs (jpeg/gif/adpcm) use it;
+    ppm itself dropped the spread in r12 (cheap decode, the exchange
+    cost more than the parallelism won) so its plan has zero, which
+    the <=1 bound also accepts.  Either way no Exchange input may
+    include the media column."""
     df = QUERIES["image_features_ppm"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert "MapInPandas" in plan

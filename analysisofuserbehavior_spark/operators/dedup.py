@@ -494,9 +494,25 @@ def minhash_lsh_pairs(
             "doc_b",
         )
     else:
-        banded = (
+        # The post-shuffle minhash aggregate (collect_set + num_perm
+        # pmod-min buffers) is the operator's most expensive stage, and
+        # the band self-join derives it once PER SIDE: AQE reuses the
+        # exchange but not the final aggregate above it (profiled at
+        # sf0.1 via leakage_safe_split — broadcast-build 13.7 s + probe
+        # 7.3 s task CPU, the query's two heaviest stages).
+        # Materialize the slim (doc_id, shs, sig) frame once so both
+        # join sides and the exact verification read it back instead of
+        # re-aggregating; storing |docs| rows once is strictly cheaper
+        # than computing the aggregate twice at any scale this fat-join
+        # path is the right shape for (the slim checkpoint_dir path
+        # already owns the PB regime).
+        mat = (
             sets.withColumn("sig", sig)
-            .select("doc_id", "shs", F.explode(band_structs).alias("b"))
+            .select("doc_id", "shs", "sig")
+            .localCheckpoint(eager=True)
+        )
+        banded = (
+            mat.select("doc_id", "shs", F.explode(band_structs).alias("b"))
             .select("doc_id", "shs", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
         )
         cand = (

@@ -17,11 +17,18 @@ import os
 from pyspark.sql import DataFrame
 
 
-def ckpt(df: DataFrame) -> DataFrame:
+def ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
     """Materialize `df` exactly once for all downstream branches.
 
     Lazy localCheckpoint truncates the lineage to ONE concrete RDD, so
-    every consumer reads the SAME materialized blocks.  Beyond the
+    every consumer reads the SAME materialized blocks.  Pass
+    `eager=True` when the consumers include PARALLEL broadcast-
+    exchange jobs: Spark runs those in separate threads, and two jobs
+    hitting a lazily-checkpointed RDD before either has populated its
+    blocks will each compute it (profiled in lsh_tuning_report —
+    duplicate 32-task shingle stages despite the lazy ckpt); eager
+    materialization at construction closes that race at the cost of
+    one extra job round.  Beyond the
     compute-once guarantee, truncation has a subtler plan benefit:
     AQE's OptimizeSkewedJoin only matches
     SortMergeJoin(Sort(Shuffle), Sort(Shuffle)) — an aggregate left
@@ -53,9 +60,9 @@ def ckpt(df: DataFrame) -> DataFrame:
                 "SPARK_GRAFT_PAIR_CKPT=reliable requires "
                 "spark.sparkContext.setCheckpointDir(...) to be set first"
             )
-        return df.checkpoint(eager=False)
+        return df.checkpoint(eager=eager)
     if mode != "local":
         raise ValueError(
             f"SPARK_GRAFT_PAIR_CKPT must be 'local' or 'reliable', got {mode!r}"
         )
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=eager)

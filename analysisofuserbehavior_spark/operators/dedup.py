@@ -288,8 +288,9 @@ def ngram_jaccard_pairs_prefix(
     the gated query's oracle.
 
     `dsh` and `per_doc` are ckpt-materialized: dsh feeds 2 branches
-    (df table + the per-doc rollup) and per_doc feeds 3 (prefix
-    explode + both verification sides) — re-derived, the composed
+    (df table + the per-doc rollup) and per_doc feeds 4 (prefix
+    explode + both verification sides + the per-doc size
+    projection) — re-derived, the composed
     plan ran the shingle scan per branch (20 static exchanges,
     measured); truncated, each is computed once (the
     corpus_pipeline_e2e lesson)."""
@@ -309,7 +310,6 @@ def ngram_jaccard_pairs_prefix(
             .select("sh")
         )
         dsh = dsh.join(F.broadcast(heavy), "sh", "left_anti")
-        sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dsh = ckpt(dsh)
     df_tbl = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = ckpt(
@@ -328,6 +328,14 @@ def ngram_jaccard_pairs_prefix(
             ),
         )
     )
+    if max_df is not None:
+        # the per-doc size recount over the SURVIVING shingles is
+        # already sitting in the materialized per_doc rollup — a
+        # projection, not another aggregate over the shingle table
+        # (the pre-ckpt derivation this replaces re-ran the shingle
+        # explode + df anti-join + a duplicate heavy broadcast build:
+        # profiled as two of this query's four heavy 32-task stages)
+        sizes = per_doc.select("doc_id", "n_sh")
     pref = per_doc.select(
         "doc_id", F.explode(F.expr("slice(shs, 1, p)")).alias("sh")
     )
@@ -506,10 +514,11 @@ def minhash_lsh_pairs(
         # than computing the aggregate twice at any scale this fat-join
         # path is the right shape for (the slim checkpoint_dir path
         # already owns the PB regime).
-        mat = (
-            sets.withColumn("sig", sig)
-            .select("doc_id", "shs", "sig")
-            .localCheckpoint(eager=True)
+        from ..functions.ckpt import ckpt
+
+        mat = ckpt(
+            sets.withColumn("sig", sig).select("doc_id", "shs", "sig"),
+            eager=True,
         )
         banded = (
             mat.select("doc_id", "shs", F.explode(band_structs).alias("b"))
@@ -999,6 +1008,14 @@ def lsh_tuning_report(
         F.min("text").alias("text"),
         F.count(F.lit(1)).cast("bigint").alias("mult"),
     )
+    # NOTE on an optimization measured and REJECTED here (round 12):
+    # the shingle explode below is re-derived by parallel broadcast
+    # jobs (lazy ckpts don't stop racing job threads — see
+    # functions/ckpt.py), but materializing it with eager ckpts lost
+    # the A/B at bench scale (3.0 s → 3.7 s min-warm over 5 runs):
+    # the duplicated explode is ~3 s of task CPU absorbed by idle
+    # cores, while eager materialization adds serial job rounds +
+    # block I/O on this latency-dominated entry.
     reps = ckpt(groups.select("doc_id", "text", "mult"))
     mult = reps.select("doc_id", "mult")
     dsh = shingles(reps, k).select("doc_id", F.xxhash64("shingle").alias("sh"))

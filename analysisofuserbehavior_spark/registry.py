@@ -111,6 +111,20 @@ def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _small_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Dimension-sized collected rows back to a ONE-SLICE frame: bare
+    createDataFrame parallelizes over defaultParallelism, and the 32
+    near-empty pickled partitions each cost a Python-worker
+    round-trip on every downstream scan (profiled ~0.2 s/task on the
+    bench's noop save of ad_blacklist_feedback).  parallelize(rows, 1)
+    from the start — NOT .coalesce(1), whose single merged task pays
+    all 32 parent handshakes serially (measured 4-5 s per action vs
+    0.16 s for the one-slice frame)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def _two_phase_replay_dir(work: str, phases: list[DataFrame]) -> str:
     """Write each phase frame as ONE parquet file under `<work>/in`
     with ascending mtimes, so a maxFilesPerTrigger=1 file-source
@@ -395,8 +409,8 @@ def q_ad_blacklist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "day string, user_id long, ad_id long, click_count long"
+    return _small_df(
+        spark, rows, "day string, user_id long, ad_id long, click_count long"
     )
 
 
@@ -1320,8 +1334,8 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .collect()
     )
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "doc_id long, bm25 double, day string, n_day1 long, n_day2 long"
+    return _small_df(
+        spark, rows, "doc_id long, bm25 double, day string, n_day1 long, n_day2 long"
     )
 
 
@@ -1467,8 +1481,8 @@ def q_ann_ivf_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivf_index(emb.where(F.col("vec_id") >= 400), path)
     rows = ann_ivf_topk_indexed(spark, path, emb).collect()
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "query_id long, rank long, neighbor_id long, sim double"
+    return _small_df(
+        spark, rows, "query_id long, rank long, neighbor_id long, sim double"
     )
 
 
@@ -1706,8 +1720,8 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = sorted(r[0] for r in daily.select("day").distinct().collect())
     if not days:
-        return spark.createDataFrame(
-            [], "day string, n_users long, total_clicks long, total_rev_cents long"
+        return _small_df(
+            spark, [], "day string, n_users long, total_clicks long, total_rev_cents long"
         )
     mid = days[len(days) // 2]
     # v1 era: no revenue column yet
@@ -1731,8 +1745,8 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "day string, n_users long, total_clicks long, total_rev_cents long"
+    return _small_df(
+        spark, rows, "day string, n_users long, total_clicks long, total_rev_cents long"
     )
 
 
@@ -1813,7 +1827,7 @@ def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_inverted_index(spark, path)
     rows = bm25_topk_indexed(spark, path).collect()
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, bm25 double")
+    return _small_df(spark, rows, "doc_id long, bm25 double")
 
 
 @query("purged_time_split")
@@ -2408,8 +2422,8 @@ def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataF
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "day string, user_id long, ad_id long, click_count long"
+    return _small_df(
+        spark, rows, "day string, user_id long, ad_id long, click_count long"
     )
 
 
@@ -2478,7 +2492,8 @@ def q_streaming_scd2_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return _small_df(
+        spark,
         rows,
         "custkey long, segment string, valid_from string, valid_to string",
     )
@@ -2577,7 +2592,7 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "hour_start string, n long")
+    return _small_df(spark, rows, "hour_start string, n long")
 
 
 @query("tpch_q4")
@@ -4366,8 +4381,8 @@ def q_streaming_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFr
         )
     out = final_funnel_counts(updates).collect()
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out, "step bigint, stage string, users bigint"
+    return _small_df(
+        spark, out, "step bigint, stage string, users bigint"
     ).orderBy("step")
 
 
@@ -5951,7 +5966,8 @@ def q_stress_linear_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for op_name in [*[n for n, _ in ops], "mv_merge"]
     ]
-    return spark.createDataFrame(
+    return _small_df(
+        spark,
         rows,
         "op string, out_rows_1x long, out_rows_10x long, "
         "sec_1x double, sec_10x double, time_ratio double",

@@ -467,14 +467,40 @@ class BlacklistLoop:
         )
         _promote_state(spark, self.totals_dir)
 
-    def run(self, stream: DataFrame, checkpoint_dir: str) -> None:
-        q = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    def run(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        state_partitions: int | None = 8,
+    ) -> None:
+        # right-size the per-batch aggregate width exactly like
+        # run_to_completion's state knob: the delta/totals groupBys
+        # run per micro-batch over dimension-sized state, and at the
+        # session's core-count width each batch paid 32 near-empty
+        # tasks of scheduling overhead per aggregate (profiled via
+        # ad_blacklist_feedback: 32-task stages at < 0.4 s total CPU).
+        # Capacity knob, not a core-count constant — raise it when
+        # per-batch state outgrows executor-sized partitions; results
+        # are partition-invariant.  Conf restored in the finally.
+        spark = stream.sparkSession
+        parts_key = "spark.sql.shuffle.partitions"
+        prev_parts = spark.conf.get(parts_key, None)
+        if state_partitions is not None:
+            spark.conf.set(parts_key, str(state_partitions))
+        try:
+            q = (
+                stream.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if state_partitions is not None:
+                if prev_parts is not None:
+                    spark.conf.set(parts_key, prev_parts)
+                else:
+                    spark.conf.unset(parts_key)
 
 
 def run_ad_module(

@@ -177,7 +177,11 @@ def bpe_learn_merges(
     finally:
         conf.set("spark.sql.shuffle.partitions", old_parts)
         conf.set("spark.sql.adaptive.enabled", old_aqe)
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    # one-slice parallelize — see registry._small_df: avoids
+    # defaultParallelism near-empty pickled partitions on every scan
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, 1), MERGE_SCHEMA
+    )
 
 
 def bpe_encode_stats(

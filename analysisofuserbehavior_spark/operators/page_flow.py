@@ -62,8 +62,14 @@ def page_convert_rate(
     divide by zero; ANSI mode makes the guard explicit).
     """
     splits = [f"{a}_{b}" for a, b in zip(target_flow, target_flow[1:])]
+    # one-slice parallelize: a bare createDataFrame spreads this
+    # steps-sized frame over defaultParallelism pickled partitions,
+    # each costing a Python-worker round-trip per downstream scan
     target_df = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(splits)], "step int, split string"
+        spark.sparkContext.parallelize(
+            [(i + 1, s) for i, s in enumerate(splits)], 1
+        ),
+        "step int, split string",
     )
     pair_counts = (
         page_splits(actions, flow_col)

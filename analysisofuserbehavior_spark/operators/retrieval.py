@@ -528,7 +528,13 @@ def bm25_prf_topk(
         .select("token")
     )
     spark = docs.sparkSession
-    seed = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    # one-slice parallelize — see registry._small_df: avoids
+    # defaultParallelism near-empty pickled partitions riding into
+    # the scoring union
+    seed = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in query_terms], 1),
+        "token string",
+    )
     return bm25_score_dynamic(docs, seed.unionByName(expansion), k=k)
 
 

@@ -674,8 +674,10 @@ def ann_bruteforce_topk_np(
     if not q_rows:
         # empty corpus/query block: np.array([]) is 1-D and the
         # axis-1 norm below would raise — return the empty frame
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, rank long, neighbor_id long, sim double"
+        _sp = embeddings.sparkSession
+        return _sp.createDataFrame(
+            _sp.sparkContext.parallelize([], 1),
+            "query_id long, rank long, neighbor_id long, sim double",
         )
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -1160,22 +1160,34 @@ def dedup_contained_docs(docs: DataFrame, anchor_len: int = 4) -> DataFrame:
     verification, O(1) text copies per doc and per candidate instead
     of O(tokens).  Verification and the final per-doc reduction are
     linear in candidates."""
+    from ..functions.ckpt import ckpt
+    from ..functions.spread import spread_small_scan
+
     toks = F.split(F.col("text"), " ")
     # dl floor BEFORE the gram sequence: sequence(0, dl-anchor_len)
     # on a short doc descends through 0 and slice(toks, 0, …) throws
-    meta = docs.select(
+    # (spread: the gram explode below is the query's heaviest map
+    # work and serialized on the single-partition gate scan — two
+    # identical 1-task ~2 s stages, one per self-join side, profiled)
+    meta = spread_small_scan(docs.select("doc_id", "text")).select(
         "doc_id", "text", F.size(toks).cast("bigint").alias("dl")
     ).where(F.size(toks) >= anchor_len)
     mtoks = F.split(F.col("text"), " ")
-    grams = meta.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("dl") - anchor_len),
-                lambda i: F.concat_ws(" ", F.slice(mtoks, i + 1, anchor_len)),
-            )
-        ).alias("gram"),
-    ).distinct()
+    # ckpt: the posting frame feeds THREE consumers (df count, the
+    # anchors join, the candidate join's b-side) — re-derived, the
+    # explode+distinct ran once per self-join side (twin 5.69 MB
+    # map stages, profiled)
+    grams = ckpt(
+        meta.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("dl") - anchor_len),
+                    lambda i: F.concat_ws(" ", F.slice(mtoks, i + 1, anchor_len)),
+                )
+            ).alias("gram"),
+        ).distinct()
+    )
     # document frequency per gram over the deduped posting frame, then
     # one rarest-gram anchor per doc: min_by over (df, gram) is
     # deterministic (a gram appears once per doc after the distinct)

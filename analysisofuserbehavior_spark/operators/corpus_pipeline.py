@@ -323,8 +323,12 @@ def ingest_corpus_day(
          docs' postings + a stats-manifest row, guarded by an ingest
          LEDGER — a `_ledger/day=<day>` marker committed strictly
          AFTER the append, carrying the post-append `_stats` manifest
-         row count.  A re-run that finds the marker skips the append,
-         so the index is identical after N runs of the same day.
+         row count.  A re-run that finds the marker skips the WHOLE
+         ingest (admission, store rewrite and append — the marker
+         commits last, so its presence proves all three completed),
+         so store and index are identical after N runs of the same
+         day and a changed-input resubmission of a committed day
+         cannot silently diverge the store from the index.
 
     Ledger I/O goes through the Hadoop FileSystem abstraction
     (sources/upsert._fs_path) like every other commit path, so the
@@ -358,6 +362,23 @@ def ingest_corpus_day(
     from .dedup import incremental_admit
     from .retrieval import append_inverted_index, write_inverted_index
 
+    # ledger short-circuit FIRST (round-12 optimization): the marker
+    # commits strictly LAST (after store overwrite + index append), so
+    # its presence proves the whole day completed — a re-run can skip
+    # the admission screen and the byte-equivalent store rewrite, not
+    # just the index append.  Previously the re-run paid the full
+    # screen (the corpus-side minhash aggregate, the most expensive
+    # stage of the lifecycle) and the store overwrite before
+    # consulting the ledger; profiled as 1 of the 2 heavy 32-task job
+    # pairs in corpus_pipeline_incremental.  This is also the safer
+    # contract for a day whose INPUTS changed: the old path rewrote
+    # the store but skipped the append, silently diverging store and
+    # index — now both stay at the committed state until an explicit
+    # rebuild.
+    ledger_dir = index_dir + "_ledger"
+    fs, marker = _fs_path(spark, ledger_dir + f"/day={day}")
+    if fs.exists(marker):
+        return
     if first_day:
         admitted = docs_day.select("doc_id", "text")
     else:
@@ -378,10 +399,6 @@ def ingest_corpus_day(
         admitted.withColumn("ts", F.lit(day + " 00:00:00").cast("timestamp")),
         store_dir,
     )
-    ledger_dir = index_dir + "_ledger"
-    fs, marker = _fs_path(spark, ledger_dir + f"/day={day}")
-    if fs.exists(marker):
-        return
     if first_day:
         write_inverted_index(admitted, index_dir)
     else:

@@ -9,6 +9,7 @@ this registry for the driver harness.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -123,6 +124,27 @@ def _small_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )
+
+
+@_contextmanager
+def _stream_parts(spark: SparkSession, n: int = 8):
+    """Scope shuffle.partitions for a bounded foreachBatch run — the
+    state-capacity knob run_to_completion and BlacklistLoop.run apply
+    (streaming/ad_stream.py): per-batch aggregates over
+    dimension-sized state at the session's core-count width pay 32
+    near-empty tasks of scheduling overhead per aggregate per batch.
+    Results are partition-invariant; the prior value (or unset) is
+    restored on exit."""
+    parts_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(parts_key, None)
+    spark.conf.set(parts_key, str(n))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(parts_key, prev)
+        else:
+            spark.conf.unset(parts_key)
 
 
 def _two_phase_replay_dir(work: str, phases: list[DataFrame]) -> str:
@@ -2327,14 +2349,15 @@ def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             epoch_id,
         )
 
-    q = (
-        read_event_stream(spark, f"{sf_dir}/events.parquet")
-        .writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = (
+            read_event_stream(spark, f"{sf_dir}/events.parquet")
+            .writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink.current(spark)
 
 
@@ -2403,19 +2426,20 @@ def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     sink.fail_after_stage_epoch = 1  # die mid-protocol on the 2nd batch
-    q1 = run()
-    crashed = False
-    try:
-        q1.awaitTermination()
-    except Exception:
-        crashed = True
-    if not crashed:
-        raise RuntimeError(
-            "injected crash did not fire — the replay no longer exercises "
-            "the staged-but-unfinalized recovery window"
-        )
-    q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
-    q2.awaitTermination()
+    with _stream_parts(spark):
+        q1 = run()
+        crashed = False
+        try:
+            q1.awaitTermination()
+        except Exception:
+            crashed = True
+        if not crashed:
+            raise RuntimeError(
+                "injected crash did not fire — the replay no longer exercises "
+                "the staged-but-unfinalized recovery window"
+            )
+        q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
+        q2.awaitTermination()
     # dimension-sized totals; materialize so the work dir (log copy +
     # state + checkpoint) can be deleted instead of leaking per call
     rows = sink.current(spark).collect()
@@ -2475,19 +2499,20 @@ def q_streaming_scd2_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     sink.fail_after_stage_epoch = 1  # die mid-protocol on the CDC batch
-    q1 = run()
-    crashed = False
-    try:
-        q1.awaitTermination()
-    except Exception:
-        crashed = True
-    if not crashed:
-        raise RuntimeError(
-            "injected crash did not fire — the replay no longer exercises "
-            "the staged-but-unfinalized SCD2 recovery window"
-        )
-    q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
-    q2.awaitTermination()
+    with _stream_parts(spark):
+        q1 = run()
+        crashed = False
+        try:
+            q1.awaitTermination()
+        except Exception:
+            crashed = True
+        if not crashed:
+            raise RuntimeError(
+                "injected crash did not fire — the replay no longer exercises "
+                "the staged-but-unfinalized SCD2 recovery window"
+            )
+        q2 = run()  # restart from the SAME checkpoint: epoch 1 replays
+        q2.awaitTermination()
     rows = sink.history(spark).collect()
     import shutil
 
@@ -5475,13 +5500,14 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(sketch_batch)
-        .option("checkpointLocation", _os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(sketch_batch)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     merged = (
         spark.read.parquet(cells_dir).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
     )

@@ -47,3 +47,18 @@ def test_stream_run_restores_unset_shuffle_partitions(spark, tmp_path):
     out = run_to_completion(stream, "t_restore_parts", state_partitions=4)
     assert out.count() == 10
     assert spark.conf.get(key) == before
+
+
+def test_checkpoint_file_checksums_default_off_and_env_overridable(spark):
+    """Round-12 optimization: Spark 4.1's checkpoint-file checksums
+    make every state-store delta close() await an async checksum
+    future (thread-dump evidence in session.py) — off by default for
+    this engine's ephemeral tmpfs checkpoints, re-enabled for durable
+    deployments via SPARK_GRAFT_CKPT_CHECKSUM."""
+    key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    assert spark.conf.get(key) == "false"
+    # the env override is read at session build time
+    from analysisofuserbehavior_spark import session as S
+    import os
+
+    assert os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false") == "false"

@@ -144,25 +144,16 @@ def write_inverted_index(
     `repartition("bucket")` makes each shard write from its own
     reducer set.  n_buckets is a layout knob — at 100 TB you'd raise
     it so each bucket directory stays executor-sized (it only has to
-    divide the term space, not the corpus)."""
-    toks = _tokens()
-    base = docs.select(
-        "doc_id", F.size(toks).cast("bigint").alias("dl"), toks.alias("toks")
-    )
-    postings = (
-        base.select("doc_id", "dl", F.explode("toks").alias("token"))
-        .groupBy("token", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", _token_bucket(F.col("token"), n_buckets))
-    )
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
-    base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    ).write.mode("overwrite").parquet(path + "/_stats")
+    divide the term space, not the corpus).
+
+    The corpus stats (exact BIGINT n_docs / sum_dl) ride the postings
+    write as `observe()` metrics (exactly-once, deterministic — the
+    session_analysis accumulator pattern) instead of a second
+    aggregate over the corpus: before round 12 the `_stats` write
+    re-derived the tokenize pass, so every index build paid TWO full
+    corpus scans (guide §1.2 — re-derived branches recompute).  The
+    `_stats` row itself is then a literal 1-row frame."""
+    _write_postings_and_stats(docs, path, n_buckets, mode="overwrite")
 
 
 def append_inverted_index(
@@ -183,10 +174,33 @@ def append_inverted_index(
     (df counts posting rows) — so re-ingestion means rebuild (or
     exact-dedup upstream).  `bm25_topk_indexed` over base+appended
     batches is hash-identical to a full rebuild (gated:
-    bm25_topk_incremental)."""
+    bm25_topk_incremental).
+
+    Batch stats ride the postings write as `observe()` metrics (see
+    write_inverted_index) — one pass over the batch, not two."""
+    _write_postings_and_stats(docs_new, path, n_buckets, mode="append")
+
+
+def _write_postings_and_stats(
+    docs: DataFrame, path: str, n_buckets: int, mode: str
+) -> None:
+    """Shared body of write/append_inverted_index: one tokenize +
+    explode + map-side-combined groupBy pass whose write action also
+    carries the corpus-stats observation; the `_stats` manifest row
+    (schema-identical to the pre-round-12 `base.agg(...)` row:
+    BIGINT n_docs / sum_dl, INT n_buckets, sum over zero rows = NULL)
+    is then written as a literal 1-row, 1-slice frame."""
+    from pyspark.sql import Observation
+
+    spark = docs.sparkSession
     toks = _tokens()
-    base = docs_new.select(
+    obs = Observation()
+    base = docs.select(
         "doc_id", F.size(toks).cast("bigint").alias("dl"), toks.alias("toks")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
     )
     postings = (
         base.select("doc_id", "dl", F.explode("toks").alias("token"))
@@ -194,14 +208,28 @@ def append_inverted_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", _token_bucket(F.col("token"), n_buckets))
     )
-    postings.repartition("bucket").write.mode("append").partitionBy(
+    postings.repartition("bucket").write.mode(mode).partitionBy(
         "bucket"
     ).parquet(path)
-    base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    ).write.mode("append").parquet(path + "/_stats")
+    try:
+        vals = obs.get
+        stats = spark.range(1).select(
+            F.lit(vals["n_docs"]).cast("bigint").alias("n_docs"),
+            F.lit(vals["sum_dl"]).cast("bigint").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+    except Exception:
+        # empty batch: AQE's empty-relation propagation elides the
+        # CollectMetrics node, so no observation row materializes.
+        # Fall back to the pre-round-12 direct aggregate — over zero
+        # rows it is a trivial job and yields the identical
+        # (0, NULL, n_buckets) manifest row.
+        stats = docs.select(F.size(_tokens()).cast("bigint").alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+    stats.write.mode(mode).parquet(path + "/_stats")
 
 
 def bm25_topk_indexed(

@@ -360,7 +360,11 @@ def ingest_corpus_day(
     from ..plans.layout import overwrite_day_partitions
     from ..sources.upsert import _fs_path
     from .dedup import incremental_admit
-    from .retrieval import append_inverted_index, write_inverted_index
+    from .retrieval import (
+        append_inverted_index,
+        read_index_stats,
+        write_inverted_index,
+    )
 
     # ledger short-circuit FIRST (round-12 optimization): the marker
     # commits strictly LAST (after store overwrite + index append), so
@@ -382,8 +386,13 @@ def ingest_corpus_day(
     if first_day:
         admitted = docs_day.select("doc_id", "text")
     else:
+        # explicit schema: the store layout is this module's own
+        # writer (overwrite_day_partitions) — doc_id/text/ts plus the
+        # day partition directory Spark infers as DATE; declaring it
+        # skips the per-ingest schema-inference job
         corpus = (
-            spark.read.parquet(store_dir)
+            spark.read.schema("doc_id bigint, text string, ts timestamp, day date")
+            .parquet(store_dir)
             .where(F.col("day") < day)
             .select("doc_id", "text")
         )
@@ -404,7 +413,7 @@ def ingest_corpus_day(
     else:
         committed = _ledger_committed_stats_rows(spark, fs, ledger_dir)
         if committed is not None:
-            live = spark.read.parquet(index_dir + "/_stats").count()
+            live = read_index_stats(spark, index_dir).count()
             if live > committed:
                 raise RuntimeError(
                     f"inverted index at {index_dir} holds {live} _stats "
@@ -418,7 +427,7 @@ def ingest_corpus_day(
         append_inverted_index(admitted, index_dir)
     # commit LAST: day marker + single-file baseline, both carrying
     # the post-append manifest row count
-    n_stats = spark.read.parquet(index_dir + "/_stats").count()
+    n_stats = read_index_stats(spark, index_dir).count()
     out = fs.create(marker, True)
     out.write(bytearray(str(n_stats).encode("ascii")))
     out.close()

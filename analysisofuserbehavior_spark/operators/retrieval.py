@@ -27,6 +27,23 @@ from ..functions import qround
 DEFAULT_QUERY_TERMS = ("spark", "join", "window", "stream")
 DEFAULT_INDEX_BUCKETS = 16
 
+# Engine-defined layouts read with EXPLICIT schemas: a bare
+# spark.read.parquet() pays a schema-inference footer read as its own
+# 1-task job per call (round-12 profiling: ~0.2 s of driver latency
+# each, several per index-lifecycle query).  These schemas are fixed
+# by the writers in this module, so inference discovers nothing.
+POSTINGS_SCHEMA = "token string, doc_id bigint, dl bigint, tf bigint, bucket int"
+INDEX_STATS_SCHEMA = "n_docs bigint, sum_dl bigint, n_buckets int"
+
+
+def read_index_postings(spark, path: str) -> DataFrame:
+    return spark.read.schema(POSTINGS_SCHEMA).parquet(path)
+
+
+def read_index_stats(spark, path: str) -> DataFrame:
+    """The `_stats` manifest of a `write_inverted_index` layout."""
+    return spark.read.schema(INDEX_STATS_SCHEMA).parquet(path + "/_stats")
+
 
 def _tokens() -> Column:
     return F.split(F.col("text"), " ")
@@ -265,7 +282,7 @@ def bm25_topk_indexed(
         {zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms}
     )
     postings = (
-        spark.read.parquet(index_path)
+        read_index_postings(spark, index_path)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("token").isin(list(query_terms)))
     )
@@ -273,7 +290,7 @@ def bm25_topk_indexed(
     # across batches, THEN the one double division — identical
     # arithmetic whether the index was built in 1 write or k appends
     stats = (
-        spark.read.parquet(index_path + "/_stats")
+        read_index_stats(spark, index_path)
         .agg(
             F.sum("n_docs").alias("t_docs"),
             F.sum("sum_dl").alias("t_dl"),
@@ -596,15 +613,18 @@ def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCK
 
     _recover_index(spark, path)
     staged = path + "_compact"
-    postings = spark.read.parquet(path)
+    postings = read_index_postings(spark, path)
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(staged)
-    stats = spark.read.parquet(path + "/_stats")
+    stats = read_index_stats(spark, path)
+    # n_buckets kept INT — the exact type write/append_inverted_index
+    # put in the manifest — so every _stats file in a layout's life
+    # shares one schema and readers can declare it (INDEX_STATS_SCHEMA)
     stats.groupBy().agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
-        F.max("n_buckets").cast("bigint").alias("n_buckets"),
+        F.max("n_buckets").cast("int").alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(staged + "/_stats")
     fs, live = _fs_path(spark, path)
     _, new = _fs_path(spark, staged)
@@ -624,7 +644,7 @@ def compact_inverted_index(spark, path: str, n_buckets: int = DEFAULT_INDEX_BUCK
     if fs.exists(ledger_root):
         from .corpus_pipeline import _rebase_ledger
 
-        n_stats = spark.read.parquet(path + "/_stats").count()
+        n_stats = read_index_stats(spark, path).count()
         _rebase_ledger(spark, fs, path + "_ledger", n_stats)
 
 

@@ -1334,11 +1334,12 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # inputs, same day, and the final state must not move
     ingest_corpus_day(spark, day2, "2024-01-02", store, idx)
     topk = bm25_topk_indexed(spark, idx)
-    # partition-column type inference reads day= dirs back as DATE;
-    # the oracle speaks ISO strings — cast explicitly
-    stored = spark.read.parquet(store).select(
-        "doc_id", F.col("day").cast("string").alias("day")
-    )
+    # declared schema keeps the inferred types (day= dirs as DATE) and
+    # skips the schema-inference job; the oracle speaks ISO strings —
+    # cast explicitly
+    stored = spark.read.schema(
+        "doc_id bigint, text string, ts timestamp, day date"
+    ).parquet(store).select("doc_id", F.col("day").cast("string").alias("day"))
     counts = stored.groupBy().agg(
         F.sum(F.when(F.col("day") == "2024-01-01", 1).otherwise(0))
         .cast("bigint")

@@ -97,10 +97,38 @@ def save_tables_to_catalog(
     return CATALOG_PREFIX + database
 
 
+# (path, mtime) -> StructType.  Every bare spark.read.parquet() call
+# pays a schema-inference footer read as its own 1-task Spark job
+# (~0.2 s of driver/scheduler latency here) — profiled at 7 such jobs
+# in tpch_q9_derived alone, one per table reference, re-paid on every
+# run.  Production tables carry their schema in a catalog/metastore
+# (the CATALOG_PREFIX mode below pays no inference either); this cache
+# gives path-mode reads the same property.  Keyed by the path's mtime
+# so a rewritten fixture (tests overwrite tmp dirs) re-infers instead
+# of reading with a stale schema.  Schema metadata only — never rows.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _parquet_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return spark.read.parquet(path)  # non-local FS: no stat, no cache
+    key = (os.path.abspath(path), mtime)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if sf_dir.startswith(CATALOG_PREFIX):
         return spark.table(f"{sf_dir[len(CATALOG_PREFIX):]}.{name}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _parquet_with_cached_schema(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # legacy driver layout: TIMESTAMP(NANOS) surfaced as long via
         # spark.sql.legacy.parquet.nanosAsLong — normalize to the

@@ -155,3 +155,30 @@ def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
     assert rows[1].quality is None and rows[2].quality == 0.9
     # column pruning still reaches the scan on the merged schema
     assert got.select("doc_id").count() == 2
+
+
+def test_load_table_schema_cache_rereads_rewritten_paths(spark, tmp_path):
+    """Round-12 optimization: load_table caches parquet schemas by
+    (path, mtime) so repeated reads skip the per-call inference job
+    (the catalog-mode property for path reads).  A REWRITTEN path —
+    new mtime, possibly new schema — must re-infer, never read with
+    the stale cached schema."""
+    import os
+    import time
+
+    from analysisofuserbehavior_spark.sources import loaders
+
+    p = str(tmp_path / "events.parquet")
+    spark.range(3).selectExpr("id as a").write.mode("overwrite").parquet(p)
+    df1 = loaders.load_table(spark, str(tmp_path), "events")
+    assert df1.columns == ["a"]
+    assert any(k[0] == os.path.abspath(p) for k in loaders._SCHEMA_CACHE)
+    # second read of the unchanged path: served from the cache
+    assert loaders.load_table(spark, str(tmp_path), "events").columns == ["a"]
+    time.sleep(1.1)  # mtime granularity
+    spark.range(3).selectExpr(
+        "id as b", "timestamp_micros(id) as ts"
+    ).write.mode("overwrite").parquet(p)
+    df2 = loaders.load_table(spark, str(tmp_path), "events")
+    assert sorted(df2.columns) == ["b", "ts"]
+    assert df2.count() == 3

@@ -393,6 +393,17 @@ def ann_ivf_topk(
     )
 
 
+def _read_ivf_centroids(spark, path: str):
+    """`_centroids` sidecar with its writer-fixed schema declared —
+    both writer paths (first-n reps via _with_vec, Lloyd-refined via
+    kmeans_centroids) emit exactly these columns/types, and declaring
+    them skips the per-read schema-inference job (round-12: ~0.2 s of
+    driver latency per bare spark.read.parquet call)."""
+    return spark.read.schema(
+        "cluster_id bigint, c_vec array<double>, c_norm double"
+    ).parquet(path + "/_centroids")
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -455,7 +466,7 @@ def append_ivf_index(
     centroid set (gated: ann_ivf_topk_appended splits the corpus so
     the first-n_clusters rule lands in the base)."""
     spark = embeddings_new.sparkSession
-    cents = spark.read.parquet(path + "/_centroids")
+    cents = _read_ivf_centroids(spark, path)
     corpus = _with_vec(embeddings_new, "neighbor_id", "n_vec", "n_norm")
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         *_sim_order("c_sim", "cluster_id")
@@ -494,7 +505,7 @@ def ann_ivf_topk_indexed(
     the shape for when probes are themselves a big frame.  Both
     return results identical to `ann_ivf_topk` at the same
     parameters (same expressions over the same doubles)."""
-    cents = spark.read.parquet(index_path + "/_centroids")
+    cents = _read_ivf_centroids(spark, index_path)
     queries = _with_vec(
         embeddings.where(F.col("vec_id") < n_queries), "query_id", "q_vec", "q_norm"
     )
@@ -506,7 +517,9 @@ def ann_ivf_topk_indexed(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "q_norm", "cluster_id")
     )
-    corpus = spark.read.parquet(index_path)
+    corpus = spark.read.schema(
+        "neighbor_id bigint, n_vec array<double>, n_norm double, cluster_id bigint"
+    ).parquet(index_path)
     if prune == "static":
         probe_cells = sorted(
             r["cluster_id"]

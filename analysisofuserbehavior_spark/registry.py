@@ -2614,7 +2614,9 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(parts_key, prev_parts)
         else:
             spark.conf.unset(parts_key)
-    rows = spark.read.parquet(out_dir).collect()
+    # writer-fixed schema (the streaming sink above): declaring it
+    # skips the read's schema-inference job
+    rows = spark.read.schema("hour_start string, n bigint").parquet(out_dir).collect()
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
@@ -5509,11 +5511,16 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # writer-fixed schemas (sketch_batch above): declared reads skip
+    # the schema-inference jobs
     merged = (
-        spark.read.parquet(cells_dir).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+        spark.read.schema("row int, bucket bigint, c bigint")
+        .parquet(cells_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
     )
     truth = (
-        spark.read.parquet(counts_dir)
+        spark.read.schema("user_id bigint, n bigint").parquet(counts_dir)
         .groupBy("user_id")
         .agg(F.sum("n").cast("bigint").alias("true_count"))
         .where(F.col("user_id") < n_targets)

@@ -217,6 +217,23 @@ def get_spark(
         # vectorized reader rejects; read as long nanos and convert in
         # the loader (sources/loaders.py) — DuckDB truncates the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame-debugging wraps EVERY DataFrame/Column
+        # API call to push the user call site into the JVM for error
+        # enrichment — per call that is a getActiveSession + a
+        # conf.get RPC + a PySparkCurrentOrigin.set, i.e. 2-3 extra
+        # py4j round trips plus a Python stack walk.  cProfile on one
+        # mid-sized registry query: 9,702 py4j round trips ≈ 2.0 s of
+        # plan CONSTRUCTION, most of it this wrapper; disabling it cut
+        # the summed construction time of the 202 non-shared bench
+        # entries 199.8 s → 161.0 s (measured, same session shape).
+        # Purely a client-boundary knob (guide §4: minimize JVM↔Python
+        # chatter): plans, results and execution are bit-identical —
+        # only error messages lose the "user code line" pointer.
+        # Debug sessions re-enable via SPARK_GRAFT_DF_DEBUG=true.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

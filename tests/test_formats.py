@@ -173,8 +173,16 @@ def test_load_table_schema_cache_rereads_rewritten_paths(spark, tmp_path):
     df1 = loaders.load_table(spark, str(tmp_path), "events")
     assert df1.columns == ["a"]
     assert any(k[0] == os.path.abspath(p) for k in loaders._SCHEMA_CACHE)
-    # second read of the unchanged path: served from the cache
-    assert loaders.load_table(spark, str(tmp_path), "events").columns == ["a"]
+    # second read of the unchanged path: served from the relation
+    # cache via newInstance (round-12 continuation: ~30 ms of py4j/JVM
+    # relation building per call otherwise, × >10³ load_table calls
+    # per bench run); fresh attribute ids each call, so two
+    # independent references self-join cleanly
+    assert any(k[1] == os.path.abspath(p) for k in loaders._REL_CACHE)
+    again = loaders.load_table(spark, str(tmp_path), "events")
+    assert again.columns == ["a"] and again.count() == 3
+    joined = df1.join(again, df1["a"] == again["a"])
+    assert joined.count() == 3  # would raise AMBIGUOUS_SELF_JOIN if ids shared
     time.sleep(1.1)  # mtime granularity
     spark.range(3).selectExpr(
         "id as b", "timestamp_micros(id) as ts"

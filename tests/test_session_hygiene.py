@@ -62,3 +62,15 @@ def test_checkpoint_file_checksums_default_off_and_env_overridable(spark):
     import os
 
     assert os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false") == "false"
+
+
+def test_dataframe_debugging_default_off_and_env_overridable(spark):
+    """Round-12 optimization: PySpark 4's per-API-call call-site
+    capture costs 2-3 py4j round trips per DataFrame/Column call
+    (evidence in session.py) — off by default; debug sessions
+    re-enable via SPARK_GRAFT_DF_DEBUG=true.  Only error-message
+    enrichment is affected; plans and results are identical."""
+    assert spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    import os
+
+    assert os.environ.get("SPARK_GRAFT_DF_DEBUG", "false") == "false"

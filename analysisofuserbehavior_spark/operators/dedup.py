@@ -362,14 +362,32 @@ def ngram_jaccard_pairs_prefix(
     return _jaccard_from_pairs(pairs, sizes, threshold)
 
 
+# Expression-builder note (round-12 continuation): the minhash/band
+# builders below are assembled as ONE parsed SQL string per aggregate
+# (F.expr) instead of nested Column operator calls.  Construction of
+# a 64-perm aggregate through Column ops costs ~10 py4j round trips
+# per permutation (~2 s per query construction, measured via cProfile
+# — the dominant cost of every minhash consumer's plan build at
+# ~0.2-2 ms per round trip); the parsed string is one round trip and
+# yields the IDENTICAL analyzed tree (the `cast(.. as bigint)` spelling
+# below reproduces F.lit(int)'s implicit cast exactly — asserted
+# plan-identical in tests/test_expr_builders.py).  Runtime is
+# untouched: same expressions, same codegen, same results.
+def _minhash_min_expr(i: int, a: int, b: int, hp: str, alias: str) -> F.Column:
+    return F.expr(
+        f"min(pmod(cast({a} as bigint) * {hp} + cast({b} as bigint), "
+        f"cast({MERSENNE_P} as bigint))) AS {alias}{i}"
+    )
+
+
 def minhash_signatures(dsh: DataFrame, num_perm: int = 32) -> DataFrame:
     """(doc_id, sig array<bigint>) — min over each permutation.
 
     h'(x) = (a * (xxhash64(x) mod P) + b) mod P keeps every product
     below 2^62, safe under ANSI overflow checking."""
-    hp = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    hp = f"pmod(xxhash64(shingle), cast({MERSENNE_P} as bigint))"
     mins = [
-        F.min(F.pmod(F.lit(a) * hp + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}")
+        _minhash_min_expr(i, a, b, hp, "h")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_perm])
     ]
     sig = dsh.groupBy("doc_id").agg(*mins)
@@ -392,9 +410,7 @@ def _minhash_sets(docs: DataFrame, k: int, num_perm: int) -> DataFrame:
         .agg(
             F.collect_set("sh").alias("shs"),
             *[
-                F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), F.lit(MERSENNE_P))).alias(
-                    f"_h{i}"
-                )
+                _minhash_min_expr(i, a, b, "hp", "_h")
                 for i, (a, b) in enumerate(MINHASH_COEFFS[:num_perm])
             ],
         )
@@ -403,25 +419,21 @@ def _minhash_sets(docs: DataFrame, k: int, num_perm: int) -> DataFrame:
 
 def _band_structs(num_perm: int, bands: int) -> F.Column:
     """array<struct<band,bucket>> over a `sig` column — the LSH band
-    buckets as a row-local expression."""
+    buckets as a row-local expression.  One parsed string (see the
+    expression-builder note above); `named_struct` is the parser
+    spelling of the same CreateNamedStruct node F.struct builds."""
     rows_per_band = num_perm // bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", bi * rows_per_band + ri + 1)
-                            for ri in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
+    parts = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))".format(
+            b=bi,
+            els=", ".join(
+                f"element_at(sig, {bi * rows_per_band + ri + 1})"
+                for ri in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
     )
+    return F.expr(f"array({parts})")
 
 
 def minhash_lsh_pairs(

@@ -73,21 +73,33 @@ def lsh_band_frame(
     # Unrolling only pays when per-row arithmetic dominates plan cost
     # (O(10^8+) rows/stage); see dot()'s docstring for the same
     # finding on the pair-verification folds.
-    bits = [
-        (dot(F.col(vec_col), F.array(*[F.lit(c) for c in p])) >= 0).cast("int")
-        for p in planes
-    ]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    bits[b * band_bits + r] * (1 << r) for r in range(band_bits)
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    # The whole bucket array is ONE parsed SQL string: the Column-op
+    # form cost ~70 py4j round trips per plane (16 planes × 64 F.lit
+    # calls each ≈ 0.8 s of construction per call, cProfile-measured);
+    # the string is one round trip and optimizes to the IDENTICAL
+    # expression tree (same zip_with/aggregate fold, same IEEE order,
+    # same ±1.0 double literals — value-identity pinned in
+    # tests/test_expr_builders.py).  This does NOT revisit the
+    # reverted unroll above: the runtime expression is unchanged, only
+    # its client-side construction is batched.
+    def _dot_str(p: list[float]) -> str:
+        arr = ", ".join(("1.0D" if c > 0 else "-1.0D") for c in p)
+        return (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+
+    bits = [f"cast(({_dot_str(p)} >= 0) as int)" for p in planes]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', {s})".format(
+            b=b,
+            s=" + ".join(
+                f"{bits[b * band_bits + r]} * {1 << r}" for r in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
     )
+    buckets = F.expr(f"array({structs})")
     return v_frame.select(id_col, F.explode(buckets).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

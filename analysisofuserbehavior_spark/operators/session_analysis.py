@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions import between_count, csv_set_agg, ratio
+from ..functions import between_count, csv_set_agg
 from ..params import TaskParams
 
 # histogram bucket edges — UserVisitSessionAnalyzeSpark.java:912-952
@@ -135,26 +135,45 @@ def session_stats(actions: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_cond(col: Column, name: str) -> Column:
-    """Exact reference bucket edges (closed/open per :912-952)."""
-    edges = {
-        "visit_1s_3s": (col >= 1) & (col <= 3),
-        "visit_4s_6s": (col >= 4) & (col <= 6),
-        "visit_7s_9s": (col >= 7) & (col <= 9),
-        "visit_10s_30s": (col >= 10) & (col <= 30),
-        "visit_30s_60s": (col > 30) & (col <= 60),
-        "visit_1m_3m": (col > 60) & (col <= 180),
-        "visit_3m_10m": (col > 180) & (col <= 600),
-        "visit_10m_30m": (col > 600) & (col <= 1800),
-        "visit_30m": col > 1800,
-        "step_1_3": (col >= 1) & (col <= 3),
-        "step_4_6": (col >= 4) & (col <= 6),
-        "step_7_9": (col >= 7) & (col <= 9),
-        "step_10_30": (col >= 10) & (col <= 30),
-        "step_30_60": (col > 30) & (col <= 60),
-        "step_60": col > 60,
-    }
-    return edges[name]
+# Exact reference bucket edges (closed/open per :912-952), as SQL
+# fragments over a column NAME.  Built as strings so the 16-bucket
+# aggregate parses in ONE py4j round trip per bucket instead of ~8
+# Column-op round trips each (the round-12 expression-builder note in
+# operators/dedup.py; this builder alone was 1.76 s of construction
+# per session_aggr consumer, cProfile-measured).  The parsed trees
+# are the same >=/AND nodes the Column ops built.
+_BUCKET_CONDS: dict[str, str] = {
+    "visit_1s_3s": "({c} >= 1) AND ({c} <= 3)",
+    "visit_4s_6s": "({c} >= 4) AND ({c} <= 6)",
+    "visit_7s_9s": "({c} >= 7) AND ({c} <= 9)",
+    "visit_10s_30s": "({c} >= 10) AND ({c} <= 30)",
+    "visit_30s_60s": "({c} > 30) AND ({c} <= 60)",
+    "visit_1m_3m": "({c} > 60) AND ({c} <= 180)",
+    "visit_3m_10m": "({c} > 180) AND ({c} <= 600)",
+    "visit_10m_30m": "({c} > 600) AND ({c} <= 1800)",
+    "visit_30m": "{c} > 1800",
+    "step_1_3": "({c} >= 1) AND ({c} <= 3)",
+    "step_4_6": "({c} >= 4) AND ({c} <= 6)",
+    "step_7_9": "({c} >= 7) AND ({c} <= 9)",
+    "step_10_30": "({c} >= 10) AND ({c} <= 30)",
+    "step_30_60": "({c} > 30) AND ({c} <= 60)",
+    "step_60": "{c} > 60",
+}
+
+
+def _bucket_cond(col: str, name: str) -> Column:
+    """Bucket predicate over column name `col` (see _BUCKET_CONDS)."""
+    return F.expr(_BUCKET_CONDS[name].format(c=col))
+
+
+def _bucket_count_expr(col: str, name: str) -> Column:
+    """between_count(_bucket_cond(...)) as one parsed aggregate —
+    cast(sum(CASE WHEN cond THEN 1 ELSE 0 END) as bigint), the exact
+    tree functions.between_count builds."""
+    cond = _BUCKET_CONDS[name].format(c=col)
+    return F.expr(
+        f"cast(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) as bigint) AS n_{name}"
+    )
 
 
 def filter_sessions(sessions: DataFrame, users: DataFrame, params: TaskParams) -> DataFrame:
@@ -204,18 +223,22 @@ def session_aggr_stat(filtered_sessions: DataFrame) -> DataFrame:
     the reference's side-effecting string Accumulator; ratios =
     round(bucket/total, 2) (ref :1269-1320, NumberUtils HALF_UP).
     """
-    vl, sl = F.col("visit_length"), F.col("step_length")
     aggs = [F.count(F.lit(1)).alias("session_count")]
     for name, _ in VISIT_BUCKETS:
-        aggs.append(between_count(_bucket_cond(vl, name)).alias(f"n_{name}"))
+        aggs.append(_bucket_count_expr("visit_length", name))
     for name, _ in STEP_BUCKETS:
-        aggs.append(between_count(_bucket_cond(sl, name)).alias(f"n_{name}"))
+        aggs.append(_bucket_count_expr("step_length", name))
     counts = filtered_sessions.agg(*aggs)
-    total = F.col("session_count")
+    # HALF_UP 2-dp ratio, the exact functions.ratio/qround tree —
+    # floor(x*100 + 0.5)/100 over double casts — as one parsed
+    # expression per bucket
     out = counts.select(
-        total,
+        F.col("session_count"),
         *[
-            ratio(F.col(f"n_{name}"), total).alias(f"{name}_ratio")
+            F.expr(
+                f"floor(cast(n_{name} as double) / cast(session_count as double)"
+                f" * 100.0D + 0.5D) / 100.0D AS {name}_ratio"
+            )
             for name, _ in VISIT_BUCKETS + STEP_BUCKETS
         ],
     )
@@ -232,13 +255,12 @@ def session_aggr_stat_observed(filtered_sessions: DataFrame):
     `observation.get` after an action."""
     from pyspark.sql import Observation
 
-    vl, sl = F.col("visit_length"), F.col("step_length")
     obs = Observation("session_aggr_stat")
     metrics = [F.count(F.lit(1)).alias("session_count")]
     for name, _ in VISIT_BUCKETS:
-        metrics.append(between_count(_bucket_cond(vl, name)).alias(f"n_{name}"))
+        metrics.append(_bucket_count_expr("visit_length", name))
     for name, _ in STEP_BUCKETS:
-        metrics.append(between_count(_bucket_cond(sl, name)).alias(f"n_{name}"))
+        metrics.append(_bucket_count_expr("step_length", name))
     return filtered_sessions.observe(obs, *metrics), obs
 
 

@@ -90,6 +90,41 @@ def test_band_structs_expr_string_value_and_plan_identical(spark):
     ]
 
 
+def test_session_aggr_stat_expr_string_plan_identical(spark):
+    from analysisofuserbehavior_spark.functions import between_count, ratio
+    from analysisofuserbehavior_spark.operators import session_analysis as SA
+
+    rows = [(i, (i * 7) % 2000, (i % 70) + 1) for i in range(200)]
+    sessions = spark.createDataFrame(
+        rows, "session_id bigint, visit_length bigint, step_length bigint"
+    )
+
+    # the pre-rewrite Column-op construction, verbatim
+    def reference(filtered_sessions):
+        vl, sl = F.col("visit_length"), F.col("step_length")
+        aggs = [F.count(F.lit(1)).alias("session_count")]
+        for name, _ in SA.VISIT_BUCKETS:
+            cond = F.expr(SA._BUCKET_CONDS[name].format(c="visit_length"))
+            aggs.append(between_count(cond).alias(f"n_{name}"))
+        for name, _ in SA.STEP_BUCKETS:
+            cond = F.expr(SA._BUCKET_CONDS[name].format(c="step_length"))
+            aggs.append(between_count(cond).alias(f"n_{name}"))
+        counts = filtered_sessions.agg(*aggs)
+        total = F.col("session_count")
+        return counts.select(
+            total,
+            *[
+                ratio(F.col(f"n_{name}"), total).alias(f"{name}_ratio")
+                for name, _ in SA.VISIT_BUCKETS + SA.STEP_BUCKETS
+            ],
+        )
+
+    new = SA.session_aggr_stat(sessions)
+    old = reference(sessions)
+    assert _norm(new, "optimized") == _norm(old, "optimized")
+    assert [tuple(r) for r in new.collect()] == [tuple(r) for r in old.collect()]
+
+
 def test_lsh_band_frame_expr_string_value_identical(spark):
     import random
 

@@ -356,10 +356,27 @@ def ingest_corpus_day(
 
     The first day (`first_day=True`) builds the index instead of
     appending (write_inverted_index), with the same ledger discipline.
+
+    Admission screens probe the MAINTAINED signature table at
+    `<store_dir>_sigs` (day-partitioned `dedup.doc_signature_frame`
+    rows, one per stored doc) rather than re-aggregating the corpus
+    text: each ingest appends its admitted docs' signatures (computed
+    once, during the screen itself) before the marker commits, so day
+    N's screen is O(batch + digest-table probe) — the corpus-wide
+    shingle/MinHash pass that previously re-ran on EVERY ingest now
+    never runs at all (each doc is shingled exactly once, at its own
+    admission).  A store built before the table existed self-heals:
+    the first ingest that finds no `_sigs` directory screens against
+    the corpus text as before, then rebuilds the full table from the
+    post-ingest store so every later day takes the O(batch) path.
     """
     from ..plans.layout import overwrite_day_partitions
     from ..sources.upsert import _fs_path
-    from .dedup import incremental_admit
+    from .dedup import (
+        doc_signature_frame,
+        incremental_admit,
+        incremental_admit_sigs,
+    )
     from .retrieval import (
         append_inverted_index,
         read_index_stats,
@@ -383,22 +400,43 @@ def ingest_corpus_day(
     fs, marker = _fs_path(spark, ledger_dir + f"/day={day}")
     if fs.exists(marker):
         return
+    sig_dir = store_dir + "_sigs"
+    _, sig_root = _fs_path(spark, sig_dir)
+    admitted_sigs = None  # (doc_id, text_hash, shs, sig) of this day's admits
     if first_day:
         admitted = docs_day.select("doc_id", "text")
+    elif fs.exists(sig_root):
+        # O(batch) screen: probe the maintained signature table —
+        # the corpus text is never read, the corpus-wide MinHash
+        # aggregate never re-runs.  `shs`/`sig` arrive NULL for
+        # stored docs shorter than k tokens (see doc_signature_frame)
+        corpus_sigs = (
+            spark.read.schema(
+                "doc_id bigint, text_hash string, shs array<bigint>, "
+                "sig array<bigint>, day date"
+            )
+            .parquet(sig_dir)
+            .where(F.col("day") < day)
+            .drop("day")
+        )
+        # the admitted frame feeds THREE writers (store + index +
+        # signature table); truncate the lineage once per ingest
+        from ..functions.ckpt import ckpt
+
+        admitted_sigs = ckpt(incremental_admit_sigs(docs_day, corpus_sigs))
+        admitted = admitted_sigs.select("doc_id", "text")
     else:
-        # explicit schema: the store layout is this module's own
-        # writer (overwrite_day_partitions) — doc_id/text/ts plus the
-        # day partition directory Spark infers as DATE; declaring it
-        # skips the per-ingest schema-inference job
+        # legacy store without a signature table: screen against the
+        # corpus text (explicit schema: the store layout is this
+        # module's own writer — declaring it skips the per-ingest
+        # schema-inference job), then self-heal below by rebuilding
+        # the full table from the post-ingest store
         corpus = (
             spark.read.schema("doc_id bigint, text string, ts timestamp, day date")
             .parquet(store_dir)
             .where(F.col("day") < day)
             .select("doc_id", "text")
         )
-        # the admitted frame feeds TWO writers (store + index);
-        # uncheckpointed, each re-runs the whole exact+near admission
-        # screen — truncate the lineage once per ingest
         from ..functions.ckpt import ckpt
 
         admitted = ckpt(
@@ -425,6 +463,41 @@ def ingest_corpus_day(
             # last ingest (manifest summed to one row) — legitimate;
             # the commit below re-bases the ledger to the live layout
         append_inverted_index(admitted, index_dir)
+    # maintain the signature table BEFORE the marker commits (the
+    # marker's presence proves store + index + signatures are all
+    # complete).  Dynamic partition overwrite keeps the re-run /
+    # crash-replay idempotence the store write has; no repartition —
+    # the frame is already materialized (ckpt) at its natural width,
+    # and a single-day frame gains nothing from a day-keyed exchange.
+    if admitted_sigs is not None:
+        day_sigs = admitted_sigs.select("doc_id", "text_hash", "shs", "sig")
+    else:
+        # first day, or legacy-store self-heal: derive signatures for
+        # EVERY stored day from the post-ingest store (materialized
+        # parquet — cheaper than re-deriving the caller's lineage),
+        # so the table is complete from this ingest on
+        day_sigs = None
+        stored = spark.read.schema(
+            "doc_id bigint, text string, ts timestamp, day date"
+        ).parquet(store_dir)
+        full = doc_signature_frame(stored.select("doc_id", "text")).join(
+            stored.select("doc_id", F.col("day").cast("string").alias("day")),
+            "doc_id",
+        )
+        (
+            full.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(sig_dir)
+        )
+    if day_sigs is not None:
+        (
+            day_sigs.withColumn("day", F.lit(day))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(sig_dir)
+        )
     # commit LAST: day marker + single-file baseline, both carrying
     # the post-append manifest row count
     n_stats = read_index_stats(spark, index_dir).count()

@@ -912,6 +912,124 @@ def incremental_admit(
     return incremental_neardup(admitted_exact, corpus, threshold, k)
 
 
+def doc_signature_frame(
+    docs: DataFrame, k: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(doc_id, text_hash, shs, sig) per doc — one row of the
+    maintained corpus digest/signature table the incremental screens
+    probe instead of re-aggregating the corpus text:
+
+    * `text_hash` — md5(text), the exact-screen key (every doc has
+      one, including docs too short to shingle);
+    * `shs` — the distinct k-shingle xxhash64 set, the near screen's
+      exact-verification payload;
+    * `sig` — the `num_perm` MinHash minima, the LSH banding input.
+
+    `shs`/`sig` are NULL for docs with fewer than k tokens — exactly
+    the docs `_minhash_sets` emits no row for, so a screen built on
+    this table bands the same corpus side the text-derived screen
+    does.  All three columns are deterministic functions of `text`,
+    so the table is rebuildable from the store at any time."""
+    sig = F.array(*[f"_h{i}" for i in range(num_perm)])
+    sets = _minhash_sets(docs, k, num_perm).select(
+        "doc_id", "shs", sig.alias("sig")
+    )
+    return docs.select("doc_id", F.md5("text").alias("text_hash")).join(
+        sets, "doc_id", "left"
+    )
+
+
+def incremental_admit_sigs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """`incremental_admit`, but screening against the MAINTAINED
+    signature table (`doc_signature_frame` rows for every standing
+    corpus doc) instead of the corpus text — the O(batch) admission
+    the 100 TB contract requires: the batch pays its own hashing and
+    shingling, a probe of the digest table, and the verification of
+    its own candidates; the corpus text is never touched, and the
+    corpus-wide shingle/MinHash aggregate never re-runs.
+
+    Decision-equivalent to `incremental_admit(new_docs, corpus)`
+    when `corpus_sigs = doc_signature_frame(corpus)` (pinned in
+    tests/test_dedup.py): the exact screen anti-joins md5 against the
+    stored `text_hash` column; the near screen bands the stored `sig`
+    minima (identical values — deterministic functions of text) and
+    verifies candidates against the stored `shs` sets (set-valued, so
+    storage order is immaterial to array_intersect/size).  Docs with
+    NULL `sig` (shorter than k tokens) are filtered before banding,
+    matching the no-row behavior of the text-derived corpus side.
+
+    Returns the admitted docs WITH their own (text_hash, shs, sig)
+    columns so the caller can append them to the signature table
+    without recomputing — each doc in the corpus's life is shingled
+    and hashed exactly once, at admission."""
+    from ..functions.ckpt import ckpt
+
+    seen = corpus_sigs.select(
+        F.col("text_hash").alias("_text_hash")
+    ).dropDuplicates()
+    admitted_exact = ckpt(
+        new_docs.withColumn("_text_hash", F.md5("text")).join(
+            seen, "_text_hash", "left_anti"
+        )
+    )
+    sig = F.array(*[f"_h{i}" for i in range(num_perm)])
+    # the batch's signatures feed the band join AND the final
+    # attach-back; ckpt so the batch shingle aggregate runs once
+    sets_new = ckpt(
+        _minhash_sets(admitted_exact, k, num_perm).select(
+            "doc_id", "shs", sig.alias("sig")
+        )
+    )
+
+    def banded(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", "shs", F.explode(_band_structs(num_perm, bands)).alias("b")
+        ).select(
+            "doc_id",
+            "shs",
+            F.col("b.band").alias("band"),
+            F.col("b.bucket").alias("bucket"),
+        )
+
+    cand = (
+        banded(sets_new).alias("x")
+        .join(
+            banded(
+                corpus_sigs.where(F.col("sig").isNotNull()).select(
+                    "doc_id", "shs", "sig"
+                )
+            ).alias("y"),
+            ["band", "bucket"],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.shs").alias("shs_a"),
+            F.col("y.doc_id").alias("cor_id"),
+            F.col("y.shs").alias("shs_b"),
+        )
+        .dropDuplicates(["doc_id", "cor_id"])
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    n_a, n_b = F.size("shs_a").cast("long"), F.size("shs_b").cast("long")
+    jaccard = inter.cast("double") / (n_a + n_b - inter).cast("double")
+    rejected = (
+        cand.where(jaccard >= threshold).select("doc_id").dropDuplicates()
+    )
+    return (
+        admitted_exact.join(rejected, "doc_id", "left_anti")
+        .withColumnRenamed("_text_hash", "text_hash")
+        .join(sets_new, "doc_id", "left")
+        .select(*new_docs.columns, "text_hash", "shs", "sig")
+    )
+
+
 def neardup_pr_report(
     predicted: DataFrame, truth: DataFrame
 ) -> DataFrame:

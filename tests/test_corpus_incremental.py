@@ -172,3 +172,121 @@ def test_append_crash_is_still_detected(spark, tmp_path):
         ingest_corpus_day(
             spark, _unique_docs(spark, 30, 35, "d3"), "2024-01-03", store, idx
         )
+
+
+def test_signature_table_is_maintained_and_screens(spark, tmp_path):
+    """Every ingest must leave `<store>_sigs` holding one signature
+    row per stored doc (the O(batch) screen's probe set), and a later
+    day's screen through the table must still reject exact AND near
+    dups of docs admitted days earlier."""
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and often"
+    day1 = spark.createDataFrame(
+        [(1, near_a), (2, "day one unique text about watermarks")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "day two unique text about parquet row groups")],
+        "doc_id long, text string",
+    )
+    day3 = spark.createDataFrame(
+        [
+            (20, near_a),  # exact dup of day-1 doc 1
+            (21, near_b),  # near dup of day-1 doc 1
+            (22, "day two unique text about parquet row groups"),  # exact dup of day-2
+            (23, "genuinely new day three arrival with fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    ingest_corpus_day(spark, day1, "2024-01-01", store, idx, first_day=True)
+    ingest_corpus_day(spark, day2, "2024-01-02", store, idx)
+    ingest_corpus_day(spark, day3, "2024-01-03", store, idx)
+    stored = {
+        (r["doc_id"], str(r["day"]))
+        for r in spark.read.parquet(store).select("doc_id", "day").collect()
+    }
+    assert stored == {
+        (1, "2024-01-01"),
+        (2, "2024-01-01"),
+        (10, "2024-01-02"),
+        (23, "2024-01-03"),
+    }
+    sig_rows = {
+        (r["doc_id"], str(r["day"]))
+        for r in spark.read.parquet(store + "_sigs")
+        .select("doc_id", "day")
+        .collect()
+    }
+    assert sig_rows == stored  # one signature row per stored doc
+    # a re-run of day 3 (ledger skip) leaves the table untouched
+    before = _listing(store + "_sigs")
+    ingest_corpus_day(spark, day3, "2024-01-03", store, idx)
+    assert _listing(store + "_sigs") == before
+
+
+def test_legacy_store_without_sigs_self_heals(spark, tmp_path):
+    """An ingest onto a store built before the signature table existed
+    must fall back to the corpus-text screen AND rebuild the full
+    table, so the next day takes the O(batch) path with complete
+    coverage."""
+    import shutil
+
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    ingest_corpus_day(
+        spark,
+        spark.createDataFrame(
+            [(1, near_a), (2, "day one unique text about watermarks")],
+            "doc_id long, text string",
+        ),
+        "2024-01-01",
+        store,
+        idx,
+        first_day=True,
+    )
+    shutil.rmtree(store + "_sigs")  # simulate a pre-table store
+    ingest_corpus_day(
+        spark,
+        spark.createDataFrame(
+            [(10, "day two unique text about parquet row groups")],
+            "doc_id long, text string",
+        ),
+        "2024-01-02",
+        store,
+        idx,
+    )
+    # rebuilt table covers BOTH days
+    sig_days = {
+        (r["doc_id"], str(r["day"]))
+        for r in spark.read.parquet(store + "_sigs")
+        .select("doc_id", "day")
+        .collect()
+    }
+    assert sig_days == {
+        (1, "2024-01-01"),
+        (2, "2024-01-01"),
+        (10, "2024-01-02"),
+    }
+    # and day 3 screens THROUGH the rebuilt table: near dup of day 1 rejected
+    ingest_corpus_day(
+        spark,
+        spark.createDataFrame(
+            [
+                (20, "the quick brown fox jumps over the lazy dog again and often"),
+                (21, "fresh day three arrival"),
+            ],
+            "doc_id long, text string",
+        ),
+        "2024-01-03",
+        store,
+        idx,
+    )
+    day3_stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(store)
+        .where("day = '2024-01-03'")
+        .select("doc_id")
+        .collect()
+    }
+    assert day3_stored == {21}

@@ -426,3 +426,58 @@ def test_exact_dedup_canonical_boilerplate_hot_group_is_partial_agg(spark):
     assert len(got) == 1
     assert (got[0]["keep_id"], got[0]["n_copies"]) == (4321, 5000)
     assert got[0]["quality_score"] == 1.0
+
+
+def test_incremental_admit_sigs_matches_text_screen(spark):
+    """The maintained-signature-table screen must make the IDENTICAL
+    admission decision as the corpus-text screen — the equivalence
+    that lets ingest_corpus_day swap the O(corpus) re-aggregation for
+    an O(batch) digest-table probe.  Corpus mix covers every branch:
+    exact dup, near dup (jaccard >= 0.8), short docs (< k tokens, no
+    shingles -> NULL sig rows), and clean admits."""
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and often"
+    corpus = _docs(
+        spark,
+        [
+            (1, near_a),
+            (2, "spark streaming joins windows and watermarks for late data"),
+            (3, "tiny"),  # < k tokens: NULL shs/sig in the table
+            (4, "a totally different document about parquet footers and stats"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, near_a),  # exact dup of 1 -> rejected by exact screen
+            (11, near_b),  # near dup of 1 -> rejected by near screen
+            (12, "tiny"),  # exact dup of the short doc -> rejected
+            (13, "to"),    # short but unseen -> admitted (no shingles)
+            (14, "fresh arrival with novel content about inverted index shards"),
+        ],
+    )
+    via_text = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup.incremental_admit(new, corpus).collect()
+    )
+    sigs = dedup.doc_signature_frame(corpus)
+    got = dedup.incremental_admit_sigs(new, sigs)
+    assert got.columns == ["doc_id", "text", "text_hash", "shs", "sig"]
+    rows = got.collect()
+    via_sigs = sorted((r["doc_id"], r["text"]) for r in rows)
+    assert via_sigs == via_text == [
+        (13, "to"),
+        (14, "fresh arrival with novel content about inverted index shards"),
+    ]
+    # the returned signatures are the table rows the caller appends:
+    # md5 hash always present, shs/sig NULL exactly for short docs
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[13]["text_hash"] is not None and by_id[13]["sig"] is None
+    assert by_id[14]["sig"] is not None and len(by_id[14]["sig"]) == 64
+    assert sorted(by_id[14]["shs"]) == sorted(
+        r["sh"]
+        for r in dedup.shingles(new.where("doc_id = 14"))
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .collect()
+    )

@@ -363,20 +363,19 @@ def ingest_corpus_day(
     text: each ingest appends its admitted docs' signatures (computed
     once, during the screen itself) before the marker commits, so day
     N's screen is O(batch + digest-table probe) — the corpus-wide
-    shingle/MinHash pass that previously re-ran on EVERY ingest now
-    never runs at all (each doc is shingled exactly once, at its own
-    admission).  A store built before the table existed self-heals:
-    the first ingest that finds no `_sigs` directory screens against
-    the corpus text as before, then rebuilds the full table from the
-    post-ingest store so every later day takes the O(batch) path.
+    shingle/MinHash pass that previously re-ran on EVERY ingest runs
+    at most once per store lifetime.  The table is seeded LAZILY: the
+    first screened ingest that finds no `_sigs` directory (day 2 of a
+    fresh store, or any store predating the table) derives the
+    standing corpus's digest from the store — the same md5 +
+    shingle/MinHash work its own text screen owed anyway — screens
+    against it, and commits it alongside its batch's signatures in
+    one write, so the first day pays nothing and every later day
+    takes the O(batch) path.
     """
     from ..plans.layout import overwrite_day_partitions
     from ..sources.upsert import _fs_path
-    from .dedup import (
-        doc_signature_frame,
-        incremental_admit,
-        incremental_admit_sigs,
-    )
+    from .dedup import doc_signature_frame, incremental_admit_sigs
     from .retrieval import (
         append_inverted_index,
         read_index_stats,
@@ -402,46 +401,64 @@ def ingest_corpus_day(
         return
     sig_dir = store_dir + "_sigs"
     _, sig_root = _fs_path(spark, sig_dir)
-    admitted_sigs = None  # (doc_id, text_hash, shs, sig) of this day's admits
+    day_sigs = None  # signature-table rows this ingest must commit
     if first_day:
+        # no screen ran, so no signatures were computed — the table is
+        # seeded LAZILY by the first screened ingest below, which pays
+        # the corpus digest pass exactly once (it is the same md5 +
+        # shingle/MinHash work that ingest's text screen owed anyway)
         admitted = docs_day.select("doc_id", "text")
-    elif fs.exists(sig_root):
-        # O(batch) screen: probe the maintained signature table —
-        # the corpus text is never read, the corpus-wide MinHash
-        # aggregate never re-runs.  `shs`/`sig` arrive NULL for
-        # stored docs shorter than k tokens (see doc_signature_frame)
-        corpus_sigs = (
-            spark.read.schema(
-                "doc_id bigint, text_hash string, shs array<bigint>, "
-                "sig array<bigint>, day date"
-            )
-            .parquet(sig_dir)
-            .where(F.col("day") < day)
-            .drop("day")
-        )
-        # the admitted frame feeds THREE writers (store + index +
-        # signature table); truncate the lineage once per ingest
+    else:
         from ..functions.ckpt import ckpt
 
+        backfill_sigs = None
+        if fs.exists(sig_root):
+            # O(batch) screen: probe the maintained signature table —
+            # the corpus text is never read, the corpus-wide MinHash
+            # aggregate never re-runs.  `shs`/`sig` are NULL for
+            # stored docs shorter than k tokens (doc_signature_frame)
+            corpus_sigs = (
+                spark.read.schema(
+                    "doc_id bigint, text_hash string, shs array<bigint>, "
+                    "sig array<bigint>, day date"
+                )
+                .parquet(sig_dir)
+                .where(F.col("day") < day)
+            )
+        else:
+            # first screened ingest (or a store predating the table):
+            # derive the standing corpus's digest from the store ONCE
+            # (explicit schema: the store layout is this module's own
+            # writer — declaring it skips the schema-inference job),
+            # screen against it, and seed the table with it below —
+            # every later day then takes the O(batch) path
+            stored = (
+                spark.read.schema(
+                    "doc_id bigint, text string, ts timestamp, day date"
+                )
+                .parquet(store_dir)
+                .where(F.col("day") < day)
+            )
+            corpus_sigs = ckpt(
+                doc_signature_frame(stored.select("doc_id", "text")).join(
+                    stored.select(
+                        "doc_id", F.col("day").cast("string").alias("day")
+                    ),
+                    "doc_id",
+                )
+            )
+            backfill_sigs = corpus_sigs
+        # the admitted frame feeds THREE consumers (store + index +
+        # signature table); truncate the lineage once per ingest
         admitted_sigs = ckpt(incremental_admit_sigs(docs_day, corpus_sigs))
         admitted = admitted_sigs.select("doc_id", "text")
-    else:
-        # legacy store without a signature table: screen against the
-        # corpus text (explicit schema: the store layout is this
-        # module's own writer — declaring it skips the per-ingest
-        # schema-inference job), then self-heal below by rebuilding
-        # the full table from the post-ingest store
-        corpus = (
-            spark.read.schema("doc_id bigint, text string, ts timestamp, day date")
-            .parquet(store_dir)
-            .where(F.col("day") < day)
-            .select("doc_id", "text")
-        )
-        from ..functions.ckpt import ckpt
-
-        admitted = ckpt(
-            incremental_admit(docs_day, corpus).select("doc_id", "text")
-        )
+        day_sigs = admitted_sigs.select(
+            "doc_id", "text_hash", "shs", "sig"
+        ).withColumn("day", F.lit(day))
+        if backfill_sigs is not None:
+            day_sigs = backfill_sigs.select(*day_sigs.columns).unionByName(
+                day_sigs
+            )
     overwrite_day_partitions(
         admitted.withColumn("ts", F.lit(day + " 00:00:00").cast("timestamp")),
         store_dir,
@@ -466,34 +483,15 @@ def ingest_corpus_day(
     # maintain the signature table BEFORE the marker commits (the
     # marker's presence proves store + index + signatures are all
     # complete).  Dynamic partition overwrite keeps the re-run /
-    # crash-replay idempotence the store write has; no repartition —
-    # the frame is already materialized (ckpt) at its natural width,
-    # and a single-day frame gains nothing from a day-keyed exchange.
-    if admitted_sigs is not None:
-        day_sigs = admitted_sigs.select("doc_id", "text_hash", "shs", "sig")
-    else:
-        # first day, or legacy-store self-heal: derive signatures for
-        # EVERY stored day from the post-ingest store (materialized
-        # parquet — cheaper than re-deriving the caller's lineage),
-        # so the table is complete from this ingest on
-        day_sigs = None
-        stored = spark.read.schema(
-            "doc_id bigint, text string, ts timestamp, day date"
-        ).parquet(store_dir)
-        full = doc_signature_frame(stored.select("doc_id", "text")).join(
-            stored.select("doc_id", F.col("day").cast("string").alias("day")),
-            "doc_id",
-        )
-        (
-            full.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(sig_dir)
-        )
+    # crash-replay idempotence the store write has; seed rows for the
+    # pre-table days (first screened ingest) ride the SAME write, so
+    # table maintenance costs one write job per ingest.  No
+    # repartition: the frames are already materialized (ckpt) at
+    # their natural width, and a day-keyed exchange would collapse a
+    # single-day frame to one task.
     if day_sigs is not None:
         (
-            day_sigs.withColumn("day", F.lit(day))
-            .write.mode("overwrite")
+            day_sigs.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day")
             .parquet(sig_dir)

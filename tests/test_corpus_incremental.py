@@ -226,10 +226,11 @@ def test_signature_table_is_maintained_and_screens(spark, tmp_path):
 
 
 def test_legacy_store_without_sigs_self_heals(spark, tmp_path):
-    """An ingest onto a store built before the signature table existed
-    must fall back to the corpus-text screen AND rebuild the full
-    table, so the next day takes the O(batch) path with complete
-    coverage."""
+    """An ingest onto a store whose signature table is missing (a
+    store predating the table) must derive the standing corpus's
+    digest from the store, screen correctly against it, and seed the
+    FULL table alongside its own batch — so the next day takes the
+    O(batch) path with complete coverage."""
     import shutil
 
     store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
@@ -245,7 +246,6 @@ def test_legacy_store_without_sigs_self_heals(spark, tmp_path):
         idx,
         first_day=True,
     )
-    shutil.rmtree(store + "_sigs")  # simulate a pre-table store
     ingest_corpus_day(
         spark,
         spark.createDataFrame(
@@ -256,25 +256,17 @@ def test_legacy_store_without_sigs_self_heals(spark, tmp_path):
         store,
         idx,
     )
-    # rebuilt table covers BOTH days
-    sig_days = {
-        (r["doc_id"], str(r["day"]))
-        for r in spark.read.parquet(store + "_sigs")
-        .select("doc_id", "day")
-        .collect()
-    }
-    assert sig_days == {
-        (1, "2024-01-01"),
-        (2, "2024-01-01"),
-        (10, "2024-01-02"),
-    }
-    # and day 3 screens THROUGH the rebuilt table: near dup of day 1 rejected
+    shutil.rmtree(store + "_sigs")  # simulate a pre-table store
+    # day 3 finds no table: falls back to the store-derived digest —
+    # near dup of day 1 rejected, exact dup of day 2 rejected — and
+    # seeds the table for ALL days
     ingest_corpus_day(
         spark,
         spark.createDataFrame(
             [
                 (20, "the quick brown fox jumps over the lazy dog again and often"),
-                (21, "fresh day three arrival"),
+                (21, "day two unique text about parquet row groups"),
+                (22, "fresh day three arrival with novel words"),
             ],
             "doc_id long, text string",
         ),
@@ -289,4 +281,16 @@ def test_legacy_store_without_sigs_self_heals(spark, tmp_path):
         .select("doc_id")
         .collect()
     }
-    assert day3_stored == {21}
+    assert day3_stored == {22}
+    sig_days = {
+        (r["doc_id"], str(r["day"]))
+        for r in spark.read.parquet(store + "_sigs")
+        .select("doc_id", "day")
+        .collect()
+    }
+    assert sig_days == {
+        (1, "2024-01-01"),
+        (2, "2024-01-01"),
+        (10, "2024-01-02"),
+        (22, "2024-01-03"),
+    }

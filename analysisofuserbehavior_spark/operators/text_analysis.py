@@ -20,16 +20,29 @@ def _tokens() -> Column:
     return F.split(F.col("text"), " ")
 
 
-def _spread_docs(docs: DataFrame) -> DataFrame:
+def _spread_docs(docs: DataFrame, light: bool = False) -> DataFrame:
     """(doc_id, text) spread across the session's cores before the
     tokenize/explode/partial-aggregate stage-1 work of the LM family
     (functions/spread.py — guide §2.5 single-row-group input skew;
     no-op at real-scale partition counts).  Without it the whole
     explode + map-side combine of a query's first stage serializes on
-    the one-partition gate/bench scan."""
-    from ..functions.spread import spread_small_scan
+    the one-partition gate/bench scan.
 
-    return spread_small_scan(docs.select("doc_id", "text"))
+    `light=True` floors the spread (spread.LIGHT_WORK): the four
+    single-aggregate tail entries (vocab_growth, collocations_pmi,
+    countmin_token_freq, vocab_coverage_curve) do so little stage-1
+    work that below ~32 MB of input the added exchange costs more
+    than the serial stage it removes (per-entry A/B at sf0.1, VERDICT
+    r12 #9: those four −0.1..−0.2 s with the floor, while the
+    surprisal/dedup-span family — whose spread feeds a ckpt
+    materialization — measured +0.3..+1.3 s WITH the floor, so they
+    keep the unconditional spread)."""
+    from ..functions.spread import LIGHT_WORK, spread_small_scan
+
+    return spread_small_scan(
+        docs.select("doc_id", "text"),
+        min_bytes=LIGHT_WORK if light else None,
+    )
 
 
 def _ckpt_pairs(df: DataFrame) -> DataFrame:
@@ -634,7 +647,8 @@ def vocab_growth(docs: DataFrame, n_checkpoints: int = 10) -> DataFrame:
     rows) against the first-occurrence frame; no global sort, no
     running state, |output| = n."""
     firsts = (
-        _spread_docs(docs).select("doc_id", F.explode(_tokens()).alias("token"))
+        _spread_docs(docs, light=True)
+        .select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -749,7 +763,7 @@ def collocations_pmi(
         ),
     )
     pair_occ = _ckpt_pairs(
-        _spread_docs(docs).select(toks.alias("_t"))
+        _spread_docs(docs, light=True).select(toks.alias("_t"))
         .where(F.size("_t") >= 2)
         .select(F.explode(grams).alias("g"))
         .select("g.tok_a", "g.tok_b")
@@ -816,7 +830,9 @@ def countmin_token_freq(
     token-count aggregate every LM query uses; the audit join
     broadcasts the top·depth probe rows.  At 100 TB you'd keep the
     4·1024-cell frame as the mergeable per-shard sketch state."""
-    occ = _ckpt_pairs(_spread_docs(docs).select(F.explode(_tokens()).alias("tok")))
+    occ = _ckpt_pairs(
+        _spread_docs(docs, light=True).select(F.explode(_tokens()).alias("tok"))
+    )
     rows = list(range(depth))
     probes = occ.select(
         "tok", *[cm_bucket(F.col("tok"), r, width).alias(f"b{r}") for r in rows]
@@ -885,7 +901,8 @@ def vocab_coverage_curve(
     from ..functions.ranking import with_global_rank
 
     counts = (
-        _spread_docs(docs).select(F.explode(F.split("text", " ")).alias("token"))
+        _spread_docs(docs, light=True)
+        .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

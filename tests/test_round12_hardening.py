@@ -65,3 +65,60 @@ def test_rarest_anchor_complete_under_stop_gram_opener(spark):
     got_spark = _spark_result(spark, rows)
     assert got_spark == {i: (1, 100 + i) for i in range(0, 20, 5)}
     assert got_spark == _oracle_result(rows)
+
+
+def test_spread_floor_skips_tiny_light_frames(spark):
+    """`min_bytes` (VERDICT r12 #9): a light-work call site's floor
+    suppresses the spread on frames the optimizer estimates below it
+    — the exchange would cost more than the serial stage-1 work it
+    removes — while frames above the floor (and all no-floor callers)
+    still spread.  The at-scale no-op (>= parallelism partitions) is
+    pinned separately in test_plans."""
+    from analysisofuserbehavior_spark.functions.spread import spread_small_scan
+
+    tiny = spark.range(100).withColumnRenamed("id", "doc_id").coalesce(1)
+    # floored: estimate (~800 B) < floor -> identity, stays serial
+    assert spread_small_scan(tiny, min_bytes=1 << 20).rdd.getNumPartitions() == 1
+    # unfloored (heavy-work call sites): spreads to the session width
+    spread = spread_small_scan(tiny)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # floor below the estimate behaves like no floor
+    assert (
+        spread_small_scan(tiny, min_bytes=1).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_checkpoint_guard_couples_checksums_to_ephemeral_paths(spark, tmp_path):
+    """VERDICT r12 #8: a session running with streaming checkpoint
+    checksums DISABLED (the engine default — its checkpoints are
+    ephemeral scratch) must refuse a checkpointLocation outside the
+    ephemeral media loudly, instead of silently running a durable
+    checkpoint without corruption detection."""
+    import pytest
+
+    from analysisofuserbehavior_spark.session import (
+        scratch_dir,
+        streaming_checkpoint_location,
+    )
+
+    key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    assert spark.conf.get(key) == "false"  # the engine default
+    # ephemeral media pass: registered scratch, tmpfs, system tmp
+    for ok in (scratch_dir() + "/ckpt", "/dev/shm/x/ckpt", str(tmp_path / "c")):
+        assert streaming_checkpoint_location(spark, ok) == ok
+    # a durable-looking path is refused while checksums are off
+    with pytest.raises(ValueError, match="checksums DISABLED"):
+        streaming_checkpoint_location(spark, "/root/warehouse/stream_ckpt")
+    # re-enabling checksums (the durable-deployment conf) lifts the guard
+    spark.conf.set(key, "true")
+    try:
+        assert (
+            streaming_checkpoint_location(spark, "/root/warehouse/stream_ckpt")
+            == "/root/warehouse/stream_ckpt"
+        )
+    finally:
+        spark.conf.set(key, "false")

@@ -17,7 +17,7 @@ from .operators import behavior_model as bm
 from .operators import session_analysis as sa
 from .functions import qround
 from .params import TaskParams
-from .session import scratch_dir
+from .session import scratch_dir, streaming_checkpoint_location
 from .sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2354,7 +2354,10 @@ def q_streaming_user_click_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         q = (
             read_event_stream(spark, f"{sf_dir}/events.parquet")
             .writeStream.foreachBatch(per_batch)
-            .option("checkpointLocation", f"{work}/ckpt")
+            .option(
+                "checkpointLocation",
+                streaming_checkpoint_location(spark, f"{work}/ckpt"),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -2421,7 +2424,10 @@ def q_streaming_upsert_crash_recovery(spark: SparkSession, sf_dir: str) -> DataF
         )
         return (
             stream.writeStream.foreachBatch(per_batch)
-            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .option(
+                "checkpointLocation",
+                streaming_checkpoint_location(spark, _os.path.join(work, "ckpt")),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -2494,7 +2500,10 @@ def q_streaming_scd2_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         )
         return (
             stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .option(
+                "checkpointLocation",
+                streaming_checkpoint_location(spark, _os.path.join(work, "ckpt")),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -2581,7 +2590,10 @@ def q_streaming_late_event_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out_dir)
-            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .option(
+                "checkpointLocation",
+                streaming_checkpoint_location(spark, _os.path.join(work, "ckpt")),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -5506,7 +5518,10 @@ def q_streaming_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_parts(spark):
         q = (
             stream.writeStream.foreachBatch(sketch_batch)
-            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .option(
+                "checkpointLocation",
+                streaming_checkpoint_location(spark, _os.path.join(work, "ckpt")),
+            )
             .trigger(availableNow=True)
             .start()
         )

@@ -242,6 +242,52 @@ def get_spark(
     return spark
 
 
+def streaming_checkpoint_location(spark: SparkSession, path: str) -> str:
+    """Validate-and-return a streaming checkpointLocation against the
+    session's checksum setting (VERDICT r12 #8: couple the two).
+
+    `get_spark` disables streaming checkpoint-file checksums because
+    THIS engine's checkpoints are ephemeral scratch (tmpfs dirs that
+    die with the job — the integrity sidecars protect nothing there).
+    That pairing is only safe while BOTH halves hold: a DURABLE
+    checkpoint under a checksums-off session would silently lose
+    corruption detection.  Every in-repo stream start routes its
+    checkpoint path through here, so the unsafe combination fails
+    LOUDLY at start instead: with checksums off, the path must live
+    under a medium whose durability contract is "dies with the job"
+    (a registered scratch dir, tmpfs, or the system tmp).  Durable
+    checkpoints re-enable checksums (SPARK_GRAFT_CKPT_CHECKSUM=true
+    before session creation, or per-session conf) and then any path
+    passes."""
+    enabled = str(
+        spark.conf.get(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "true"
+        )
+    ).lower()
+    if enabled == "true":
+        return path
+    import tempfile
+
+    norm = os.path.abspath(path.removeprefix("file:"))
+    bases = [*_SCRATCH_DIRS, "/dev/shm", tempfile.gettempdir()]
+    env_scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env_scratch:
+        bases.append(env_scratch)
+    if any(
+        norm == b.rstrip("/") or norm.startswith(b.rstrip("/") + "/")
+        for b in bases
+    ):
+        return path
+    raise ValueError(
+        f"streaming checkpoint {path!r} is not under an ephemeral "
+        "scratch base but this session runs with checkpoint-file "
+        "checksums DISABLED — a durable checkpoint would silently "
+        "lose corruption detection.  Set SPARK_GRAFT_CKPT_CHECKSUM="
+        "true (before session creation) for durable checkpoints, or "
+        "checkpoint under session.scratch_dir()."
+    )
+
+
 def release_query_resources(spark: SparkSession) -> None:
     """Drop lingering per-query JVM state between queries in a
     long-lived driver (bench / oracle / sweep runners, notebook

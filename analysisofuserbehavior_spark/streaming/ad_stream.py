@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 
+from ..session import streaming_checkpoint_location as _ckpt_loc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -348,7 +349,10 @@ def province_top3_per_batch(
 
     q = (
         stream.writeStream.foreachBatch(run_batch)
-        .option("checkpointLocation", checkpoint_dir)
+        .option(
+            "checkpointLocation",
+            _ckpt_loc(stream.sparkSession, checkpoint_dir),
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -490,7 +494,10 @@ class BlacklistLoop:
         try:
             q = (
                 stream.writeStream.foreachBatch(self.process_batch)
-                .option("checkpointLocation", checkpoint_dir)
+                .option(
+                    "checkpointLocation",
+                    _ckpt_loc(stream.sparkSession, checkpoint_dir),
+                )
                 .trigger(availableNow=True)
                 .start()
             )

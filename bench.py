@@ -462,6 +462,70 @@ def _max_stage_id(spark) -> int:
     return max((s.get("stageId", -1) for s in _stages(spark)), default=-1)
 
 
+# Stdout anchor set (round 13, VERDICT r12 #7): the queries shown on
+# round 12's stdout line are ALWAYS emitted first, so the driver's
+# round-over-round PERF diff compares a stable set.  Previously the
+# line kept only the slowest-that-fit, so entries that merely got
+# FASTER fell off and read as phantom removals (17 'dropped' in
+# PERF_r12, all still measured).  Remaining space is filled with the
+# slowest non-anchor queries as before — additions-only; the full
+# 253-entry detail is unchanged in BENCH_DETAIL.json.
+_STDOUT_ANCHORS = (
+    "embedding_dedup_clusters_lsh",
+    "corpus_pipeline_incremental",
+    "corpus_pipeline_e2e",
+    "perplexity_filtered_corpus",
+    "streaming_funnel_within_window",
+    "clean_corpus",
+    "dedup_clusters",
+    "leakage_safe_split",
+    "streaming_late_event_drop",
+    "bm25_topk_compacted",
+    "ad_blacklist_feedback",
+    "streaming_upsert_crash_recovery",
+    "streaming_scd2_crash_recovery",
+    "dedup_ngram_jaccard",
+    "pack_sequences",
+    "lsh_tuning_report",
+    "embedding_neardup",
+    "incremental_admit",
+    "streaming_ad_running_totals",
+    "ann_ivf_topk_appended",
+    "streaming_click_attribution_outer",
+    "bm25_prf_topk",
+    "ann_ivf_topk_indexed",
+    "dedup_ngram_jaccard_prefix",
+    "streaming_click_attribution",
+    "semantic_dedup",
+    "streaming_countmin_merge",
+    "item_communities_lpa",
+    "doc_tfidf_top_terms",
+    "bpe_encode_stats",
+    "bm25_topk_incremental",
+    "image_features_jpeg",
+    "dedup_contained_docs",
+    "scd2_customer_segment",
+    "dsir_select",
+    "quality_gate_report",
+    "ann_ivf_kmeans_topk",
+    "rfm_segments",
+    "streaming_sliding_trend",
+    "cohort_retention",
+    "page_rank",
+    "streaming_user_click_upsert",
+    "page_convert_rate",
+    "page_reachability_sql",
+    "ann_ivfpq_topk",
+    "shared_scan_build",
+    "dedup_minhash_lsh",
+    "streaming_hourly_clicks",
+    "quantile_normalize_by_type",
+    "ann_cosine_topk",
+    "benchmark_contamination",
+    "ann_quantized_topk",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -596,7 +660,17 @@ def main() -> None:
         "cpu_canary_sec": noise["cpu_canary_sec"],
     }
     compact = lambda: json.dumps(line_obj, separators=(",", ":"))
-    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+    # anchors first (stable cross-round set), then the slowest of the
+    # rest while the line fits the driver's stdout-tail capture
+    anchored = [
+        (n, timings[n]) for n in _STDOUT_ANCHORS if n in timings
+    ]
+    anchored.sort(key=lambda kv: -kv[1])
+    others = sorted(
+        ((n, s) for n, s in timings.items() if n not in _STDOUT_ANCHORS),
+        key=lambda kv: -kv[1],
+    )
+    for name, sec in anchored + others:
         kept[name] = sec
         if len(compact()) > 1750:
             del kept[name]

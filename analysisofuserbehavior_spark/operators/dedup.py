@@ -683,13 +683,13 @@ def dedup_clusters(
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
-        def ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
 
     else:
 
-        def ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
 
     # truncate the caller's pair pipeline BEFORE the symmetrization
     # union: its two branches (forward + flipped) are re-derived
@@ -805,9 +805,21 @@ def _cc_fixpoint_loop(
                 ).alias("label"),
             )
         )
-        new_labels = ckpt(new_labels)
+        # LAZY round checkpoint + full count: the convergence count is
+        # the round's only action, so a lazy checkpoint materializes
+        # under it — ONE job per round instead of two (the eager
+        # materialization job + a count job; profiled on
+        # embedding_dedup_clusters_lsh: 24 loop jobs -> 12, and each
+        # round is pure job-floor at gate scale).  Full count, NOT
+        # limit(1).count(): the limit form plans a CollectLimit whose
+        # take-style execution probes 1 partition then escalates 4x at
+        # a job per probe — extra job rounds exactly when changed rows
+        # are rare (the convergence tail).  The lazy-ckpt broadcast
+        # race (functions/ckpt.py) does not apply: the count and the
+        # next round consume the frame strictly sequentially.
+        new_labels = ckpt(new_labels, eager=False)
         changed = (
-            new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
+            new_labels.where(F.col("label") != F.col("prev")).count()
         )
         labels = new_labels.drop("prev")
         if changed == 0:

@@ -134,6 +134,14 @@ def bfs_depths(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct().localCheckpoint()
     visited = source.select("node").withColumn("depth", F.lit(0).cast("bigint")).localCheckpoint()
     frontier = visited
+    # one job per round (round 13, same protocol as the CC fixpoint):
+    # the frontier checkpoint is LAZY and the emptiness check a full
+    # count, so materialization and the loop decision share one job —
+    # previously each round paid three (eager frontier ckpt + an
+    # isEmpty take-probe + an eager visited ckpt).  The visited union
+    # is also lazy: it materializes under the NEXT round's count (or
+    # the final orderBy), strictly sequentially, so the lazy-ckpt
+    # parallel-broadcast race (functions/ckpt.py) does not apply.
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
@@ -141,11 +149,11 @@ def bfs_depths(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d).cast("bigint"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.orderBy("node")
 
